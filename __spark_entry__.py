@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry() runs the flagship query; queries()/oracle_sql() expose every
+declared query from SURVEY.md §2.10 plus the training-data extension
+operators, with DuckDB oracle twins where SQL-expressible (see
+elt_gluepipeline_spark/plans/).
 """
 
 from __future__ import annotations
@@ -13,26 +12,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from elt_gluepipeline_spark.plans import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: top locations by revenue
+    (joins + distinct-count agg + ranking — SURVEY.md §2.10 Q8)."""
+    from elt_gluepipeline_spark.plans.reference import q08_top_locations
+    return q08_top_locations(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented query/operator (SURVEY.md §2)."""
+    return {name: spec.build for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB SQL twin for every SQL-expressible query. Omitted keys
+    (LSH/SimHash — probabilistic or Spark-hash-specific) get the
+    driver's rows-only check."""
+    return {name: spec.oracle for name, spec in registry().items()
+            if spec.oracle is not None}

@@ -1,0 +1,47 @@
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"q01_line_revenue": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full computation,
+no collect/serialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elt_gluepipeline_spark.plans import registry  # noqa: E402
+from elt_gluepipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = registry()
+
+    # one JVM/codegen warmup pass on the smallest query, outside timing
+    specs["q15_lang_id"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "total_query_sec", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

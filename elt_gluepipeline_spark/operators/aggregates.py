@@ -1,0 +1,61 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The headline fix over the reference: its CLV quantile tagging collects
+distinct restaurant ids to the driver and runs one approxQuantile JOB
+PER RESTAURANT (go-metric-elt.py:83-89 — N+1 job storm). Here grouped
+quantiles are ONE aggregation: groupBy(key).agg(percentile(...)), a
+single shuffle regardless of group count. That is the difference
+between 25 jobs at 25 restaurants and 1 job at 1M groups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
+                        percentiles: Sequence[float],
+                        out_names: Sequence[str],
+                        exact: bool = True,
+                        accuracy: int = 10_000) -> DataFrame:
+    """A3 (fixed): per-group percentiles in one pass.
+
+    exact=True uses SQL ``percentile`` (exact, interpolated — matches
+    DuckDB quantile_cont, needed for oracle hash-parity). exact=False
+    uses ``percentile_approx`` (KLL-sketch, mergeable, the 100 TB path —
+    memory-bounded per group instead of buffering group values).
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = []
+    for p, name in zip(percentiles, out_names):
+        if exact:
+            expr = f"{fn}({value_col}, {p})"
+        else:
+            expr = f"{fn}({value_col}, {p}, {accuracy})"
+        aggs.append(F.expr(expr).alias(name))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def two_level_agg(df: DataFrame, outer_keys: Sequence[str], inner_keys: Sequence[str],
+                  inner_aggs: Sequence[Column], outer_aggs_builder) -> DataFrame:
+    """A5: per-entity agg then re-agg per group (reference loyalty
+    impact, go-metric-elt.py:214-232). Two chained groupBys; the second
+    shuffle is tiny (one row per inner key). ``outer_aggs_builder`` maps
+    the inner frame to the outer agg column list."""
+    inner = df.groupBy(*[F.col(k) for k in [*outer_keys, *inner_keys]]).agg(*inner_aggs)
+    return inner.groupBy(*[F.col(k) for k in outer_keys]).agg(*outer_aggs_builder(inner))
+
+
+def time_rollup(df: DataFrame, ts_col: str, grain: str, keys: Sequence[str],
+                aggs: Sequence[Column]) -> DataFrame:
+    """A4: time-bucketed rollup at one grain ∈ {hour, day, week, month}.
+
+    Bucket start via date_trunc — avoids the reference's year-boundary
+    ISO-week bug (B10: go-metric-elt.py:185 reconstructs week start as
+    jan1 + (week-1)*7). date_trunc('week') is ISO-Monday-correct.
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_start")
+    return df.groupBy(bucket, *[F.col(k) for k in keys]).agg(*aggs)

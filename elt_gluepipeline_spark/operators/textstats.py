@@ -1,0 +1,99 @@
+"""Text-analysis expressions for training-data pipelines: tokenizing,
+quality scoring, language-ID heuristics, fingerprinting.
+
+All JVM-side array/higher-order expressions — no Python in the hot
+path, so these scale to corpus-sized inputs (the per-row cost is a
+codegen'd loop over tokens, and nothing shuffles until the caller
+aggregates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword set used by quality scoring and the lang-ID
+# heuristic. Kept deliberately tiny & frozen: it is part of the query
+# semantics (the DuckDB oracle embeds the same list).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Token counting closer to a BPE pre-tokenizer: split on word
+    boundaries keeping punctuation runs as tokens (GPT-2-style regex,
+    simplified to what Java & RE2 both support)."""
+    return F.filter(
+        F.split(F.col(col) if isinstance(col, str) else col,
+                r"(?=[^\w])|(?<=[^\w])"),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def n_tokens(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords: Sequence[str] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (0 for empty docs)."""
+    toks = tokens(F.lower(col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)) \
+            .otherwise(n_stop / F.size(toks))
+
+
+def uniq_token_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)) \
+            .otherwise(F.size(F.array_distinct(toks)) / F.size(toks))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: lexical diversity up, stopword
+    saturation down, degenerate-length docs down. Mirrors the kinds of
+    rules corpus-filtering pipelines apply (length/punct/stopword
+    ratios); deterministic double arithmetic only."""
+    nt = F.size(tokens(col))
+    diversity = uniq_token_ratio(col)
+    stop = stopword_ratio(col)
+    length_ok = F.when((nt >= 10) & (nt <= 10_000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (F.lit(0.5) * diversity + F.lit(0.2) * (F.lit(1.0) - stop)
+            + F.lit(0.3) * length_ok)
+
+
+def langid_en_heuristic(col: Column, threshold: float = 0.12) -> Column:
+    """N-gram-free language-ID heuristic: English-stopword density.
+    Returns 'en' when density ≥ threshold else 'other'. (A real n-gram
+    profile model slots in behind the same Column contract.)"""
+    return F.when(stopword_ratio(col) >= threshold, "en").otherwise("other")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Canonical-text fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Engine-portable (md5 is md5 everywhere),
+    used for exact near-canonical dedup."""
+    canon = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(F.encode(canon, "UTF-8"))
+
+
+def fingerprint_rolling(col: Column) -> Column:
+    """Chained rolling hash over tokens — a 64-bit content fingerprint
+    that is order-sensitive (unlike a bag-of-words hash): acc_{i+1} =
+    xxhash64(acc_i, token_i). Hash chaining instead of polynomial
+    multiply keeps it overflow-free under ANSI mode. Sequential fold
+    via F.aggregate; Spark-only (no SQL oracle twin — xxhash64 is
+    Spark-specific)."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )

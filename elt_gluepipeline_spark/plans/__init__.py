@@ -1,0 +1,45 @@
+"""Declared queries (SURVEY.md §2.10 Q1-Q12 re-expressed over the
+driver's TPC-H-ish testdata, plus the training-data extension queries).
+
+Each query is a QuerySpec: a Spark builder ``(spark, sf_dir) ->
+DataFrame`` and, where SQL-expressible, a DuckDB oracle SQL string
+computing the same result (same column NAMES and value semantics —
+the correctness gate hash-compares them). Specs live next to their
+oracles so they can't drift apart.
+
+Domain mapping (restaurant reference → TPC-H testdata):
+  order_items fact   → lineitem (line-item grain)
+  order header       → orders   (customer, date, total)
+  restaurant/location→ supplier / nation (via customer)
+  item catalog       → part
+  change feed        → events (ts-ordered, keyed by user/event_type)
+  corpus / vectors   → documents / embeddings (extension ops)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL twin; None → rows-only check
+    doc: str = ""
+
+
+def registry() -> dict[str, QuerySpec]:
+    """All declared queries, reference-parity + extensions."""
+    from . import reference, training
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (reference, training):
+        for spec in mod.SPECS:
+            if spec.name in out:
+                raise ValueError(f"duplicate query name {spec.name}")
+            out[spec.name] = spec
+    return out

@@ -1,0 +1,594 @@
+"""Reference-parity declared queries (SURVEY.md §2.10 Q1-Q12), each a
+Spark DataFrame plan + a DuckDB oracle twin over the TPC-H-ish
+testdata.
+
+Hash-parity conventions (the driver compares row-count + schema +
+order-insensitive value-hash):
+- money aggregates use exact DECIMAL(18,4) sums (functions/deterministic)
+  so values are bit-stable across engines/partitionings;
+- dates/timestamps in outputs are formatted to strings on BOTH sides;
+- count-like columns are cast to long/BIGINT on both sides;
+- percentiles use exact interpolation (Spark ``percentile`` ↔ DuckDB
+  ``quantile_cont``) rounded to 4dp before use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import (clean_item_name, first_match_classify)
+from ..functions.deterministic import davg, davg_sql, dsum, dsum_sql
+from ..operators.quality import extract_violations
+from ..operators.windows import dedupe_keep_latest
+from ..sources.readers import read_table
+from . import QuerySpec
+
+DATE_FMT = "yyyy-MM-dd"
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+SQL_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _d(col: str) -> F.Column:
+    """timestamp → date column."""
+    return F.col(col).cast("date")
+
+
+# --------------------------------------------------------------------------
+# Q1 — line revenue projection (F6 coalesce arithmetic; go-metric-elt.py:57-61)
+# --------------------------------------------------------------------------
+
+def q01_line_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = (F.coalesce(F.col("l_extendedprice"), F.lit(0.0))
+               * (F.lit(1.0) - F.coalesce(F.col("l_discount"), F.lit(0.0))))
+    return li.select("l_orderkey", "l_linenumber", revenue.alias("revenue"))
+
+
+Q01_SQL = """
+SELECT l_orderkey, l_linenumber,
+       COALESCE(l_extendedprice, 0.0) * (1.0 - COALESCE(l_discount, 0.0)) AS revenue
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2 — CLV multi-key hash aggregation (A1; go-metric-elt.py:66-74)
+# --------------------------------------------------------------------------
+
+def q02_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    return (o.groupBy("o_custkey", "o_orderstatus")
+             .agg(dsum("o_totalprice").alias("total_revenue"),
+                  F.count("o_orderkey").alias("total_orders"),
+                  F.date_format(F.min(_d("o_orderdate")), DATE_FMT).alias("first_order"),
+                  F.date_format(F.max(_d("o_orderdate")), DATE_FMT).alias("last_order"),
+                  davg("o_totalprice").alias("avg_order_value")))
+
+
+Q02_SQL = f"""
+SELECT o_custkey, o_orderstatus,
+       {dsum_sql('o_totalprice')} AS total_revenue,
+       COUNT(o_orderkey) AS total_orders,
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_order,
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_order,
+       {davg_sql('o_totalprice')} AS avg_order_value
+FROM orders
+WHERE o_custkey IS NOT NULL
+GROUP BY o_custkey, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3 — CLV value tiers via grouped percentiles (A3 single-pass fix + J3 + F5;
+# go-metric-elt.py:83-97). One percentile aggregation replaces the
+# reference's per-restaurant approxQuantile driver loop (N+1 jobs → 1).
+# --------------------------------------------------------------------------
+
+def q03_clv_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    clv = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("total_revenue"))
+    j = clv.join(cust, clv.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_mktsegment", "total_revenue")
+    pct = (j.groupBy("c_mktsegment")
+            .agg(F.round(F.expr("percentile(total_revenue, 0.2)"), 4).alias("p20"),
+                 F.round(F.expr("percentile(total_revenue, 0.8)"), 4).alias("p80")))
+    tier = (F.when(F.col("total_revenue") >= F.col("p80"), "High")
+             .when(F.col("total_revenue") <= F.col("p20"), "Low")
+             .otherwise("Medium"))
+    return (j.join(F.broadcast(pct), "c_mktsegment")
+             .select("c_custkey", "c_mktsegment", "total_revenue",
+                     tier.alias("value_tier")))
+
+
+Q03_SQL = f"""
+WITH clv AS (
+  SELECT o_custkey, {dsum_sql('o_totalprice')} AS total_revenue
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c.c_custkey, c.c_mktsegment, clv.total_revenue
+  FROM clv JOIN customer c ON clv.o_custkey = c.c_custkey
+), pct AS (
+  SELECT c_mktsegment,
+         ROUND(quantile_cont(total_revenue, 0.2), 4) AS p20,
+         ROUND(quantile_cont(total_revenue, 0.8), 4) AS p80
+  FROM j GROUP BY c_mktsegment
+)
+SELECT j.c_custkey, j.c_mktsegment, j.total_revenue,
+       CASE WHEN j.total_revenue >= pct.p80 THEN 'High'
+            WHEN j.total_revenue <= pct.p20 THEN 'Low'
+            ELSE 'Medium' END AS value_tier
+FROM j JOIN pct USING (c_mktsegment)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4 — RFM segmentation (A2 snapshot scalar + F5 tags; go-metric-elt.py:104-123)
+# Snapshot is a broadcast cross-join of a 1-row aggregate — stays
+# distributed, no .collect() round-trip.
+# --------------------------------------------------------------------------
+
+def q04_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", _d("o_orderdate").alias("d"), "o_totalprice")
+    snap = o.agg(F.max("d").alias("snap"))
+    rfm = (o.groupBy("o_custkey")
+            .agg(F.max("d").alias("last_order"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 dsum("o_totalprice").alias("monetary"))
+            .crossJoin(F.broadcast(snap))
+            .withColumn("recency", F.datediff(F.col("snap"), F.col("last_order")).cast("long")))
+    segment = (F.when((F.col("recency") <= 90) & (F.col("frequency") >= 10), "VIP")
+                .when(F.col("recency") <= 90, "Active")
+                .when(F.col("recency") > 730, "Churned")
+                .otherwise("At Risk"))
+    return rfm.select("o_custkey", "recency", "frequency", "monetary",
+                      segment.alias("segment"))
+
+
+Q04_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
+), snap AS (SELECT MAX(d) AS snap FROM o),
+rfm AS (
+  SELECT o_custkey, MAX(d) AS last_order, COUNT(*) AS frequency,
+         {dsum_sql('o_totalprice')} AS monetary
+  FROM o GROUP BY o_custkey
+)
+SELECT o_custkey,
+       date_diff('day', last_order, snap) AS recency,
+       frequency, monetary,
+       CASE WHEN date_diff('day', last_order, snap) <= 90 AND frequency >= 10 THEN 'VIP'
+            WHEN date_diff('day', last_order, snap) <= 90 THEN 'Active'
+            WHEN date_diff('day', last_order, snap) > 730 THEN 'Churned'
+            ELSE 'At Risk' END AS segment
+FROM rfm CROSS JOIN snap
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5 — customer profile: per-entity lag gaps + activity tags (W2/W3 + F10 +
+# F5; go-metric-elt.py:130-159)
+# --------------------------------------------------------------------------
+
+def q05_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", _d("o_orderdate").alias("d"), "o_orderkey")
+    # deterministic tie-break: orderkey within equal dates
+    w = Window.partitionBy("o_custkey").orderBy(F.col("d"), F.col("o_orderkey"))
+    gaps = (o.withColumn("prev_d", F.lag("d").over(w))
+             .withColumn("gap", F.datediff(F.col("d"), F.col("prev_d"))))
+    snap = o.agg(F.max("d").alias("snap"))
+    prof = (gaps.groupBy("o_custkey")
+                .agg(F.max("d").alias("last_order"),
+                     F.count(F.lit(1)).alias("n_orders"),
+                     F.avg("gap").alias("avg_gap"),
+                     F.max("gap").cast("long").alias("max_gap"))
+                .crossJoin(F.broadcast(snap))
+                .withColumn("days_since_last",
+                            F.datediff(F.col("snap"), F.col("last_order")).cast("long")))
+    activity = (F.when(F.col("n_orders") == 1, "one_time")
+                 .when(F.col("days_since_last") <= 45, "active")
+                 .when(F.col("days_since_last") <= F.col("avg_gap") * 1.5, "regular")
+                 .otherwise("dormant"))
+    return prof.select("o_custkey", "n_orders",
+                       F.date_format("last_order", DATE_FMT).alias("last_order"),
+                       "days_since_last", "avg_gap", "max_gap",
+                       activity.alias("activity"))
+
+
+Q05_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+), gaps AS (
+  SELECT o_custkey, d,
+         date_diff('day', LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey), d) AS gap
+  FROM o
+), snap AS (SELECT MAX(d) AS snap FROM o),
+prof AS (
+  SELECT o_custkey, MAX(d) AS last_order, COUNT(*) AS n_orders,
+         AVG(gap) AS avg_gap, CAST(MAX(gap) AS BIGINT) AS max_gap
+  FROM gaps GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders,
+       CAST(last_order AS VARCHAR) AS last_order,
+       date_diff('day', last_order, snap) AS days_since_last,
+       avg_gap, max_gap,
+       CASE WHEN n_orders = 1 THEN 'one_time'
+            WHEN date_diff('day', last_order, snap) <= 45 THEN 'active'
+            WHEN date_diff('day', last_order, snap) <= avg_gap * 1.5 THEN 'regular'
+            ELSE 'dormant' END AS activity
+FROM prof CROSS JOIN snap
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6 — sales trends at 4 grains (A4; go-metric-elt.py:168-204). Bucket
+# starts via date_trunc (fixes the reference's ISO-week year-boundary
+# reconstruction, bug B10).
+# --------------------------------------------------------------------------
+
+def _trend(spark: SparkSession, sf_dir: str, grain: str, keyed: bool) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.date_format(F.date_trunc(grain, F.col("o_orderdate")).cast("date"),
+                           DATE_FMT).alias("bucket_start")
+    keys = [bucket] + ([F.col("o_orderpriority")] if keyed else [])
+    return (o.groupBy(*keys)
+             .agg(dsum("o_totalprice").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_orders")))
+
+
+def q06_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _trend(spark, sf_dir, "day", keyed=True)
+
+
+def q06_trend_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _trend(spark, sf_dir, "week", keyed=False)
+
+
+def q06_trend_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _trend(spark, sf_dir, "month", keyed=False)
+
+
+def q06_trend_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT).alias("bucket_start")
+    return (ev.groupBy(bucket, F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   dsum("value").alias("total_value")))
+
+
+def _trend_sql(grain: str, keyed: bool) -> str:
+    key = ", o_orderpriority" if keyed else ""
+    return f"""
+SELECT CAST(CAST(date_trunc('{grain}', o_orderdate) AS DATE) AS VARCHAR) AS bucket_start{key},
+       {dsum_sql('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY bucket_start{key}
+"""
+
+
+Q06_HOURLY_SQL = f"""
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '{SQL_TS_FMT}') AS bucket_start, event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY bucket_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 — loyalty-impact two-level aggregation (A5; go-metric-elt.py:214-232)
+# --------------------------------------------------------------------------
+
+def q07_loyalty_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    inner = (o.groupBy("o_orderpriority", "o_custkey")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   dsum("o_totalprice").alias("revenue")))
+    return (inner.groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("n_customers"),
+                      davg("n_orders").alias("avg_orders_per_customer"),
+                      davg("revenue").alias("avg_revenue_per_customer"),
+                      dsum("revenue").alias("total_revenue")))
+
+
+Q07_SQL = f"""
+WITH inner_agg AS (
+  SELECT o_orderpriority, o_custkey, COUNT(*) AS n_orders,
+         {dsum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY o_orderpriority, o_custkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_customers,
+       {davg_sql('n_orders')} AS avg_orders_per_customer,
+       {davg_sql('revenue')} AS avg_revenue_per_customer,
+       {dsum_sql('revenue')} AS total_revenue
+FROM inner_agg GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 — top locations: distinct-counting agg + ratio + rank (A6 + W4;
+# go-metric-elt.py:237-249). nation broadcasts; the global rank window
+# runs on the 25-row post-aggregation table (scale-safe per SURVEY §7.4).
+# --------------------------------------------------------------------------
+
+def q08_top_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (o.join(cust, o.o_custkey == cust.c_custkey)
+          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    agg = (j.groupBy("n_name")
+            .agg(F.countDistinct(_d("o_orderdate")).alias("active_days"),
+                 F.count(F.lit(1)).alias("total_orders"),
+                 dsum("o_totalprice").alias("revenue"))
+            .withColumn("orders_per_day", F.col("total_orders") / F.col("active_days")))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("n_name"))
+    return agg.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+Q08_SQL = f"""
+WITH agg AS (
+  SELECT n.n_name,
+         COUNT(DISTINCT CAST(o.o_orderdate AS DATE)) AS active_days,
+         COUNT(*) AS total_orders,
+         {dsum_sql('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, active_days, total_orders, revenue,
+       total_orders / active_days AS orders_per_day,
+       ROW_NUMBER() OVER (ORDER BY revenue DESC, n_name) AS rank
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 — discount effectiveness flag-split agg (A7; go-metric-elt.py:254-263)
+# --------------------------------------------------------------------------
+
+def q09_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.withColumn("is_discounted", F.col("l_discount") > 0)
+              .groupBy("is_discounted")
+              .agg(F.count(F.lit(1)).alias("n_lines"),
+                   F.countDistinct("l_orderkey").alias("n_orders"),
+                   dsum("l_extendedprice").alias("gross_revenue"),
+                   dsum(net).alias("net_revenue"),
+                   davg("l_discount").alias("avg_discount")))
+
+
+Q09_SQL = f"""
+SELECT l_discount > 0 AS is_discounted,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {dsum_sql('l_extendedprice')} AS gross_revenue,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS net_revenue,
+       {davg_sql('l_discount')} AS avg_discount
+FROM lineitem
+GROUP BY is_discounted
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 — quality gate: data-driven rule extracts + clean/quarantine split
+# (P5/P6/P9 + B6-fixed semantics; go-quality-elt.py:108-136). Output is
+# the per-rule-combination audit table.
+# --------------------------------------------------------------------------
+
+QUALITY_RULES = [
+    ("price_null", F.col("l_extendedprice").isNull()),
+    ("price_nonpos", F.col("l_extendedprice") <= 0),
+    ("price_high", F.col("l_extendedprice") > 100000),
+    ("qty_null", F.col("l_quantity").isNull()),
+    ("qty_zero", F.col("l_quantity") == 0),
+    ("qty_high", F.col("l_quantity") >= 48),
+    ("disc_out", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.09)),
+]
+
+
+def q10_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    tagged = extract_violations(li, QUALITY_RULES)
+    return (tagged.withColumn("violated", F.array_join("violated", ","))
+                  .groupBy("violated")
+                  .agg(F.count(F.lit(1)).alias("n_rows"),
+                       dsum(F.coalesce(F.col("l_extendedprice"), F.lit(0.0)))
+                       .alias("revenue")))
+
+
+Q10_SQL = f"""
+SELECT concat_ws(',',
+         CASE WHEN l_extendedprice IS NULL THEN 'price_null' END,
+         CASE WHEN l_extendedprice <= 0 THEN 'price_nonpos' END,
+         CASE WHEN l_extendedprice > 100000 THEN 'price_high' END,
+         CASE WHEN l_quantity IS NULL THEN 'qty_null' END,
+         CASE WHEN l_quantity = 0 THEN 'qty_zero' END,
+         CASE WHEN l_quantity >= 48 THEN 'qty_high' END,
+         CASE WHEN l_discount < 0 OR l_discount > 0.09 THEN 'disc_out' END
+       ) AS violated,
+       COUNT(*) AS n_rows,
+       {dsum_sql('COALESCE(l_extendedprice, 0.0)')} AS revenue
+FROM lineitem
+GROUP BY violated
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — transform/clean: regex stack as native expressions (U1-U4 + F1-F5 +
+# P7; go-transform-elt.py:204-338). First-match classification order is
+# pinned by the rule list.
+# --------------------------------------------------------------------------
+
+CATEGORY_RULES = [
+    ("promo", "promotional"),
+    ("econom", "value"),
+    ("small|medium", "mid_range"),
+    ("large", "premium"),
+]
+
+SIZE_PATTERN = r"\b(small|big|large|mini)\b"
+
+
+def q11_transform_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    category = first_match_classify(F.col("p_type"), CATEGORY_RULES,
+                                    default=F.lower(F.col("p_type")))
+    name_clean = clean_item_name(F.col("p_name"))
+    size_token = F.regexp_extract(F.col("p_name"), SIZE_PATTERN, 0)
+    keep = ~(F.coalesce(F.col("p_name").rlike("(?i)test"), F.lit(False)))
+    return (p.filter(keep)
+             .select("p_partkey", name_clean.alias("name_clean"),
+                     category.alias("category"), size_token.alias("size_token")))
+
+
+Q11_SQL = r"""
+SELECT p_partkey,
+       trim(regexp_replace(
+         regexp_replace(
+           lower(regexp_replace(regexp_replace(p_name, '[^a-zA-Z0-9|&* ]', ' ', 'g'),
+                                '\*', '', 'g')),
+           '\bthe\b', ' ', 'g'),
+         '\s+', ' ', 'g')) AS name_clean,
+       CASE WHEN regexp_matches(lower(p_type), 'promo') THEN 'promotional'
+            WHEN regexp_matches(lower(p_type), 'econom') THEN 'value'
+            WHEN regexp_matches(lower(p_type), 'small|medium') THEN 'mid_range'
+            WHEN regexp_matches(lower(p_type), 'large') THEN 'premium'
+            ELSE lower(p_type) END AS category,
+       regexp_extract(p_name, '\b(small|big|large|mini)\b', 0) AS size_token
+FROM part
+WHERE NOT COALESCE(regexp_matches(p_name, '(?i)test'), FALSE)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 — incremental dedupe-keep-latest (W1/T3;
+# go-incremental-ingest-elt.py:200-213). Deterministic tie-break on the
+# unique event_id.
+# --------------------------------------------------------------------------
+
+def q12_incr_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    latest = dedupe_keep_latest(ev, ["user_id", "event_type"],
+                                [F.col("ts").desc()],
+                                [F.col("event_id").desc()])
+    return latest.select("user_id", "event_type", "event_id",
+                         F.date_format("ts", TS_FMT).alias("ts"), "value")
+
+
+Q12_SQL = f"""
+SELECT user_id, event_type, event_id,
+       strftime(CAST(ts AS TIMESTAMP), '{SQL_TS_FMT}') AS ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS BIGINT), event_type
+                               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 — grouped-IQR outlier flagger (A10; edafinal.ipynb cells 58-60,123).
+# One percentile pass + broadcast join-back, no driver loop.
+# --------------------------------------------------------------------------
+
+def q16_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    fences = (li.groupBy("l_returnflag")
+                .agg(F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("q1"),
+                     F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("q3")))
+    fenced = (li.join(F.broadcast(fences), "l_returnflag")
+                .withColumn("iqr", F.col("q3") - F.col("q1"))
+                .withColumn("is_outlier",
+                            (F.col("l_extendedprice") < F.col("q1") - 1.5 * F.col("iqr"))
+                            | (F.col("l_extendedprice") > F.col("q3") + 1.5 * F.col("iqr"))))
+    return (fenced.groupBy("l_returnflag")
+                  .agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+                       dsum(F.when(F.col("is_outlier"), F.col("l_extendedprice"))
+                            .otherwise(F.lit(0.0))).alias("outlier_revenue")))
+
+
+Q16_SQL = f"""
+WITH fences AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+         ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+  FROM lineitem GROUP BY l_returnflag
+), fenced AS (
+  SELECT li.l_returnflag, li.l_extendedprice,
+         (li.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+          OR li.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
+  FROM lineitem li JOIN fences f USING (l_returnflag)
+)
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {dsum_sql("CASE WHEN is_outlier THEN l_extendedprice ELSE 0.0 END")} AS outlier_revenue
+FROM fenced GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q23 — JSON property extraction (F-family rider: get_json_object surface)
+# --------------------------------------------------------------------------
+
+def q23_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.withColumn("k", k)
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum("k").alias("k_sum"),
+                   F.avg("k").alias("k_avg")))
+
+
+Q23_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_avg
+FROM events
+GROUP BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
+              "F6 revenue projection"),
+    QuerySpec("q02_clv", q02_clv, Q02_SQL, "A1 multi-key hash agg"),
+    QuerySpec("q03_clv_tiered", q03_clv_tiered, Q03_SQL,
+              "A3 grouped percentiles + J3 broadcast join + F5 tags"),
+    QuerySpec("q04_rfm_segments", q04_rfm_segments, Q04_SQL,
+              "A2 snapshot agg + F5 segments"),
+    QuerySpec("q05_customer_profile", q05_customer_profile, Q05_SQL,
+              "W2/W3 lags + activity tags"),
+    QuerySpec("q06_trend_daily", q06_trend_daily, _trend_sql("day", True),
+              "A4 daily rollup"),
+    QuerySpec("q06_trend_weekly", q06_trend_weekly, _trend_sql("week", False),
+              "A4 weekly rollup (B10-fixed week starts)"),
+    QuerySpec("q06_trend_monthly", q06_trend_monthly, _trend_sql("month", False),
+              "A4 monthly rollup"),
+    QuerySpec("q06_trend_hourly", q06_trend_hourly, Q06_HOURLY_SQL,
+              "A4 hourly rollup on the events stream table"),
+    QuerySpec("q07_loyalty_impact", q07_loyalty_impact, Q07_SQL,
+              "A5 two-level agg"),
+    QuerySpec("q08_top_locations", q08_top_locations, Q08_SQL,
+              "A6 countDistinct + ratio + W4 rank"),
+    QuerySpec("q09_discount_effect", q09_discount_effect, Q09_SQL,
+              "A7 flag-split agg"),
+    QuerySpec("q10_quality_gate", q10_quality_gate, Q10_SQL,
+              "P5/P6 rule extracts as audit rollup"),
+    QuerySpec("q11_transform_clean", q11_transform_clean, Q11_SQL,
+              "U1-U4 regex stack, native expressions"),
+    QuerySpec("q12_incr_dedupe", q12_incr_dedupe, Q12_SQL,
+              "W1 dedupe-keep-latest"),
+    QuerySpec("q16_iqr_outliers", q16_iqr_outliers, Q16_SQL,
+              "A10 grouped-IQR outlier flagger"),
+    QuerySpec("q23_json_props", q23_json_props, Q23_SQL,
+              "JSON extraction surface"),
+]

@@ -1,0 +1,265 @@
+"""Training-data pipeline queries over documents/embeddings: dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+text analysis, multimodal plumbing.
+
+Oracle notes: exact/blocked operators carry DuckDB twins (md5, list
+functions, integer set sizes → engine-portable). LSH/SimHash operators
+are probabilistic-by-construction or depend on Spark's xxhash64 —
+rows-only checks, flagged with oracle=None.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
+                               minhash_lsh_pairs, simhash64)
+from ..operators.multimodal import attach_payload, extract_features
+from ..operators.similarity import knn_bruteforce, lsh_ann
+from ..operators.textstats import (EN_STOPWORDS, fingerprint_md5,
+                                   langid_en_heuristic, n_tokens,
+                                   quality_score, stopword_ratio,
+                                   uniq_token_ratio)
+from ..sources.readers import read_table
+from . import QuerySpec
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# Q13 — exact dedup by content digest
+# --------------------------------------------------------------------------
+
+def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedupe(docs, "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")))
+
+
+Q13_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 — text statistics & quality scoring
+# --------------------------------------------------------------------------
+
+def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        n_tokens(t).alias("n_tokens"),
+        uniq_token_ratio(t).alias("uniq_ratio"),
+        stopword_ratio(t).alias("stop_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+Q14_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS tok,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS ltok
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(tok) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tok) = 0 THEN 0.0
+              ELSE len(list_distinct(tok)) / len(tok) END AS uniq_ratio,
+         CASE WHEN len(ltok) = 0 THEN 0.0
+              ELSE len(list_filter(ltok, x -> x IN ({_STOP_SQL}))) / len(ltok)
+         END AS stop_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens, uniq_ratio, stop_ratio,
+       0.5 * uniq_ratio + 0.2 * (1.0 - stop_ratio)
+         + 0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+                       THEN 1.0 ELSE 0.0 END) AS quality
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 — language-ID heuristic vs labeled lang
+# --------------------------------------------------------------------------
+
+def q15_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pred = langid_en_heuristic(F.col("text"))
+    return (docs.withColumn("lang_pred", pred)
+                .groupBy("lang", "lang_pred")
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+Q15_SQL = f"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN (
+           CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) = 0 THEN 0.0
+                ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                     x -> x IN ({_STOP_SQL})))
+                     / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           END) >= 0.12 THEN 'en' ELSE 'other' END AS lang_pred
+  FROM documents
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs FROM p GROUP BY lang, lang_pred
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 — MinHash+LSH near-dup candidates (probabilistic → rows-only)
+# --------------------------------------------------------------------------
+
+def q17_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text",
+                             k=3, n_hashes=32, bands=8, threshold=0.3)
+
+
+# --------------------------------------------------------------------------
+# Q18 — exact blocked n-gram-Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+
+def q18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    blocks = [F.col("lang"),
+              F.floor(n_tokens(F.col("text")) / 10).cast("long")]
+    return blocked_jaccard_pairs(docs, "doc_id", "text", blocks,
+                                 k=3, threshold=0.2)
+
+
+Q18_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
+           AS len_bucket,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
+            ELSE len(list_intersect(a.shingles, b.shingles))
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
+       END AS jaccard
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
+           ELSE len(list_intersect(a.shingles, b.shingles))
+                / len(list_distinct(list_concat(a.shingles, b.shingles)))
+      END >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 — brute-force cosine top-k (exact ANN baseline)
+# --------------------------------------------------------------------------
+
+def q19_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return knn_bruteforce(queries, emb, k=3)
+
+
+Q19_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_vec
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.q_vec, c.c_vec)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cosine
+  FROM q JOIN c ON q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — LSH-bucketed approximate NN (probabilistic recall → rows-only)
+# --------------------------------------------------------------------------
+
+def q20_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_ann(queries, emb, k=3, dim=64, n_planes=6, seed=42)
+
+
+# --------------------------------------------------------------------------
+# Q21 — SimHash fingerprints (Spark-hash-specific → rows-only)
+# --------------------------------------------------------------------------
+
+def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Q22 — multimodal metadata (binary payload plumbing; decode is stubbed,
+# byte-length metadata is oracle-checkable)
+# --------------------------------------------------------------------------
+
+def q22_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    assets = attach_payload(docs, "doc_id", "text")
+    feats = extract_features(assets)
+    return feats.select("asset_id", "modality", "byte_len")
+
+
+Q22_SQL = """
+SELECT doc_id AS asset_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Q24 — canonical fingerprint dedup (md5 of normalized text)
+# --------------------------------------------------------------------------
+
+def q24_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedupe(docs, "doc_id", fingerprint_md5(F.col("text")))
+
+
+Q24_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
+    QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
+              "token counting + quality scoring"),
+    QuerySpec("q15_lang_id", q15_lang_id, Q15_SQL, "language-ID heuristic"),
+    QuerySpec("q17_minhash_neardup", q17_minhash_neardup, None,
+              "MinHash+LSH near-dup (probabilistic; rows-only)"),
+    QuerySpec("q18_ngram_jaccard", q18_ngram_jaccard, Q18_SQL,
+              "blocked exact n-gram Jaccard near-dup"),
+    QuerySpec("q19_knn_cosine", q19_knn_cosine, Q19_SQL,
+              "brute-force cosine top-k"),
+    QuerySpec("q20_lsh_ann", q20_lsh_ann, None,
+              "LSH approximate NN (rows-only)"),
+    QuerySpec("q21_simhash", q21_simhash, None,
+              "SimHash fingerprints (rows-only)"),
+    QuerySpec("q22_multimodal_meta", q22_multimodal_meta, Q22_SQL,
+              "binary payload + mapInPandas feature plumbing"),
+    QuerySpec("q24_fingerprint_dedup", q24_fingerprint_dedup, Q24_SQL,
+              "normalized-text fingerprint dedup"),
+]

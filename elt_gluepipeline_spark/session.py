@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the conf set here is chosen so the
+same logical plans behave well on a real multi-executor cluster:
+AQE handles skew/coalesce at runtime, broadcast threshold keeps dim
+joins shuffle-free, and Arrow makes any unavoidable pandas exchange
+cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the test harness (local[32], 128 GiB box). On a
+# real cluster these are submit-time conf, not code — everything here
+# is safe to override via environment / spark-submit.
+_DEFAULT_CONF: dict[str, str] = {
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+    # and plan re-optimization from real statistics. This is the main
+    # lever that makes one logical plan survive a 1000x scale-up.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Starting shuffle parallelism; AQE coalesces down from here.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Dims (nation/region/date_dim-like) should broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Arrow for any pandas_udf / applyInPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Don't let a single huge parquet row-group serialize a stage.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Timestamps in testdata are naive; keep session in UTC so
+    # date_format/hour derivations match the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "elt_gluepipeline_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session. ``master`` defaults to local[$SPARK_GRAFT_CPUS]."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,66 @@
+"""Sinks (SURVEY.md §2.1 S5-S9, S11).
+
+Writers keep the reference's layout contracts (partition columns,
+bounded file counts, snappy parquet) while letting AQE size the
+shuffles. File-count control uses coalesce at the sink only — never
+upstream, where it would cap stage parallelism.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
+                  partition_by: tuple[str, ...] = (), max_files: int | None = None,
+                  compression: str = "snappy") -> None:
+    """S5/S6/S7: (partitioned) parquet sink.
+
+    ``max_files`` bounds output file count per the reference's layout
+    budget (landing ≤8, final ≤64 — go-incremental-ingest-elt.py:222,
+    go-quality-elt.py:311-312). Applied as a sink-side coalesce so the
+    preceding stages keep full parallelism; at 100 TB prefer
+    spark.sql.files.maxRecordsPerFile + AQE coalescing instead.
+    """
+    out = df
+    if max_files is not None:
+        out = out.coalesce(max_files)
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, *, mode: str = "append",
+               properties: dict[str, str] | None = None,
+               create_table_column_types: str | None = None,
+               batch_size: int = 10_000) -> None:
+    """S8/S9: JDBC batch-insert sink with optional DDL type overrides
+    (replaces the loader's fast_executemany path,
+    rds/load_to_sqlserver.py:149-264 — Spark's JDBC writer batches
+    inserts per partition and creates the table with inferred or
+    overridden column types)."""
+    writer = (df.write.format("jdbc").mode(mode)
+              .option("url", url)
+              .option("dbtable", table)
+              .option("batchsize", str(batch_size)))
+    if create_table_column_types:
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def move_path(src: str, dst: str) -> None:
+    """S11: post-process archival move (landing → processed). Local-FS
+    stand-in for the reference's S3 copy+delete
+    (go-transform-elt.py:295-311); out-of-plane file management, not a
+    query operator."""
+    dst_p = Path(dst)
+    dst_p.parent.mkdir(parents=True, exist_ok=True)
+    if dst_p.exists():
+        shutil.rmtree(dst)
+    shutil.move(src, dst)

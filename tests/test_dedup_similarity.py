@@ -1,0 +1,98 @@
+from pyspark.sql import functions as F
+
+from elt_gluepipeline_spark.operators.dedup import (blocked_jaccard_pairs,
+                                                    exact_dedupe, jaccard,
+                                                    minhash_lsh_pairs,
+                                                    simhash64, word_shingles)
+from elt_gluepipeline_spark.operators.similarity import (cosine,
+                                                         knn_bruteforce,
+                                                         lsh_ann)
+
+
+def test_exact_dedupe(spark):
+    df = spark.createDataFrame([(1, "same"), (2, "same"), (3, "other")],
+                               "doc_id long, text string")
+    out = exact_dedupe(df, "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")))
+    got = {r.canonical_id: r.n_copies for r in out.collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 3).alias("sh")).collect()
+    assert list(out[0].sh) == ["a b c", "b c d"]
+    assert list(out[1].sh) == []  # shorter than k
+
+
+def test_jaccard_bounds(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"]), (["a"], ["b"])],
+                               "x array<string>, y array<string>")
+    vals = [r.j for r in df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()]
+    assert vals == [1.0, 0.0]
+
+
+NEAR_A = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR_B = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+FAR = "completely different words appear in this unrelated document about spark"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, NEAR_A, "en"), (2, NEAR_B, "en"), (3, FAR, "en")],
+        "doc_id long, text string, lang string")
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), "doc_id", "text",
+                              k=2, n_hashes=32, bands=16, threshold=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+
+def test_blocked_jaccard_finds_planted_near_dup(spark):
+    pairs = blocked_jaccard_pairs(
+        _docs(spark), "doc_id", "text",
+        [F.col("lang")], k=2, threshold=0.3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert 0.3 <= pairs[0].jaccard <= 1.0
+
+
+def test_simhash_similar_texts_close(spark):
+    df = _docs(spark).select("doc_id", simhash64(F.col("text")).alias("h"))
+    h = {r.doc_id: r.h for r in df.collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    # identical text → identical hash
+    df2 = spark.createDataFrame([(9, NEAR_A, "en")], "doc_id long, text string, lang string")
+    h9 = df2.select(simhash64(F.col("text")).alias("h")).collect()[0].h
+    assert h9 == h[1]
+
+
+def _vecs(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [-1.0, 0.0, 0.0])]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_bruteforce_exact(spark):
+    v = _vecs(spark)
+    out = knn_bruteforce(v.filter(F.col("vec_id") == 1), v, k=2)
+    rows = sorted(out.collect(), key=lambda r: -r.cosine)
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert rows[0].cosine > 0.99
+
+
+def test_lsh_ann_subset_of_bruteforce_schema(spark):
+    v = _vecs(spark)
+    out = lsh_ann(v.filter(F.col("vec_id") == 1), v, k=2, dim=3, n_planes=2)
+    assert out.columns == ["query_id", "neighbor_id", "cosine"]
+    for r in out.collect():  # only same-bucket candidates, never self
+        assert r.neighbor_id != 1
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])],
+                               "a array<double>, b array<double>")
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c == 0.0

@@ -1,0 +1,97 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() twin on DuckDB at the
+same scale factor, then compare row count, schema (column names), and
+an order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from elt_gluepipeline_spark.plans import registry  # noqa: E402
+from elt_gluepipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def canonical_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive value hash: sort columns by name, stringify
+    every cell, hash the sorted multiset of row strings."""
+    cols = sorted(df.columns)
+    body = df[cols].astype(str)
+    rows = sorted("\x1f".join(r) for r in body.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("correctness-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    specs = registry()
+    failures = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = spec.build(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if spec.oracle is None:
+            print(f"  {name:28s} rows={len(sdf):7d} (rows-only) {t_spark:5.1f}s")
+            continue
+        odf = con.sql(spec.oracle).df()
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"schema spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        else:
+            hs, ho = canonical_hash(sdf), canonical_hash(odf)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                cols = sorted(sdf.columns)
+                a = sdf[cols].astype(str).apply("\x1f".join, axis=1)
+                b = odf[cols].astype(str).apply("\x1f".join, axis=1)
+                sa, sb = set(a), set(b)
+                diff_a = list(sa - sb)[:3]
+                diff_b = list(sb - sa)[:3]
+                for d in diff_a:
+                    problems.append(f"  spark-only: {d[:200]}")
+                for d in diff_b:
+                    problems.append(f"  oracle-only: {d[:200]}")
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name:28s} rows={len(sdf):7d} {status} {t_spark:5.1f}s")
+        for p in problems:
+            print(f"      {p}")
+        if problems:
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}): {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
