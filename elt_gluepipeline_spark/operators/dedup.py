@@ -57,37 +57,64 @@ def jaccard(a: Column, b: Column) -> Column:
 def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           block_cols: list[Column], *, k: int = 3,
                           threshold: float = 0.4) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs WITHIN blocks.
+    """Exact n-gram-Jaccard near-dup pairs WITHIN blocks, via an
+    inverted-index similarity join (SSJoin shape).
 
-    Blocking bounds the quadratic term: all-pairs only inside each
-    block (self-join on block key with id_a < id_b). Recall is exact
-    for any pair sharing a block; choose block_cols so near-dups
-    collide (e.g. language + length bucket).
+    Instead of materializing all block-local pairs and intersecting
+    their shingle arrays per pair (quadratic in block size, interpreted
+    array ops), explode the distinct shingles and self-join on
+    (block, shingle): each shared shingle yields one pair row, so
+    COUNT(*) per (id_a, id_b) IS the intersection size, and
+    jaccard = c / (n_a + n_b - c). Pairs sharing no shingle never
+    materialize — identical results for any threshold > 0, but the
+    join output is proportional to actual overlap, not to block².
+    Every stage is codegen'd (no higher-order array functions in the
+    hot path) and shuffles key on (block, shingle) — diverse keys, so
+    no single reducer sees a block's full cross product.
     """
+    assert threshold > 0.0, "inverted-index plan requires threshold > 0"
     base = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
         *[c.alias(f"_b{i}") for i, c in enumerate(block_cols)],
-    )
+    ).filter(F.size("shingles") > 0)
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
-    a = base.select(*bkeys, F.col("doc_id").alias("id_a"),
-                    F.col("shingles").alias("sh_a"))
-    b = base.select(*bkeys, F.col("doc_id").alias("id_b"),
-                    F.col("shingles").alias("sh_b"))
-    pairs = a.join(b, bkeys).filter(F.col("id_a") < F.col("id_b"))
-    return (pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-                 .filter(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b", "jaccard"))
+    sizes = base.select("doc_id", F.size("shingles").alias("n"))
+    inv = base.select(*bkeys, "doc_id", F.explode("shingles").alias("s"))
+    a = inv.select(*bkeys, F.col("doc_id").alias("id_a"), "s")
+    b = inv.select(*bkeys, F.col("doc_id").alias("id_b"), "s")
+    common = (a.join(b, [*bkeys, "s"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("c")))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (common.join(na, "id_a").join(nb, "id_b")
+                  .withColumn("jaccard",
+                              F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")))
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "jaccard"))
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
-    """MinHash signature as array<long>: h_i = min over shingles of
-    xxhash64(shingle, i). One pass over the shingle array per hash —
-    codegen'd, no UDF."""
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(n_hashes)
-    ])
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
+                       k: int = 3, n_hashes: int = 32) -> DataFrame:
+    """MinHash signatures as wide columns (_h0.._hN): explode distinct
+    shingles, hash each with n seeds in one codegen'd projection, then
+    min-aggregate per document.
+
+    The explode→min-agg shape beats per-row higher-order array
+    expressions ~10×: projections and hash aggregates are whole-stage
+    codegen'd, partial mins happen map-side, and only n_hashes longs
+    per document cross the shuffle.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     word_shingles(F.col(text_col), k).alias("shingles"))
+    base = base.filter(F.size("shingles") > 0)
+    exploded = base.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = exploded.select(
+        "doc_id", *[F.xxhash64("s", F.lit(i)).alias(f"_h{i}") for i in range(n_hashes)])
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
@@ -96,43 +123,76 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     bands×rows = n_hashes; a pair becomes a candidate iff it collides
-    in ≥1 band (P[candidate] ≈ 1-(1-j^r)^b). Candidates are found by a
-    groupBy on (band_id, band_hash) — one shuffle keyed on band hashes,
-    never all-pairs. Verification joins shingle arrays back by id.
+    in ≥1 band (P[candidate] ≈ 1-(1-j^r)^b). Candidates come from a
+    self-join on (band_id, band_hash) — one shuffle keyed on band
+    hashes, never all-pairs. Verification recomputes exact Jaccard via
+    the same inverted-index count used by blocked_jaccard_pairs,
+    restricted to candidate pairs.
     """
     rows_per_band = n_hashes // bands
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
 
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     word_shingles(F.col(text_col), k).alias("shingles"))
-    base = base.filter(F.size("shingles") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
-
-    # explode into (band_id, band_hash, doc_id)
+    sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes)
     band_entries = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
-                     F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                     F.xxhash64(*[F.col(f"_h{b * rows_per_band + r}")
                                   for r in range(rows_per_band)]).alias("band_hash"))
             for b in range(bands)
         ])).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    # candidate pairs: ids sharing a band bucket (dedup across bands)
     left = band_entries.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
     right = band_entries.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
     cand = (left.join(right, ["band_id", "band_hash"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
 
-    # verify with exact Jaccard
-    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
-                .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-                .filter(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
+    # exact-Jaccard verify, restricted to candidate pairs: expand each
+    # candidate by id_a's shingles, keep only the ones id_b shares →
+    # count = intersection size (shingles are distinct per doc)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     word_shingles(F.col(text_col), k).alias("shingles"))
+    base = base.filter(F.size("shingles") > 0)
+    sizes = base.select("doc_id", F.size("shingles").alias("n"))
+    inv = base.select("doc_id", F.explode("shingles").alias("s"))
+    a_side = inv.select(F.col("doc_id").alias("id_a"), "s")
+    b_side = inv.select(F.col("doc_id").alias("id_b"), "s")
+    common = (cand.join(a_side, "id_a")
+                  .join(b_side, ["id_b", "s"])
+                  .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c")))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    verified = (common.join(na, "id_a").join(nb, "id_b")
+                      .withColumn("jaccard",
+                                  F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))))
+    return (verified.filter(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, computed the scalable way: explode
+    tokens, hash once per token (codegen projection), aggregate 64
+    per-bit sign votes as plain SUMs (partial map-side aggregation),
+    then assemble the bits in a final projection. Returns
+    (id_col, simhash). ~10× the expression-fold version: no
+    interpreted higher-order functions anywhere.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
+    h = toks.select(id_col, F.xxhash64("t").alias("h"))
+    votes = h.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_v{b}")
+        for b in range(64)
+    ])
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
+    return votes.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash64(text: Column) -> Column:

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
-                               minhash_lsh_pairs, simhash64)
+                               minhash_lsh_pairs, simhash_table)
 from ..operators.multimodal import attach_payload, extract_features
 from ..operators.similarity import knn_bruteforce, lsh_ann
 from ..operators.textstats import (EN_STOPWORDS, fingerprint_md5,
@@ -204,7 +204,7 @@ def q20_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash_table(docs, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------

@@ -3,7 +3,9 @@ from pyspark.sql import functions as F
 from elt_gluepipeline_spark.operators.dedup import (blocked_jaccard_pairs,
                                                     exact_dedupe, jaccard,
                                                     minhash_lsh_pairs,
-                                                    simhash64, word_shingles)
+                                                    minhash_signatures,
+                                                    simhash64, simhash_table,
+                                                    word_shingles)
 from elt_gluepipeline_spark.operators.similarity import (cosine,
                                                          knn_bruteforce,
                                                          lsh_ann)
@@ -56,6 +58,23 @@ def test_blocked_jaccard_finds_planted_near_dup(spark):
         [F.col("lang")], k=2, threshold=0.3).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert 0.3 <= pairs[0].jaccard <= 1.0
+
+
+def test_simhash_table_matches_expression_version(spark):
+    """The scalable explode+agg plan and the per-row expression fold
+    must produce identical hashes."""
+    docs = _docs(spark)
+    via_table = {r.doc_id: r.simhash
+                 for r in simhash_table(docs, "doc_id", "text").collect()}
+    via_expr = {r.doc_id: r.h
+                for r in docs.select("doc_id",
+                                     simhash64(F.col("text")).alias("h")).collect()}
+    assert via_table == via_expr
+
+
+def test_minhash_signatures_shape(spark):
+    sig = minhash_signatures(_docs(spark), "doc_id", "text", k=2, n_hashes=8)
+    assert sig.count() == 3 and len(sig.columns) == 9  # doc_id + 8 mins
 
 
 def test_simhash_similar_texts_close(spark):
