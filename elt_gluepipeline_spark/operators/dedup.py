@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_min_partitions
+
 
 def exact_dedupe(df: DataFrame, id_col: str, hash_col: Column) -> DataFrame:
     """Group rows by a content digest; keep min(id) as canonical.
@@ -34,16 +36,27 @@ def exact_dedupe(df: DataFrame, id_col: str, hash_col: Column) -> DataFrame:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams as array<string> (empty-safe)."""
-    toks = F.split(F.trim(text), r"\s+")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                                     for j in range(k)]),
-    )
-    return F.when(n < k, F.array().cast("array<string>")) \
-            .otherwise(F.array_distinct(grams))
+    """Distinct word k-grams as array<string> (empty-safe).
+
+    The tokenized array is bound ONCE via a single-element outer
+    ``transform`` lambda: higher-order functions are interpreted (not
+    codegen'd), so naming the split through a lambda variable keeps the
+    regex split from being re-evaluated inside every inner lambda call
+    (3x per shingle) — ~3x faster per row on 50-token docs.
+    """
+    raw = F.split(F.trim(text), r"\s+")
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                         for j in range(k)]),
+        )
+        return F.when(n < k, F.array().cast("array<string>")) \
+                .otherwise(F.array_distinct(grams))
+
+    return F.element_at(F.transform(F.array(raw), build), 1)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -73,6 +86,7 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     no single reducer sees a block's full cross product.
     """
     assert threshold > 0.0, "inverted-index plan requires threshold > 0"
+    df = ensure_min_partitions(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
@@ -107,8 +121,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     codegen'd, partial mins happen map-side, and only n_hashes longs
     per document cross the shuffle.
     """
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     word_shingles(F.col(text_col), k).alias("shingles"))
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"))
     base = base.filter(F.size("shingles") > 0)
     exploded = base.select("doc_id", F.explode("shingles").alias("s"))
     hashed = exploded.select(
@@ -152,8 +167,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     # exact-Jaccard verify, restricted to candidate pairs: expand each
     # candidate by id_a's shingles, keep only the ones id_b shares →
     # count = intersection size (shingles are distinct per doc)
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     word_shingles(F.col(text_col), k).alias("shingles"))
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"))
     base = base.filter(F.size("shingles") > 0)
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     inv = base.select("doc_id", F.explode("shingles").alias("s"))
@@ -179,8 +195,9 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (id_col, simhash). ~10× the expression-fold version: no
     interpreted higher-order functions anywhere.
     """
-    toks = df.select(F.col(id_col),
-                     F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
+    toks = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
     h = toks.select(id_col, F.xxhash64("t").alias("h"))
     votes = h.groupBy(id_col).agg(*[
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,

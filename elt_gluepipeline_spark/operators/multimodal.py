@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
                                StructType)
 
+from . import ensure_min_partitions
+
 # Contract for a multimodal asset table.
 ASSET_SCHEMA = StructType([
     StructField("asset_id", LongType(), False),
@@ -63,11 +65,14 @@ def _decode_stub(payload: bytes) -> int:
 def extract_features(assets: DataFrame, *, batch_rows_hint: int = 1024) -> DataFrame:
     """Map-only feature extraction via mapInPandas (Arrow batches).
 
-    No shuffle: each partition's assets are decoded in place. Batch
-    size is governed by spark.sql.execution.arrow.maxRecordsPerBatch;
+    No shuffle at scale: each partition's assets are decoded in place
+    (ensure_min_partitions only fires on under-split local inputs).
+    Batch size is governed by spark.sql.execution.arrow.maxRecordsPerBatch;
     keep payload partitions ≲128 MB via the reader settings so a batch
     of decoded frames fits executor memory at 100 TB scale.
     """
+    assets = ensure_min_partitions(assets)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pd.DataFrame({
