@@ -49,6 +49,22 @@ def two_level_agg(df: DataFrame, outer_keys: Sequence[str], inner_keys: Sequence
     return inner.groupBy(*[F.col(k) for k in outer_keys]).agg(*outer_aggs_builder(inner))
 
 
+def grouping_rollup(df: DataFrame, keys: Sequence[str],
+                    aggs: Sequence[Column],
+                    gid_col: str = "gid") -> DataFrame:
+    """A4 (generalized): hierarchical ROLLUP in ONE aggregation.
+
+    The reference computes 4 trend granularities as 4 separate
+    groupBy+write passes (go-metric-elt.py:168-204). ROLLUP computes
+    every prefix level (k1,k2), (k1), () in one shuffle with partial
+    map-side aggregation; ``grouping_id`` (bit=1 ⇔ key aggregated away)
+    distinguishes levels. Spark expands grouping sets BEFORE the
+    exchange, so the cost is one pass over the fact, not len(keys).
+    """
+    gid = F.grouping_id().cast("int").alias(gid_col)
+    return df.rollup(*[F.col(k) for k in keys]).agg(gid, *aggs)
+
+
 def time_rollup(df: DataFrame, ts_col: str, grain: str, keys: Sequence[str],
                 aggs: Sequence[Column]) -> DataFrame:
     """A4: time-bucketed rollup at one grain ∈ {hour, day, week, month}.

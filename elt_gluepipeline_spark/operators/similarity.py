@@ -19,9 +19,13 @@ a pandas_udf BLAS path can slot behind the same signature.
 from __future__ import annotations
 
 import random
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
 
 from .windows import top_n_per_key
 
@@ -107,3 +111,71 @@ def lsh_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
     top = top_n_per_key(scored, ["query_id"],
                         [F.col("cosine").desc(), F.col("neighbor_id")], k)
     return top.select("query_id", "neighbor_id", "cosine")
+
+
+NEARDUP_SCHEMA = StructType([
+    StructField("id_a", LongType(), False),
+    StructField("id_b", LongType(), False),
+    StructField("cosine", DoubleType(), False),
+])
+
+
+def cosine_neardup_pairs(df: DataFrame, *, threshold: float,
+                         n_blocks: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_to: int = 6) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (recall 1.0): every pair
+    with cosine >= threshold, id_a < id_b.
+
+    Distributed brute force as a BLOCKED MATRIX PRODUCT: vectors hash
+    into n_blocks buckets, each bucket is assembled into one
+    (rows x dim) float64 matrix, and every bucket PAIR (bi <= bj) is
+    scored with a single numpy GEMM inside mapInPandas — B(B+1)/2
+    independent tasks, each O((n/B)^2 * d) with two blocks resident.
+    An unordered id pair lands in exactly one bucket pair, so no pair
+    is scored or emitted twice.
+
+    This is the exact path; its total compute is inherently O(n^2 * d).
+    Scale knobs: raise n_blocks so 2 blocks fit a task's memory (work
+    per task falls as 1/B^2), or switch to the sub-linear probabilistic
+    path (``lsh_ann`` sign-LSH buckets) when n^2 is off the table.
+    GEMM beats per-pair SQL expressions by >100x here — this is the one
+    place the Python/Arrow boundary wins over codegen.
+    """
+    blocks = (df.select(F.col(id_col).cast("long").alias("_id"),
+                        F.col(vec_col).cast("array<double>").alias("_v"))
+                .withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)))
+                .groupBy("_blk")
+                .agg(F.collect_list(F.struct("_id", "_v")).alias("_items")))
+    pairs = (blocks.select(F.col("_blk").alias("_blk_a"), F.col("_items").alias("_a"))
+                   .join(blocks.select(F.col("_blk").alias("_blk_b"),
+                                       F.col("_items").alias("_b")),
+                         F.col("_blk_a") <= F.col("_blk_b")))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([e["_id"] for e in row["_a"]], dtype=np.int64)
+                mat_a = np.array([e["_v"] for e in row["_a"]], dtype=np.float64)
+                same = row["_blk_a"] == row["_blk_b"]
+                if same:
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    ids_b = np.array([e["_id"] for e in row["_b"]], dtype=np.int64)
+                    mat_b = np.array([e["_v"] for e in row["_b"]], dtype=np.float64)
+                norm_a = np.linalg.norm(mat_a, axis=1)
+                norm_b = norm_a if same else np.linalg.norm(mat_b, axis=1)
+                denom = np.outer(norm_a, norm_b)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, (mat_a @ mat_b.T) / denom, 0.0)
+                cos = np.round(cos, round_to)
+                ii, jj = np.nonzero(cos >= threshold)
+                if same:
+                    keep = ii < jj  # strict upper triangle: each pair once
+                    ii, jj = ii[keep], jj[keep]
+                ia, ib = ids_a[ii], ids_b[jj]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                yield pd.DataFrame({"id_a": lo, "id_b": hi,
+                                    "cosine": cos[ii, jj]})
+
+    return pairs.mapInPandas(_score, schema=NEARDUP_SCHEMA)

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import (clean_item_name, first_match_classify)
 from ..functions.deterministic import davg, davg_sql, dsum, dsum_sql
+from ..functions.keys import surrogate_key, surrogate_key_sql
+from ..operators.aggregates import grouping_rollup
 from ..operators.quality import extract_violations
 from ..operators.windows import dedupe_keep_latest
 from ..sources.readers import read_table
@@ -557,6 +559,57 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Q26 — hierarchical trend via ROLLUP grouping sets (SURVEY.md §2.4 note:
+# the reference's 4 separate trend passes re-expressed as ONE grouping-sets
+# aggregation; go-metric-elt.py:168-204)
+# --------------------------------------------------------------------------
+
+def q26_trend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    d = o.select(F.year("o_orderdate").cast("int").alias("year"),
+                 F.month("o_orderdate").cast("int").alias("month"),
+                 "o_totalprice")
+    return grouping_rollup(
+        d, ["year", "month"],
+        [dsum("o_totalprice").alias("revenue"),
+         F.count(F.lit(1)).alias("n_orders")])
+
+
+Q26_SQL = f"""
+WITH d AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         o_totalprice
+  FROM orders
+)
+SELECT year, month, CAST(GROUPING(year, month) AS INTEGER) AS gid,
+       {dsum_sql('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM d
+GROUP BY ROLLUP(year, month)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q27 — sha256 surrogate keys (F15; rds/load_to_sqlserver.py:40-65) —
+# idempotent-replay row identity for the incremental pipeline
+# --------------------------------------------------------------------------
+
+def q27_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        surrogate_key("lineitem", ["l_orderkey", "l_linenumber"]).alias("__pk"),
+        "l_orderkey", "l_linenumber")
+
+
+Q27_SQL = f"""
+SELECT {surrogate_key_sql('lineitem', ['l_orderkey', 'l_linenumber'])} AS __pk,
+       l_orderkey, l_linenumber
+FROM lineitem
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -591,4 +644,8 @@ SPECS = [
               "A10 grouped-IQR outlier flagger"),
     QuerySpec("q23_json_props", q23_json_props, Q23_SQL,
               "JSON extraction surface"),
+    QuerySpec("q26_trend_rollup", q26_trend_rollup, Q26_SQL,
+              "A4 as ONE grouping-sets aggregation (year/month ROLLUP)"),
+    QuerySpec("q27_surrogate_keys", q27_surrogate_keys, Q27_SQL,
+              "F15 sha256 surrogate key projection"),
 ]

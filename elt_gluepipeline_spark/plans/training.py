@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
                                minhash_lsh_pairs, simhash_table)
+from ..operators.joins import asof_join
 from ..operators.multimodal import attach_payload, extract_features
-from ..operators.similarity import knn_bruteforce, lsh_ann
+from ..operators.similarity import (cosine_neardup_pairs, knn_bruteforce,
+                                    lsh_ann)
 from ..operators.textstats import (EN_STOPWORDS, fingerprint_md5,
                                    langid_en_heuristic, n_tokens,
                                    quality_score, stopword_ratio,
@@ -243,6 +245,76 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Q25 — exact embedding-cosine near-dup pairs (blocked GEMM brute force;
+# the recall-1.0 twin of the LSH path)
+# --------------------------------------------------------------------------
+
+def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.45, n_blocks=8)
+
+
+Q25_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# Q28 — as-of join: last-click attribution for purchases (backward
+# inclusive point-in-time lookup; shuffle-once union+window plan)
+# --------------------------------------------------------------------------
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _ntz_micros(col: str) -> F.Column:
+    """Epoch microseconds of an NTZ timestamp via pure NTZ arithmetic
+    (timezone-independent on both engines)."""
+    return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+
+
+def q28_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    j = asof_join(purchases, clicks, on=["user_id"],
+                  left_ts="ts", right_ts="ts",
+                  right_payload=["event_id", "ts"],
+                  tie_break="event_id", prefix="click_")
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        _ntz_micros("ts").alias("purchase_ts_us"),
+        F.col("click_event_id").alias("last_click_id"),
+        _ntz_micros("click_ts").alias("last_click_ts_us"))
+
+
+Q28_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       l.event_id AS last_click_id,
+       epoch_us(l.ts) AS last_click_ts_us
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) l ON true
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -262,4 +334,8 @@ SPECS = [
               "binary payload + mapInPandas feature plumbing"),
     QuerySpec("q24_fingerprint_dedup", q24_fingerprint_dedup, Q24_SQL,
               "normalized-text fingerprint dedup"),
+    QuerySpec("q25_embedding_neardup", q25_embedding_neardup, Q25_SQL,
+              "exact embedding-cosine near-dup via blocked GEMM"),
+    QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
+              "as-of join: last-click attribution (union+window plan)"),
 ]

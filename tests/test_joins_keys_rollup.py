@@ -1,0 +1,110 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from elt_gluepipeline_spark.functions.keys import (surrogate_key,
+                                                   with_row_fingerprint)
+from elt_gluepipeline_spark.operators.aggregates import grouping_rollup
+from elt_gluepipeline_spark.operators.joins import asof_join
+from elt_gluepipeline_spark.operators.similarity import cosine_neardup_pairs
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-05T10:00:00")),
+         (2, 100, _ts("2024-01-01T00:00:00")),   # before any right row
+         (3, 200, _ts("2024-01-05T10:00:00")),   # equal-ts inclusive match
+         (4, 300, _ts("2024-01-05T10:00:00"))],  # key with no right rows
+        "purchase_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, 100, _ts("2024-01-02T00:00:00")),
+         (12, 100, _ts("2024-01-04T00:00:00")),  # latest before purchase 1
+         (13, 100, _ts("2024-01-06T00:00:00")),  # after → never matches 1
+         (21, 200, _ts("2024-01-05T10:00:00")),  # tie on ts with 22
+         (22, 200, _ts("2024-01-05T10:00:00"))],
+        "click_id long, user_id long, ts timestamp")
+    return left, right
+
+
+def test_asof_join_backward_inclusive_and_ties(spark):
+    left, right = _events(spark)
+    out = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_payload=["click_id"], tie_break="click_id",
+                    prefix="last_")
+    got = {r.purchase_id: r.last_click_id for r in out.collect()}
+    assert got == {
+        1: 12,     # latest click strictly before
+        2: None,   # no click at-or-before
+        3: 22,     # equal-ts match allowed; tie → greatest click_id
+        4: None,   # key absent on right side
+    }
+    assert out.count() == left.count()  # left-outer: every left row kept
+
+
+def test_asof_join_carries_left_columns(spark):
+    left, right = _events(spark)
+    left = left.withColumn("amount", F.col("purchase_id") * 10.0)
+    out = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_payload=["click_id", "ts"], tie_break="click_id")
+    row = out.filter(F.col("purchase_id") == 1).collect()[0]
+    assert row.amount == 10.0
+    assert row.asof_ts == _ts("2024-01-04T00:00:00")
+
+
+def test_cosine_neardup_exact_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),
+         (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+         (3, [0.0, 1.0, 0.0]),      # orthogonal
+         (4, [-1.0, 0.0, 0.0])],    # opposite
+        "vec_id long, embedding array<float>")
+    pairs = cosine_neardup_pairs(df, threshold=0.95, n_blocks=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].cosine > 0.99
+
+
+def test_cosine_neardup_no_duplicate_pairs(spark):
+    # all-identical vectors: every pair qualifies exactly once
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    pairs = cosine_neardup_pairs(df, threshold=0.99, n_blocks=4)
+    rows = [(p.id_a, p.id_b) for p in pairs.collect()]
+    assert len(rows) == len(set(rows)) == 15  # C(6,2)
+    assert all(a < b for a, b in rows)
+
+
+def test_grouping_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+        "k1 string, k2 string, v double")
+    out = grouping_rollup(df, ["k1", "k2"], [F.sum("v").alias("s")])
+    by_gid = {}
+    for r in out.collect():
+        by_gid.setdefault(r.gid, []).append(r)
+    assert len(by_gid[0]) == 3            # detail level
+    assert len(by_gid[1]) == 2            # per-k1 subtotals
+    assert len(by_gid[3]) == 1            # grand total
+    assert by_gid[3][0].s == 7.0
+
+
+def test_surrogate_key_null_normalization_and_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "a")],
+        "k long, name string")
+    out = df.select(surrogate_key("t", ["k", "name"]).alias("pk")).collect()
+    assert out[0].pk == out[2].pk          # same keys → same pk
+    assert out[0].pk != out[1].pk          # null is distinct from 'a'
+    assert len(out[0].pk) == 64            # sha256 hex
+
+
+def test_row_fingerprint_order_insensitive_to_column_def_order(spark):
+    a = spark.createDataFrame([(1, "x")], "c1 long, c2 string")
+    b = spark.createDataFrame([("x", 1)], "c2 string, c1 long")
+    pa = with_row_fingerprint(a, "t").select("__pk").collect()[0][0]
+    pb = with_row_fingerprint(b, "t").select("__pk").collect()[0][0]
+    assert pa == pb
