@@ -29,8 +29,13 @@ def main() -> None:
 
     specs = registry()
 
-    # one JVM/codegen warmup pass on the smallest query, outside timing
+    # warmup outside timing: JVM/codegen path (one small query) and the
+    # Python-worker/Arrow path (mapInPandas spawns pyspark.daemon +
+    # worker pool on first use — steady-state queries shouldn't pay it)
     specs["q15_lang_id"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(32, numPartitions=32) \
+        .mapInPandas(lambda it: iter(it), schema="id long") \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

@@ -47,6 +47,18 @@ def conform(df: DataFrame, schema: StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def normalize_strings(df: DataFrame) -> DataFrame:
+    """P11: lower+trim every StringType column in ONE projection
+    (reference: go-quality-elt.py:82-86 normalizes join keys and labels
+    in a single-pass select). Non-string columns pass through untouched;
+    a single select keeps it one codegen stage over the scan."""
+    return df.select(*[
+        F.lower(F.trim(F.col(f.name))).alias(f.name)
+        if f.dataType.typeName() == "string" else F.col(f.name)
+        for f in df.schema.fields
+    ])
+
+
 def require_columns(df: DataFrame, required: list[str]) -> None:
     """Fail fast when contract columns are absent (go-transform-elt.py:190-193)."""
     missing = [c for c in required if c not in df.columns]

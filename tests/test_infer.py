@@ -1,0 +1,56 @@
+from pyspark.sql.types import (BooleanType, DecimalType, IntegerType,
+                               LongType, StringType, TimestampType)
+
+from elt_gluepipeline_spark.functions.conform import normalize_strings
+from elt_gluepipeline_spark.functions.infer import (apply_inferred_schema,
+                                                    infer_schema)
+
+
+def _strings(spark, rows, cols):
+    return spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+
+
+def test_infer_int_vs_bigint_split(spark):
+    df = _strings(spark, [("1", "9,999,999,999"), ("42", "3")], ["a", "b"])
+    s = infer_schema(df)
+    assert isinstance(s["a"].dataType, IntegerType)
+    assert isinstance(s["b"].dataType, LongType)  # exceeds int32 → bigint
+
+
+def test_infer_decimal_scale_and_bool_and_null(spark):
+    df = _strings(spark,
+                  [("1.25", "yes", None), ("3.5", "no", None), ("2", "t", None)],
+                  ["price", "flag", "empty"])
+    s = infer_schema(df)
+    assert s["price"].dataType == DecimalType(18, 2)
+    assert isinstance(s["flag"].dataType, BooleanType)
+    assert isinstance(s["empty"].dataType, StringType)  # all-null repair
+
+
+def test_infer_datetime_90pct_rule(spark):
+    ok = [("2023-01-0%d 10:00:00" % (i % 9 + 1),) for i in range(9)]
+    df = _strings(spark, ok + [("not a date",)], ["ts"])
+    assert isinstance(infer_schema(df)["ts"].dataType, TimestampType)
+    df2 = _strings(spark, ok[:8] + [("nope",), ("also no",)], ["ts"])
+    assert isinstance(infer_schema(df2)["ts"].dataType, StringType)
+
+
+def test_infer_zero_one_stays_int_not_bool(spark):
+    df = _strings(spark, [("0",), ("1",), ("1",)], ["v"])
+    assert isinstance(infer_schema(df)["v"].dataType, IntegerType)
+
+
+def test_apply_inferred_schema_coercions(spark):
+    df = _strings(spark, [("1,234", "Y", ""), ("-7", "false", "x")],
+                  ["n", "b", "s"])
+    schema = infer_schema(df)
+    out = apply_inferred_schema(df, schema).collect()
+    assert out[0].n == 1234 and out[1].n == -7
+    assert out[0].b is True and out[1].b is False
+    assert out[0].s is None and out[1].s == "x"
+
+
+def test_normalize_strings_single_projection(spark):
+    df = spark.createDataFrame([("  MiXeD ", 5)], "name string, n int")
+    row = normalize_strings(df).collect()[0]
+    assert row.name == "mixed" and row.n == 5
