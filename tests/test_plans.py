@@ -1,0 +1,76 @@
+"""Plan-shape regression tests: the optimizations we rely on at scale
+must be visible in the physical plan, not assumed. Each assertion pins
+a property that would silently degrade throughput at 100 TB if lost
+(broadcast → sort-merge, pruning → full-width scan, partial agg →
+shuffle-everything)."""
+
+import io
+from contextlib import redirect_stdout
+
+from elt_gluepipeline_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = registry()[name].build(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q08_dims_broadcast_not_shuffled(spark):
+    plan = _plan(spark, "q08_top_locations")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_q08_aggregation_is_partial_first(spark):
+    plan = _plan(spark, "q08_top_locations")
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_q03_threshold_join_broadcasts(spark):
+    plan = _plan(spark, "q03_clv_tiered")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q01_scan_prunes_columns(spark):
+    plan = _plan(spark, "q01_line_revenue")
+    scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+    # projection needs 4 of lineitem's 11 columns; pruning must reach parquet
+    assert scan.count(":") <= 4, scan
+    assert "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_q16_fence_joinback_broadcasts(spark):
+    plan = _plan(spark, "q16_iqr_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_dedup_has_mapside_partial_agg(spark):
+    plan = _plan(spark, "q13_dedup_exact")
+    assert "partial_min" in plan  # digest groupBy combines before shuffle
+
+
+def test_q18_no_cartesian_product(spark):
+    plan = _plan(spark, "q18_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+
+
+def test_q28_asof_is_single_window_no_join(spark):
+    plan = _plan(spark, "q28_asof_attribution")
+    # union+window form: no join operator of any kind, one Window
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_no_query_uses_python_row_udf(spark):
+    # BatchEvalPython = row-at-a-time Python UDF (the slow path);
+    # ArrowEvalPython/MapInPandas (vectorized) are allowed.
+    for name in registry():
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
