@@ -560,6 +560,43 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Q29 — STREAMING twin of the hourly rollup (SURVEY.md §2.8: T1/T5/A4 as
+# Structured Streaming). The whole plan runs through the streaming runtime
+# (file source → watermark → tumbling-window state → AvailableNow drain);
+# the result equals the batch rollup, so the same oracle applies.
+# --------------------------------------------------------------------------
+
+_EVENTS_NANOS_SCHEMA = ("event_id long, ts long, user_id long, "
+                        "event_type string, value double, props string")
+
+
+def q29_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import run_rollup_available_now
+    # events.parquet stores TIMESTAMP(NANOS): read as long, rebuild NTZ
+    # (same normalization as sources.readers.read_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # No withWatermark here: complete-mode output never evicts window
+    # state, and watermarks require instant TIMESTAMP while this column
+    # is deliberately NTZ (session-timezone-independent output). The
+    # production append-mode path (streaming.stream_windowed_rollup)
+    # carries the watermark.
+    # file-source streams take a directory; glob-filter to the one table
+    src = (spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .withColumn("ts", F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')")))
+    agg = (src.groupBy(F.window("ts", "1 hour").alias("bucket"),
+                       F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   dsum("value").alias("total_value"))
+              .select(F.date_format("bucket.start", TS_FMT).alias("bucket_start"),
+                      "event_type", "n_events", "total_value"))
+    return run_rollup_available_now(agg)
+
+
+# --------------------------------------------------------------------------
 # Q26 — hierarchical trend via ROLLUP grouping sets (SURVEY.md §2.4 note:
 # the reference's 4 separate trend passes re-expressed as ONE grouping-sets
 # aggregation; go-metric-elt.py:168-204)
@@ -648,4 +685,6 @@ SPECS = [
               "A4 as ONE grouping-sets aggregation (year/month ROLLUP)"),
     QuerySpec("q27_surrogate_keys", q27_surrogate_keys, Q27_SQL,
               "F15 sha256 surrogate key projection"),
+    QuerySpec("q29_stream_hourly", q29_stream_hourly, Q06_HOURLY_SQL,
+              "T1/A4 as Structured Streaming (AvailableNow, windowed state)"),
 ]

@@ -83,3 +83,31 @@ def stream_windowed_rollup(
                .outputMode("append")
                .trigger(availableNow=True)
                .start())
+
+
+_MEM_SINK_SEQ = 0
+
+
+def run_rollup_available_now(agg: DataFrame) -> DataFrame:
+    """Drain a streaming aggregation with Trigger.AvailableNow into a
+    memory sink (complete mode) and return the final result as a BATCH
+    DataFrame.
+
+    This is the bridge that lets a streaming plan answer a declared
+    query: AvailableNow processes every input file exactly once through
+    the streaming runtime (micro-batches, state store, watermark
+    machinery) and stops; complete mode emits the full aggregate, so
+    the result equals the batch rollup over the same data —
+    oracle-checkable. Complete mode holds all windows in the state
+    store: right for bounded backfills/tests; a production continuous
+    stream uses the append-mode parquet sink above instead.
+    """
+    global _MEM_SINK_SEQ
+    _MEM_SINK_SEQ += 1
+    name = f"_stream_rollup_{_MEM_SINK_SEQ}"
+    q = (agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start())
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
