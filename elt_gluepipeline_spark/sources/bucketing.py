@@ -1,0 +1,42 @@
+"""Bucketed tables: co-located joins and aggregations without a
+runtime shuffle.
+
+The reference pre-repartitions both join sides on the key every run
+(go-quality-elt.py:262-263) — that is a per-run shuffle of the whole
+fact. Bucketing moves the shuffle to WRITE time, once: a table written
+with ``bucketBy(n, key)`` is physically hash-partitioned on disk, so a
+join or groupBy on the bucket key needs NO Exchange at read time —
+Spark's planner proves co-partitioning from the catalog metadata. At
+100 TB this converts the nightly fact×fact join from (shuffle 2 tables)
+to (zip matching buckets).
+
+Requirements worth knowing: both sides bucketed by the same key into
+the same (or a divisor) bucket count; tables must be saved through the
+catalog (saveAsTable) — plain parquet paths carry no bucket metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_keys: Sequence[str],
+                   n_buckets: int, *, sort_keys: Sequence[str] = (),
+                   mode: str = "overwrite") -> None:
+    """Write df as a catalog-managed bucketed parquet table.
+
+    ``sort_keys`` additionally sorts within each bucket file, which
+    upgrades bucket joins from hash to sort-merge-without-sort.
+    """
+    writer = (df.write.mode(mode).format("parquet")
+                .bucketBy(n_buckets, *bucket_keys))
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact."""
+    return spark.table(table)

@@ -1,0 +1,64 @@
+"""Bucketed tables must prove their value in the PLAN: a join of two
+tables bucketed on the join key runs with no Exchange (shuffle) at all."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from elt_gluepipeline_spark.sources.bucketing import (read_bucketed,
+                                                      write_bucketed)
+
+
+@pytest.fixture()
+def bucketed_pair(spark):
+    # managed tables land in the default warehouse dir; DROP TABLE below
+    # removes the files (warehouse.dir is a static conf — not settable here)
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000, 3).select(
+        F.col("id").alias("k"), (F.col("id") * 5).alias("vb"))
+    write_bucketed(a, "bkt_a", ["k"], 4, sort_keys=["k"])
+    write_bucketed(b, "bkt_b", ["k"], 4, sort_keys=["k"])
+    yield "bkt_a", "bkt_b"
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    ta, tb = bucketed_pair
+    # disable broadcast so the test proves co-location, not broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, ta).join(read_bucketed(spark, tb), "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan   # co-located: zero shuffle
+        assert joined.count() == 334          # rows of b that joined
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_bucketed_groupby_has_no_shuffle(spark, bucketed_pair):
+    ta, _ = bucketed_pair
+    agg = read_bucketed(spark, ta).groupBy("k").agg(F.sum("va").alias("s"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+    assert agg.count() == 1000
+
+
+def test_bucketed_join_correct_results(spark, bucketed_pair):
+    ta, tb = bucketed_pair
+    got = (read_bucketed(spark, ta).join(read_bucketed(spark, tb), "k")
+           .agg(F.sum(F.col("va") + F.col("vb")).alias("t")).collect()[0].t)
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000, 3).select(F.col("id").alias("k"), (F.col("id") * 5).alias("vb"))
+    want = a.join(b, "k").agg(F.sum(F.col("va") + F.col("vb")).alias("t")).collect()[0].t
+    assert got == want
