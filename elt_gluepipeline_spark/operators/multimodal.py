@@ -86,3 +86,83 @@ def extract_features(assets: DataFrame, *, batch_rows_hint: int = 1024) -> DataF
             yield out
 
     return assets.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+# Resize output contract: original payload replaced by the (stub-)resized
+# payload plus a typed dims struct — the schema a real PIL/libav resize
+# would produce.
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType(), True),
+    StructField("payload", BinaryType(), True),
+    StructField("media_format", StringType(), True),
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+])
+
+
+def resize_assets(assets: DataFrame, *, width: int = 64,
+                  height: int = 64) -> DataFrame:
+    """Map-only 'resize': per-asset payload transform via mapInPandas.
+
+    STUB transform (no codecs in this container): deterministically
+    derives a width*height-byte pseudo-raster by tiling the payload.
+    The Spark-side contract is the real one — binary in, binary out,
+    typed dimension metadata, zero shuffle, partition-bounded memory.
+    A real decoder replaces only `_fake_raster`.
+    """
+    def _fake_raster(p: bytes | None) -> bytes:
+        if not p:
+            return b"\x00" * (width * height)
+        reps = (width * height) // len(p) + 1
+        return (p * reps)[: width * height]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "payload": pdf["payload"].map(_fake_raster),
+                "media_format": "raw-raster",
+                "width": width,
+                "height": height,
+            })
+
+    return assets.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("frame_payload", BinaryType(), True),
+])
+
+
+def sample_frames(assets: DataFrame, *, every_n_bytes: int = 1024,
+                  max_frames: int = 8) -> DataFrame:
+    """One-to-many frame sampling: each asset expands to <= max_frames
+    rows via mapInPandas (an Arrow-native generator — the UDF yields
+    MORE rows than it consumes, which a scalar pandas_udf cannot).
+
+    STUB sampler: a 'frame' is a byte-slice window at a fixed stride; a
+    real implementation seeks keyframes with a codec. The expansion
+    contract (fan-out bounded by max_frames, frame index + payload per
+    row) and the partitioning story are the real ones: fan-out happens
+    in place, no shuffle, and downstream per-frame operators see a
+    normal (asset_id, frame_idx) keyed table.
+    """
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame({"asset_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int64"),
+                                "frame_payload": frames})
+
+    return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
                                minhash_lsh_pairs, simhash_table)
 from ..operators.joins import asof_join
-from ..operators.multimodal import attach_payload, extract_features
+from ..operators.multimodal import (attach_payload, extract_features,
+                                    sample_frames)
 from ..operators.similarity import (cosine_neardup_pairs, knn_bruteforce,
                                     lsh_ann)
 from ..operators.textstats import (EN_STOPWORDS, fingerprint_md5,
@@ -229,6 +230,31 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Q30 — frame sampling fan-out (multimodal one-to-many via mapInPandas);
+# byte-window stub, but the expansion contract is oracle-checkable
+# --------------------------------------------------------------------------
+
+def q30_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    assets = attach_payload(docs, "doc_id", "text")
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8)
+    return (frames.groupBy("asset_id")
+                  .agg(F.count(F.lit(1)).alias("n_frames"),
+                       F.sum(F.length("frame_payload")).cast("long")
+                        .alias("frame_bytes")))
+
+
+Q30_SQL = """
+SELECT doc_id AS asset_id,
+       least(8, greatest(1, octet_length(encode(text)) // 64)) AS n_frames,
+       least(octet_length(encode(text)),
+             least(8, greatest(1, octet_length(encode(text)) // 64)) * 64)
+         AS frame_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Q24 — canonical fingerprint dedup (md5 of normalized text)
 # --------------------------------------------------------------------------
 
@@ -338,4 +364,6 @@ SPECS = [
               "exact embedding-cosine near-dup via blocked GEMM"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
+    QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,
+              "multimodal frame-sampling fan-out (mapInPandas one-to-many)"),
 ]

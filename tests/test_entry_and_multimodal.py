@@ -37,3 +37,30 @@ def test_multimodal_plumbing(spark):
     # deterministic stub features
     again = {r.asset_id: r.feature_hash for r in extract_features(assets).collect()}
     assert again == {r.asset_id: r.feature_hash for r in feats.collect()}
+
+
+def test_resize_assets_contract(spark):
+    from elt_gluepipeline_spark.operators.multimodal import (attach_payload,
+                                                             resize_assets)
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "id long, t string")
+    out = resize_assets(attach_payload(df, "id", "t"), width=8, height=4).collect()
+    by_id = {r.asset_id: r for r in out}
+    assert all(len(r.payload) == 32 for r in out)      # w*h bytes always
+    assert by_id[1].width == 8 and by_id[1].height == 4
+    assert by_id[1].payload.startswith(b"hello")       # deterministic tiling
+    assert by_id[2].payload == b"\x00" * 32            # empty payload path
+    assert by_id[1].media_format == "raw-raster"
+
+
+def test_sample_frames_fanout_bounds(spark):
+    from elt_gluepipeline_spark.operators.multimodal import (attach_payload,
+                                                             sample_frames)
+    df = spark.createDataFrame(
+        [(1, "x" * 300), (2, "y" * 10), (3, "z" * 10_000)], "id long, t string")
+    frames = sample_frames(attach_payload(df, "id", "t"),
+                           every_n_bytes=64, max_frames=8)
+    counts = {r.asset_id: r.n for r in
+              frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 4, 2: 1, 3: 8}                # floor, min-1, capped
+    one = frames.filter((F.col("asset_id") == 1) & (F.col("frame_idx") == 0)).collect()[0]
+    assert one.frame_payload == b"x" * 64              # windowed slice
