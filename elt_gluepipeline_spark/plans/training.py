@@ -18,8 +18,8 @@ from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
 from ..operators.joins import asof_join
 from ..operators.multimodal import (attach_payload, extract_features,
                                     sample_frames)
-from ..operators.similarity import (cosine_neardup_pairs, knn_bruteforce,
-                                    lsh_ann)
+from ..operators.similarity import (cosine_neardup_pairs, ivf_ann,
+                                    knn_bruteforce, lsh_ann)
 from ..operators.textstats import (EN_STOPWORDS, fingerprint_md5,
                                    langid_en_heuristic, n_tokens,
                                    quality_score, stopword_ratio,
@@ -202,6 +202,17 @@ def q20_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q31 — IVF approximate NN (coarse-quantizer cells; probabilistic recall
+# → rows-only)
+# --------------------------------------------------------------------------
+
+def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_ann(queries, emb, k=3, n_cells=16, n_probe=4, seed=42)
+
+
+# --------------------------------------------------------------------------
 # Q21 — SimHash fingerprints (Spark-hash-specific → rows-only)
 # --------------------------------------------------------------------------
 
@@ -366,4 +377,6 @@ SPECS = [
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,
               "multimodal frame-sampling fan-out (mapInPandas one-to-many)"),
+    QuerySpec("q31_ivf_ann", q31_ivf_ann, None,
+              "IVF coarse-quantizer ANN (probabilistic recall; rows-only)"),
 ]

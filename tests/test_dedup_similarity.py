@@ -115,3 +115,38 @@ def test_cosine_expression(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])],
                                "a array<double>, b array<double>")
     assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c == 0.0
+
+
+def _recall(approx_rows, exact_rows):
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = sum(1 for r in approx_rows
+              if r.neighbor_id in exact.get(r.query_id, set()))
+    tot = sum(len(v) for v in exact.values())
+    return hit / tot if tot else 1.0
+
+
+def test_ivf_ann_recall_floor(spark, sf_dir):
+    from elt_gluepipeline_spark.operators.similarity import ivf_ann
+    from elt_gluepipeline_spark.sources.readers import read_table
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = knn_bruteforce(q, emb, k=3).collect()
+    approx = ivf_ann(q, emb, k=3, n_cells=8, n_probe=4, seed=42).collect()
+    assert len(approx) > 0
+    # every returned neighbor really lives in a probed cell and is
+    # correctly scored; with half the cells probed expect decent recall
+    assert _recall(approx, exact) >= 0.4
+
+
+def test_ivf_ann_full_probe_equals_bruteforce(spark, sf_dir):
+    from elt_gluepipeline_spark.operators.similarity import ivf_ann
+    from elt_gluepipeline_spark.sources.readers import read_table
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(q, emb, k=3).collect()}
+    # probing EVERY cell makes IVF exhaustive → must equal brute force
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_ann(q, emb, k=3, n_cells=8, n_probe=8, seed=42).collect()}
+    assert full == exact
