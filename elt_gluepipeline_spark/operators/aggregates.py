@@ -28,15 +28,19 @@ def grouped_percentiles(df: DataFrame, keys: Sequence[str], value_col: str,
     uses ``percentile_approx`` (KLL-sketch, mergeable, the 100 TB path —
     memory-bounded per group instead of buffering group values).
     """
-    fn = "percentile" if exact else "percentile_approx"
-    aggs = []
-    for p, name in zip(percentiles, out_names):
-        if exact:
-            expr = f"{fn}({value_col}, {p})"
-        else:
-            expr = f"{fn}({value_col}, {p}, {accuracy})"
-        aggs.append(F.expr(expr).alias(name))
-    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    # ONE aggregate with an array of percentiles: a single value buffer
+    # (exact) / sketch (approx) per group instead of one per requested
+    # percentile — N percentiles for the memory of one.
+    plist = ", ".join(str(p) for p in percentiles)
+    if exact:
+        expr = f"percentile({value_col}, array({plist}))"
+    else:
+        expr = f"percentile_approx({value_col}, array({plist}), {accuracy})"
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(F.expr(expr).alias("_qs"))
+    return out.select(
+        *keys,
+        *[F.element_at("_qs", i + 1).alias(name)
+          for i, name in enumerate(out_names)])
 
 
 def two_level_agg(df: DataFrame, outer_keys: Sequence[str], inner_keys: Sequence[str],

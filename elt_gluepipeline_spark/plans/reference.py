@@ -503,8 +503,11 @@ FROM (
 def q16_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     fences = (li.groupBy("l_returnflag")
-                .agg(F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("q1"),
-                     F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("q3")))
+                .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.75))")
+                      .alias("_qs"))
+                .select("l_returnflag",
+                        F.round(F.element_at("_qs", 1), 4).alias("q1"),
+                        F.round(F.element_at("_qs", 2), 4).alias("q3")))
     fenced = (li.join(F.broadcast(fences), "l_returnflag")
                 .withColumn("iqr", F.col("q3") - F.col("q1"))
                 .withColumn("is_outlier",
