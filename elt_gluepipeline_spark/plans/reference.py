@@ -21,7 +21,7 @@ from ..functions.cleaning import (clean_item_name, first_match_classify)
 from ..functions.deterministic import davg, davg_sql, dsum, dsum_sql
 from ..functions.keys import surrogate_key, surrogate_key_sql
 from ..operators.aggregates import grouping_rollup
-from ..operators.quality import extract_violations
+from ..operators.quality import extract_violations, severity_from_thresholds
 from ..operators.windows import dedupe_keep_latest
 from ..sources.readers import read_table
 from . import QuerySpec
@@ -650,6 +650,170 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# Q32 — threshold severity gate (U5; go-quality-elt.py:144-168). The rule
+# table is DERIVED (mean ± 2σ per group, computed with deterministic
+# decimal sums so both engines agree bit-for-bit), broadcast-joined, and
+# scored with the reference's both-bounds / ≥2-violations rule.
+# --------------------------------------------------------------------------
+
+def _det_stats(df: DataFrame, key: str, col: str, prefix: str) -> DataFrame:
+    """mean/stddev from exact decimal sums → order-independent doubles."""
+    sx = F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+    sxx = F.sum((F.col(col) * F.col(col)).cast("decimal(28,6)")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return (df.groupBy(key)
+              .agg(sx.alias("_sx"), sxx.alias("_sxx"), n.alias("_n"))
+              .select(key,
+                      (F.col("_sx") / F.col("_n")).alias(f"{prefix}_mean"),
+                      F.sqrt((F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n"))
+                             / (F.col("_n") - 1)).alias(f"{prefix}_sd")))
+
+
+def q32_threshold_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = _det_stats(li, "l_returnflag", "l_extendedprice", "p")
+    q = _det_stats(li, "l_returnflag", "l_quantity", "q")
+    thresholds = p.join(q, "l_returnflag").select(
+        "l_returnflag",
+        F.round(F.col("p_mean") - 2 * F.col("p_sd"), 4).alias("p_min"),
+        F.round(F.col("p_mean") + 2 * F.col("p_sd"), 4).alias("p_max"),
+        F.round(F.col("q_mean") - 2 * F.col("q_sd"), 4).alias("q_min"),
+        F.round(F.col("q_mean") + 2 * F.col("q_sd"), 4).alias("q_max"))
+    scored = severity_from_thresholds(
+        li, thresholds, ["l_returnflag"],
+        [("l_extendedprice", "p_min", "p_max"),
+         ("l_quantity", "q_min", "q_max")])
+    return (scored.groupBy("l_returnflag", "severity")
+                  .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+_DET_STATS_SQL = """
+  SELECT l_returnflag,
+         CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS {p}_mean,
+         sqrt((CAST(SUM(CAST({c} * {c} AS DECIMAL(28,6))) AS DOUBLE)
+               - CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)) AS {p}_sd
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+Q32_SQL = f"""
+WITH ps AS ({_DET_STATS_SQL.format(c='l_extendedprice', p='p')}),
+qs AS ({_DET_STATS_SQL.format(c='l_quantity', p='q')}),
+thresholds AS (
+  SELECT ps.l_returnflag,
+         ROUND(p_mean - 2 * p_sd, 4) AS p_min, ROUND(p_mean + 2 * p_sd, 4) AS p_max,
+         ROUND(q_mean - 2 * q_sd, 4) AS q_min, ROUND(q_mean + 2 * q_sd, 4) AS q_max
+  FROM ps JOIN qs USING (l_returnflag)
+),
+scored AS (
+  SELECT li.l_returnflag,
+         (CASE WHEN t.p_min IS NOT NULL AND t.p_max IS NOT NULL
+                    AND (li.l_extendedprice < t.p_min OR li.l_extendedprice > t.p_max)
+               THEN 1 ELSE 0 END
+          + CASE WHEN t.q_min IS NOT NULL AND t.q_max IS NOT NULL
+                      AND (li.l_quantity < t.q_min OR li.l_quantity > t.q_max)
+                 THEN 1 ELSE 0 END) AS viol
+  FROM lineitem li LEFT JOIN thresholds t USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CASE WHEN viol >= 2 THEN 'high' WHEN viol = 1 THEN 'low'
+            ELSE 'none' END AS severity,
+       COUNT(*) AS n_rows
+FROM scored GROUP BY l_returnflag, severity
+"""
+
+
+# --------------------------------------------------------------------------
+# Q33 — serving-layer top-N per key (O1/J4/A11; the dashboard's
+# top_n_by_restaurant re-expressed as a rank-window engine query)
+# --------------------------------------------------------------------------
+
+def q33_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    j = (rev.join(cust, rev.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(),
+                                             F.col("c_custkey"))
+    return (j.withColumn("rank", F.row_number().over(w).cast("int"))
+             .filter(F.col("rank") <= 5)
+             .select("n_name", "rank", "c_custkey", "revenue"))
+
+
+Q33_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, {dsum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT n.n_name, c.c_custkey, rev.revenue
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, CAST(rn AS INTEGER) AS rank, c_custkey, revenue
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                                   ORDER BY revenue DESC, c_custkey) AS rn
+      FROM j)
+WHERE rn <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q34 — sessionization by inactivity gap (the batch twin of stateful
+# streaming session windows): lag → new-session flag → running sum as
+# session id → per-session rollup. Two windows + one agg, all on the
+# same user_id shuffle.
+# --------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared at MICROSECOND precision: second-level timestampdiff
+    # truncates and disagrees with an exact interval comparison on
+    # fractional-second boundaries
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    flagged = (ev.withColumn("_prev", F.lag("ts").over(w))
+                 .withColumn("_new",
+                             F.when(F.col("_prev").isNull()
+                                    | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000),
+                                    1).otherwise(0)))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)).cast("long"))
+    return (sess.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+                      .cast("long").alias("duration_us")))
+
+
+Q34_SQL = f"""
+WITH flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flags
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -690,4 +854,10 @@ SPECS = [
               "F15 sha256 surrogate key projection"),
     QuerySpec("q29_stream_hourly", q29_stream_hourly, Q06_HOURLY_SQL,
               "T1/A4 as Structured Streaming (AvailableNow, windowed state)"),
+    QuerySpec("q32_threshold_severity", q32_threshold_severity, Q32_SQL,
+              "U5 broadcast threshold severity with derived rule table"),
+    QuerySpec("q33_top_customers_per_nation", q33_top_customers_per_nation,
+              Q33_SQL, "O1/J4 serving-layer top-N per key"),
+    QuerySpec("q34_sessionize", q34_sessionize, Q34_SQL,
+              "inactivity-gap sessionization (batch twin of session windows)"),
 ]
