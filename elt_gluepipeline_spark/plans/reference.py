@@ -814,6 +814,53 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# --------------------------------------------------------------------------
+# Q35 — STATEFUL streaming sessionization (applyInPandasWithState).
+# Completed-sessions semantics: a session is emitted once a newer event
+# proves its gap elapsed; each user's trailing open session stays in
+# state — so the oracle drops each user's last session too.
+# --------------------------------------------------------------------------
+
+def q35_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessionize import sessionize_stateful
+    from ..streaming.stream import run_rollup_available_now
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                # ts is parquet NANOS read as long: keep event time as
+                # epoch micros so only longs cross the Arrow boundary
+                .select("user_id", "event_id",
+                        F.expr("ts div 1000").alias("ts_us")))
+    sessions = sessionize_stateful(src, gap_minutes=SESSION_GAP_MIN)
+    return run_rollup_available_now(sessions, output_mode="append")
+
+
+Q35_SQL = f"""
+WITH flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flags
+), rolled AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT * FROM rolled r
+WHERE session_id < (SELECT MAX(session_id) FROM rolled r2
+                    WHERE r2.user_id = r.user_id)
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -860,4 +907,6 @@ SPECS = [
               Q33_SQL, "O1/J4 serving-layer top-N per key"),
     QuerySpec("q34_sessionize", q34_sessionize, Q34_SQL,
               "inactivity-gap sessionization (batch twin of session windows)"),
+    QuerySpec("q35_stream_sessions", q35_stream_sessions, Q35_SQL,
+              "stateful streaming sessionization (applyInPandasWithState)"),
 ]

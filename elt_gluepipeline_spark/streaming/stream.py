@@ -88,7 +88,8 @@ def stream_windowed_rollup(
 _MEM_SINK_SEQ = 0
 
 
-def run_rollup_available_now(agg: DataFrame) -> DataFrame:
+def run_rollup_available_now(agg: DataFrame,
+                             output_mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregation with Trigger.AvailableNow into a
     memory sink (complete mode) and return the final result as a BATCH
     DataFrame.
@@ -98,15 +99,16 @@ def run_rollup_available_now(agg: DataFrame) -> DataFrame:
     the streaming runtime (micro-batches, state store, watermark
     machinery) and stops; complete mode emits the full aggregate, so
     the result equals the batch rollup over the same data —
-    oracle-checkable. Complete mode holds all windows in the state
-    store: right for bounded backfills/tests; a production continuous
-    stream uses the append-mode parquet sink above instead.
+    oracle-checkable. Complete mode (default — holds all windows in the
+    state store) fits bounded backfills of aggregations; stateful
+    flatMapGroups operators require output_mode='append'. A production
+    continuous stream uses the append-mode parquet sink above instead.
     """
     global _MEM_SINK_SEQ
     _MEM_SINK_SEQ += 1
     name = f"_stream_rollup_{_MEM_SINK_SEQ}"
     q = (agg.writeStream.format("memory").queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start())
     q.awaitTermination()
