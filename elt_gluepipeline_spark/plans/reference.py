@@ -351,6 +351,29 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Q36 — q08's 100 TB form (SURVEY.md §2.4 A6 note + W4 fix): HLL-sketch
+# distinct counts (mergeable, memory-bounded per group — no exact
+# distinct expansion shuffle) and top-N via orderBy+limit instead of an
+# unpartitioned rank window. Sketch estimates are engine-specific →
+# rows-only check; the plan shape is the point.
+# --------------------------------------------------------------------------
+
+def q36_top_locations_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (o.join(cust, o.o_custkey == cust.c_custkey)
+          .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    agg = (j.groupBy("n_name")
+            .agg(F.approx_count_distinct(_d("o_orderdate"), rsd=0.01)
+                  .alias("active_days"),
+                 F.count(F.lit(1)).alias("total_orders"),
+                 dsum("o_totalprice").alias("revenue")))
+    return (agg.orderBy(F.col("revenue").desc(), F.col("n_name"))
+               .limit(10))
+
+
+# --------------------------------------------------------------------------
 # Q9 — discount effectiveness flag-split agg (A7; go-metric-elt.py:254-263)
 # --------------------------------------------------------------------------
 
@@ -909,4 +932,7 @@ SPECS = [
               "inactivity-gap sessionization (batch twin of session windows)"),
     QuerySpec("q35_stream_sessions", q35_stream_sessions, Q35_SQL,
               "stateful streaming sessionization (applyInPandasWithState)"),
+    QuerySpec("q36_top_locations_approx", q36_top_locations_approx, None,
+              "A6/W4 at scale: HLL distinct sketch + orderBy-limit top-N "
+              "(sketch values engine-specific; rows-only)"),
 ]

@@ -24,7 +24,8 @@ def test_queries_and_oracles_align(spark):
     assert len(q) >= 20
     # rows-only queries are the documented probabilistic/hash-specific ones
     assert set(q) - set(o) == {"q17_minhash_neardup", "q20_lsh_ann",
-                           "q21_simhash", "q31_ivf_ann"}
+                           "q21_simhash", "q31_ivf_ann",
+                           "q36_top_locations_approx"}
 
 
 def test_multimodal_plumbing(spark):
