@@ -211,6 +211,10 @@ def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
                      _as_double(F.col(vec_col)).alias("v"),
                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
              .orderBy("h").limit(n_cells).collect())
+    if not cents:  # empty corpus → empty result, same schema/id dtype
+        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
+                       .withColumn("neighbor_id", F.col("query_id"))
+                       .withColumn("cosine", F.lit(0.0)))
     cmat = np.array([r.v for r in cents], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm[cnorm == 0] = 1.0
