@@ -1,0 +1,32 @@
+"""Partitioning-determinism: the float-bearing queries must produce
+bit-identical values no matter how the data was partitioned — that is
+the property (exact decimal sums, rounded percentiles, micro-precision
+datetime math) that makes cross-engine hash comparison meaningful, and
+it must survive repartitioning, not just one lucky layout."""
+
+import pytest
+
+from elt_gluepipeline_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+FLOAT_HEAVY = ["q02_clv", "q03_clv_tiered", "q07_loyalty_impact",
+               "q09_discount_effect", "q32_threshold_severity"]
+
+
+def _fingerprint(df) -> list[str]:
+    cols = sorted(df.columns)
+    return sorted("|".join(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", FLOAT_HEAVY)
+def test_identical_results_across_partitionings(spark, name):
+    spec = registry()[name]
+    base = _fingerprint(spec.build(spark, SF))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = _fingerprint(spec.build(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again
