@@ -20,7 +20,8 @@ from ..operators.multimodal import (attach_payload, extract_features,
                                     sample_frames)
 from ..operators.similarity import (cosine_neardup_pairs, ivf_ann,
                                     knn_bruteforce, lsh_ann)
-from ..operators.textstats import (EN_STOPWORDS, fingerprint_md5,
+from ..operators.textstats import (EN_STOPWORDS, bpe_ish_tokens,
+                                   fingerprint_md5,
                                    langid_en_heuristic, n_tokens,
                                    quality_score, stopword_ratio,
                                    uniq_token_ratio)
@@ -55,6 +56,7 @@ def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens(t).alias("n_tokens"),
+        F.size(bpe_ish_tokens(t)).cast("long").alias("n_tokens_bpe"),
         uniq_token_ratio(t).alias("uniq_ratio"),
         stopword_ratio(t).alias("stop_ratio"),
         quality_score(t).alias("quality"),
@@ -63,13 +65,19 @@ def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = f"""
 WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          regexp_split_to_array(trim(text), '\\s+') AS tok,
          regexp_split_to_array(trim(lower(text)), '\\s+') AS ltok
   FROM documents
 ), m AS (
   SELECT doc_id,
          CAST(len(tok) AS BIGINT) AS n_tokens,
+         -- Spark splits at every word/non-word boundary (Java lookarounds,
+         -- so each punctuation CHAR is its own token) and drops
+         -- whitespace-only tokens; the RE2-compatible twin extracts word
+         -- runs + single non-word non-space chars
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+           AS n_tokens_bpe,
          CASE WHEN len(tok) = 0 THEN 0.0
               ELSE len(list_distinct(tok)) / len(tok) END AS uniq_ratio,
          CASE WHEN len(ltok) = 0 THEN 0.0
@@ -77,7 +85,7 @@ WITH toks AS (
          END AS stop_ratio
   FROM toks
 )
-SELECT doc_id, n_tokens, uniq_ratio, stop_ratio,
+SELECT doc_id, n_tokens, n_tokens_bpe, uniq_ratio, stop_ratio,
        0.5 * uniq_ratio + 0.2 * (1.0 - stop_ratio)
          + 0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
                        THEN 1.0 ELSE 0.0 END) AS quality

@@ -54,3 +54,21 @@ def test_fingerprint_rolling_order_sensitive(spark):
 def test_bpe_ish_tokens(spark):
     toks = _one(spark, bpe_ish_tokens(F.col("text")), "don't stop, now!")
     assert "don" in toks and "stop" in toks
+
+
+def test_bpe_ish_tokens_matches_re2_extraction(spark):
+    """The Java lookaround split and the RE2 'word runs + punct runs'
+    extraction (used by the DuckDB oracle) must agree on hostile input."""
+    import duckdb
+    cases = ["hello, world!", "a!b?c", " !a", "!? ", "a ! ! b", "",
+             "  spaced   out  ", "under_score-y 3.14 (x)", "...", "a..b..c"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, text string")
+    spark_counts = {r.i: r.n for r in df.select(
+        "i", F.size(bpe_ish_tokens(F.col("text"))).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        want = con.sql(
+            r"SELECT len(regexp_extract_all(?, '\w+|[^\w\s]'))",
+            params=[c]).fetchone()[0]
+        assert spark_counts[i] == want, (c, spark_counts[i], want)
