@@ -84,6 +84,12 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Every stage is codegen'd (no higher-order array functions in the
     hot path) and shuffles key on (block, shingle) — diverse keys, so
     no single reducer sees a block's full cross product.
+
+    Recall is exact WITHIN blocks; overall recall depends on the
+    caller's blocking. Hard-bucketed keys (e.g. floor(len/10)) miss
+    near-dup pairs that straddle a bucket boundary — when that matters,
+    pass overlapping buckets (two shifted length keys, union the pair
+    sets) or use the LSH path, whose banding has no boundary effect.
     """
     assert threshold > 0.0, "inverted-index plan requires threshold > 0"
     df = ensure_min_partitions(df)

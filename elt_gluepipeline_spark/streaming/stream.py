@@ -10,6 +10,7 @@ whole-history keep-latest window.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,7 +86,7 @@ def stream_windowed_rollup(
                .start())
 
 
-_MEM_SINK_SEQ = 0
+_MEM_SINK_SEQ = itertools.count(1)
 
 
 def run_rollup_available_now(agg: DataFrame,
@@ -104,9 +105,7 @@ def run_rollup_available_now(agg: DataFrame,
     flatMapGroups operators require output_mode='append'. A production
     continuous stream uses the append-mode parquet sink above instead.
     """
-    global _MEM_SINK_SEQ
-    _MEM_SINK_SEQ += 1
-    name = f"_stream_rollup_{_MEM_SINK_SEQ}"
+    name = f"_stream_rollup_{next(_MEM_SINK_SEQ)}"
     q = (agg.writeStream.format("memory").queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
