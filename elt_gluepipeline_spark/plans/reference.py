@@ -680,29 +680,32 @@ FROM lineitem
 # scored with the reference's both-bounds / ≥2-violations rule.
 # --------------------------------------------------------------------------
 
-def _det_stats(df: DataFrame, key: str, col: str, prefix: str) -> DataFrame:
-    """mean/stddev from exact decimal sums → order-independent doubles."""
+def _det_stat_aggs(col: str, prefix: str) -> list:
+    """mean/stddev building blocks from exact decimal sums —
+    order-independent doubles, composable into ONE groupBy."""
     sx = F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
     sxx = F.sum((F.col(col) * F.col(col)).cast("decimal(28,6)")).cast("double")
-    n = F.count(F.lit(1)).cast("double")
-    return (df.groupBy(key)
-              .agg(sx.alias("_sx"), sxx.alias("_sxx"), n.alias("_n"))
-              .select(key,
-                      (F.col("_sx") / F.col("_n")).alias(f"{prefix}_mean"),
-                      F.sqrt((F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n"))
-                             / (F.col("_n") - 1)).alias(f"{prefix}_sd")))
+    return [sx.alias(f"_{prefix}_sx"), sxx.alias(f"_{prefix}_sxx")]
+
+
+def _det_bounds(prefix: str) -> list:
+    """mean ± 2σ from the _det_stat_aggs columns, rounded 4dp."""
+    sx, sxx, n = (F.col(f"_{prefix}_sx"), F.col(f"_{prefix}_sxx"), F.col("_n"))
+    mean = sx / n
+    sd = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return [F.round(mean - 2 * sd, 4).alias(f"{prefix}_min"),
+            F.round(mean + 2 * sd, 4).alias(f"{prefix}_max")]
 
 
 def q32_threshold_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    p = _det_stats(li, "l_returnflag", "l_extendedprice", "p")
-    q = _det_stats(li, "l_returnflag", "l_quantity", "q")
-    thresholds = p.join(q, "l_returnflag").select(
-        "l_returnflag",
-        F.round(F.col("p_mean") - 2 * F.col("p_sd"), 4).alias("p_min"),
-        F.round(F.col("p_mean") + 2 * F.col("p_sd"), 4).alias("p_max"),
-        F.round(F.col("q_mean") - 2 * F.col("q_sd"), 4).alias("q_min"),
-        F.round(F.col("q_mean") + 2 * F.col("q_sd"), 4).alias("q_max"))
+    # ONE aggregation computes both metrics' stats (single scan+shuffle,
+    # not one per metric column)
+    thresholds = (li.groupBy("l_returnflag")
+                    .agg(*_det_stat_aggs("l_extendedprice", "p"),
+                         *_det_stat_aggs("l_quantity", "q"),
+                         F.count(F.lit(1)).cast("double").alias("_n"))
+                    .select("l_returnflag", *_det_bounds("p"), *_det_bounds("q")))
     scored = severity_from_thresholds(
         li, thresholds, ["l_returnflag"],
         [("l_extendedprice", "p_min", "p_max"),
