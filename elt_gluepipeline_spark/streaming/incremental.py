@@ -71,16 +71,22 @@ def incremental_ingest(
         df, list(primary_keys),
         [F.col(watermark_col).desc_nulls_last()],
     )
-    prepared = add_audit_columns(deduped, table)
+    # three actions consume this frame (bookmark agg, row count, sink
+    # write) — persist so the source is scanned and deduped ONCE, not
+    # three times; an increment is a bounded delta, so MEMORY_AND_DISK
+    # is safe at any scale
+    prepared = add_audit_columns(deduped, table).persist()
+    try:
+        # new bookmark = max watermark in THIS batch, computed before the
+        # write (single agg action) so a mid-write crash never advances it
+        new_bm = prepared.agg(F.max(watermark_col)).collect()[0][0]
+        rows = prepared.count()
 
-    # new bookmark = max watermark in THIS batch, computed before the
-    # write (single agg action) so a mid-write crash never advances it
-    new_bm = prepared.agg(F.max(watermark_col)).collect()[0][0]
-    rows = prepared.count()
-
-    write_parquet(prepared, sink_path, mode="append",
-                  partition_by=("ingest_date", "source_table"),
-                  max_files=max_files)
+        write_parquet(prepared, sink_path, mode="append",
+                      partition_by=("ingest_date", "source_table"),
+                      max_files=max_files)
+    finally:
+        prepared.unpersist()
 
     # commit AFTER successful write (T2)
     if new_bm is not None:
