@@ -374,6 +374,39 @@ def q36_top_locations_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q37 — calendar-dimension enrichment (J2 + the date_dim relation,
+# generated in-engine instead of hand-maintained: dataset/date_dim.csv,
+# go-quality-elt.py:288-291). Dim side is a few KB → always broadcasts.
+# --------------------------------------------------------------------------
+
+def q37_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.dimensions import date_dimension
+    o = read_table(spark, sf_dir, "orders")
+    dim = date_dimension(spark, "1995-01-01", "2001-12-31")
+    j = o.withColumn("date", _d("o_orderdate")).join(F.broadcast(dim), "date")
+    return (j.groupBy("year", "is_weekend")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  dsum("o_totalprice").alias("revenue"),
+                  F.countDistinct("date").cast("long").alias("n_days")))
+
+
+Q37_SQL = f"""
+WITH dim AS (
+  SELECT CAST(d AS DATE) AS date,
+         CAST(year(d) AS INTEGER) AS year,
+         isodow(d) >= 6 AS is_weekend
+  FROM generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                       INTERVAL 1 DAY) AS t(d)
+)
+SELECT dim.year, dim.is_weekend, COUNT(*) AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS revenue,
+       COUNT(DISTINCT dim.date) AS n_days
+FROM orders o JOIN dim ON CAST(o.o_orderdate AS DATE) = dim.date
+GROUP BY dim.year, dim.is_weekend
+"""
+
+
+# --------------------------------------------------------------------------
 # Q9 — discount effectiveness flag-split agg (A7; go-metric-elt.py:254-263)
 # --------------------------------------------------------------------------
 
@@ -938,4 +971,6 @@ SPECS = [
     QuerySpec("q36_top_locations_approx", q36_top_locations_approx, None,
               "A6/W4 at scale: HLL distinct sketch + orderBy-limit top-N "
               "(sketch values engine-specific; rows-only)"),
+    QuerySpec("q37_calendar_join", q37_calendar_join, Q37_SQL,
+              "J2 date-dimension broadcast join (dim generated in-engine)"),
 ]

@@ -108,3 +108,22 @@ def test_row_fingerprint_order_insensitive_to_column_def_order(spark):
     pa = with_row_fingerprint(a, "t").select("__pk").collect()[0][0]
     pb = with_row_fingerprint(b, "t").select("__pk").collect()[0][0]
     assert pa == pb
+
+
+def test_date_dimension_iso_semantics(spark):
+    from elt_gluepipeline_spark.sources.dimensions import date_dimension
+    dim = date_dimension(spark, "2023-12-30", "2024-01-02").collect()
+    by_key = {r.date_key: r for r in dim}
+    assert len(dim) == 4
+    sat = by_key["30-12-2023"]  # Saturday
+    mon = by_key["01-01-2024"]  # Monday
+    assert sat.iso_dow == 6 and sat.is_weekend
+    assert mon.iso_dow == 1 and not mon.is_weekend
+    assert mon.year == 2024 and mon.month == 1
+    assert mon.week == 1  # ISO week 1 of 2024
+    assert by_key["31-12-2023"].week == 52  # Sunday still ISO week 52
+
+
+def test_date_dimension_leap_year_count(spark):
+    from elt_gluepipeline_spark.sources.dimensions import date_dimension
+    assert date_dimension(spark, "2024-01-01", "2024-12-31").count() == 366
