@@ -21,7 +21,7 @@ from ..operators.multimodal import (attach_payload, extract_features,
 from ..operators.similarity import (cosine_neardup_pairs, ivf_ann,
                                     knn_bruteforce, lsh_ann)
 from ..operators.textstats import (EN_STOPWORDS, bpe_ish_tokens,
-                                   fingerprint_md5,
+                                   fingerprint_md5, fingerprint_rolling,
                                    langid_en_heuristic, n_tokens,
                                    quality_score, stopword_ratio,
                                    uniq_token_ratio)
@@ -360,6 +360,16 @@ FROM p LEFT JOIN LATERAL (
 """
 
 
+# --------------------------------------------------------------------------
+# Q38 — order-sensitive rolling-hash fingerprint dedup (xxhash64 chain →
+# Spark-specific values → rows-only; the md5 canonical twin is q24)
+# --------------------------------------------------------------------------
+
+def q38_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedupe(docs, "doc_id", fingerprint_rolling(F.col("text")))
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -387,4 +397,6 @@ SPECS = [
               "multimodal frame-sampling fan-out (mapInPandas one-to-many)"),
     QuerySpec("q31_ivf_ann", q31_ivf_ann, None,
               "IVF coarse-quantizer ANN (probabilistic recall; rows-only)"),
+    QuerySpec("q38_rolling_fingerprint", q38_rolling_fingerprint, None,
+              "order-sensitive rolling-hash fingerprint dedup (rows-only)"),
 ]

@@ -25,7 +25,8 @@ def test_queries_and_oracles_align(spark):
     # rows-only queries are the documented probabilistic/hash-specific ones
     assert set(q) - set(o) == {"q17_minhash_neardup", "q20_lsh_ann",
                            "q21_simhash", "q31_ivf_ann",
-                           "q36_top_locations_approx"}
+                           "q36_top_locations_approx",
+                           "q38_rolling_fingerprint"}
 
 
 def test_multimodal_plumbing(spark):
