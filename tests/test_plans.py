@@ -74,3 +74,9 @@ def test_no_query_uses_python_row_udf(spark):
     for name in registry():
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_q37_calendar_dim_broadcasts(spark):
+    plan = _plan(spark, "q37_calendar_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
