@@ -42,10 +42,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     the greatest ``tie_break`` value (deterministic across engines and
     partitionings).
 
-    Payload columns are returned as ``{prefix}{col}``. Left rows with a
-    null timestamp never match (they sort before all right rows).
+    Payload columns are returned as ``{prefix}{col}``. Null timestamps
+    never participate: a right row with unknown time can't be proven to
+    precede anything (dropped), and a null-ts left row has no
+    at-or-before instant (matches nothing).
     """
     on = list(on)
+    right = right.filter(F.col(right_ts).isNotNull())
     payload = F.struct(*[F.col(c) for c in right_payload])
     tie = F.col(tie_break) if tie_break is not None else F.lit(0)
 

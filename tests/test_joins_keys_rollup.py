@@ -127,3 +127,18 @@ def test_date_dimension_iso_semantics(spark):
 def test_date_dimension_leap_year_count(spark):
     from elt_gluepipeline_spark.sources.dimensions import date_dimension
     assert date_dimension(spark, "2024-01-01", "2024-12-31").count() == 366
+
+
+def test_asof_join_null_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-05T00:00:00")), (2, 100, None)],
+        "purchase_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, 100, _ts("2024-01-01T00:00:00")), (12, 100, None)],
+        "click_id long, user_id long, ts timestamp")
+    out = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_payload=["click_id"], tie_break="click_id")
+    got = {r.purchase_id: r.asof_click_id for r in out.collect()}
+    # null-ts left rows never match; null-ts right rows never win
+    assert got == {1: 11, 2: None}
+    assert out.count() == 2
