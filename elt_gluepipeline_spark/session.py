@@ -34,7 +34,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # Timestamps in testdata are naive; keep session in UTC so
     # date_format/hour derivations match the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # In local[N] mode the driver JVM hosts every executor thread, so it
+    # needs executor-fleet-sized heap: 32 concurrent tasks in a small heap
+    # spend seconds in full GC (measured: 8g → 20s stalls on random
+    # queries; 48g → stable). On a real cluster this maps to normal
+    # per-executor memory, not a big driver.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 
