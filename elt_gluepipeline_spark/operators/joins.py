@@ -18,6 +18,19 @@ Cost: ONE shuffle on the join keys (same as an equi-join), no pair
 explosion regardless of how many right rows precede a left row. Skewed
 keys can be salted upstream; AQE skew-split also applies since this is
 a plain window shuffle.
+
+``range_join`` is the banded interval join (all right rows within a
+time band of each left row). Expressed naively as
+``l.key = r.key AND r.ts BETWEEN l.ts+lo AND l.ts+hi`` Spark plans an
+equi-join on the key with the band as a post-join residual — every
+left row meets every right row per key before filtering, which is a
+per-key cross product and dies on hot keys. The implementation here
+adds the time BUCKET to the equi-join key: the right side buckets
+once, the left side fans out to only the buckets its band overlaps
+(ceil(band/bucket)+1 ≤ 2 copies at the default bucket width), so the
+shuffle key is (key, bucket) and each task only sees same-bucket
+pairs. Each (left, right) pair meets in exactly one bucket (the right
+row's), so no dedup pass is needed.
 """
 
 from __future__ import annotations
@@ -90,3 +103,73 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *[F.col(c) for c in carry],
         *[F.col(f"_hit.{c}").alias(f"{prefix}{c}") for c in right_payload],
     )
+
+
+def _epoch_seconds(col: str, dtype: str) -> F.Column:
+    """Whole seconds since epoch for numeric / timestamp / timestamp_ntz
+    columns — NTZ stays pure wall-clock arithmetic (no session-tz
+    dependence), plain timestamps use the session zone (engine pins UTC)."""
+    if dtype.startswith("timestamp"):
+        return F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"cast({col} as timestamp_ntz))")
+    return F.col(col).cast("long")
+
+
+def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+               left_ts: str, right_ts: str, *,
+               lower_s: int, upper_s: int, bucket_s: int | None = None,
+               right_payload: Sequence[str] | None = None,
+               prefix: str = "r_") -> DataFrame:
+    """Banded range join (inner): pair each left row with every right
+    row sharing its ``on`` keys whose timestamp lies in the inclusive
+    band ``[left_ts + lower_s, left_ts + upper_s]`` (offsets in
+    seconds; negative = before the left row).
+
+    Plan shape: right rows key to ``floor(epoch_s / bucket_s)``; left
+    rows explode to the buckets their band overlaps, then an equi-join
+    on ``(*on, bucket)`` + exact band filter. With the default
+    ``bucket_s = band width`` the left side is duplicated at most 2×,
+    and the shuffle key carries the time dimension — no per-key cross
+    product on hot keys, AQE skew-split applies as with any equi-join.
+
+    Output: all left columns + ``{prefix}{right_ts}`` + right payload
+    as ``{prefix}{col}`` (payload defaults to every non-key,
+    non-timestamp right column). Null timestamps on either side never
+    match. Rows-per-left-row equals the number of in-band right rows
+    (0-match left rows are dropped; this is an inner join).
+    """
+    if upper_s < lower_s:
+        raise ValueError(f"empty band: [{lower_s}, {upper_s}]")
+    if bucket_s is None:
+        bucket_s = max(upper_s - lower_s, 1)
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    on = list(on)
+    if right_payload is None:
+        right_payload = [c for c in right.columns
+                         if c not in on and c != right_ts]
+
+    r = (right.filter(F.col(right_ts).isNotNull())
+              .select(*[F.col(k).alias(f"_on_{k}") for k in on],
+                      _epoch_seconds(right_ts, dict(right.dtypes)[right_ts])
+                      .alias("_rs"),
+                      F.col(right_ts).alias(f"{prefix}{right_ts}"),
+                      *[F.col(c).alias(f"{prefix}{c}") for c in right_payload])
+              .withColumn("_b", F.floor(F.col("_rs") / F.lit(bucket_s))))
+    l = (left.filter(F.col(left_ts).isNotNull())
+             .withColumn("_ls",
+                         _epoch_seconds(left_ts, dict(left.dtypes)[left_ts]))
+             .withColumn("_lb", F.explode(F.sequence(
+                 F.floor((F.col("_ls") + F.lit(lower_s)) / F.lit(bucket_s)),
+                 F.floor((F.col("_ls") + F.lit(upper_s)) / F.lit(bucket_s))))))
+
+    cond = (F.col("_lb") == F.col("_b"))
+    for k in on:
+        cond = cond & (F.col(k) == F.col(f"_on_{k}"))
+    cond = cond & F.col("_rs").between(F.col("_ls") + F.lit(lower_s),
+                                       F.col("_ls") + F.lit(upper_s))
+    out_cols = (list(left.columns)
+                + [f"{prefix}{right_ts}"]
+                + [f"{prefix}{c}" for c in right_payload])
+    return l.join(r, cond, "inner").select(*out_cols)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
                                minhash_lsh_pairs, simhash_table)
-from ..operators.joins import asof_join
+from ..operators.joins import asof_join, range_join
 from ..operators.multimodal import (attach_payload, extract_features,
                                     sample_frames)
 from ..operators.similarity import (cosine_neardup_pairs, ivf_ann,
@@ -370,6 +370,39 @@ def q38_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedupe(docs, "doc_id", fingerprint_rolling(F.col("text")))
 
 
+# --------------------------------------------------------------------------
+# Q39 — banded range join: clicks within the hour before each purchase
+# (interval join re-keyed as (user, time-bucket) equi-join — SURVEY.md
+# §2.3's declared range-join surface; naive theta form is a per-user
+# cross product)
+# --------------------------------------------------------------------------
+
+def q39_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts"))
+    j = range_join(purchases, clicks, on=["user_id"],
+                   left_ts="ts", right_ts="ts",
+                   lower_s=-3600, upper_s=0, prefix="click_")
+    return (j.groupBy(F.col("event_id").alias("purchase_id"), F.col("user_id"))
+             .agg(F.count(F.lit(1)).alias("n_clicks_1h"),
+                  F.max(_ntz_micros("click_ts")).alias("last_click_us")))
+
+
+Q39_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(*) AS n_clicks_1h,
+       epoch_us(max(c.ts)) AS last_click_us
+FROM p JOIN c ON c.user_id = p.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -399,4 +432,6 @@ SPECS = [
               "IVF coarse-quantizer ANN (probabilistic recall; rows-only)"),
     QuerySpec("q38_rolling_fingerprint", q38_rolling_fingerprint, None,
               "order-sensitive rolling-hash fingerprint dedup (rows-only)"),
+    QuerySpec("q39_range_clicks", q39_range_clicks, Q39_SQL,
+              "banded range join: clicks in the hour before each purchase"),
 ]

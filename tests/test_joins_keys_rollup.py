@@ -142,3 +142,44 @@ def test_asof_join_null_timestamps(spark):
     # null-ts left rows never match; null-ts right rows never win
     assert got == {1: 11, 2: None}
     assert out.count() == 2
+
+
+def test_range_join_band_and_bucketing(spark):
+    from elt_gluepipeline_spark.operators.joins import range_join
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-05T10:00:00")),
+         (2, 100, _ts("2024-01-05T12:00:00")),
+         (3, 300, _ts("2024-01-05T10:00:00")),   # key with no right rows
+         (4, 100, None)],                        # null ts never matches
+        "purchase_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, 100, _ts("2024-01-05T09:00:00")),  # exactly lower bound of p1
+         (12, 100, _ts("2024-01-05T09:59:59")),
+         (13, 100, _ts("2024-01-05T10:00:00")),  # equal ts → inclusive
+         (14, 100, _ts("2024-01-05T10:00:01")),  # after p1, before p2's band
+         (15, 100, _ts("2024-01-05T11:30:00")),  # in p2's band
+         (16, 200, _ts("2024-01-05T09:30:00")),  # other key
+         (17, 100, None)],
+        "click_id long, user_id long, ts timestamp")
+    out = range_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                     lower_s=-3600, upper_s=0, prefix="c_")
+    pairs = {(r.purchase_id, r.c_click_id) for r in out.collect()}
+    assert pairs == {(1, 11), (1, 12), (1, 13), (2, 15)}
+    # no duplicate pairs from the bucket fan-out
+    assert out.count() == len(pairs)
+
+
+def test_range_join_forward_band_small_bucket(spark):
+    from elt_gluepipeline_spark.operators.joins import range_join
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-03-01T00:00:00"))],
+        "pid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 7, _ts("2024-03-01T00:00:30")),
+         (2, 7, _ts("2024-03-01T00:02:00")),
+         (3, 7, _ts("2024-02-29T23:59:59"))],
+        "rid long, k long, ts timestamp")
+    # forward band [0, +60s], bucket much smaller than the band
+    out = range_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     lower_s=0, upper_s=60, bucket_s=7)
+    assert {r.r_rid for r in out.collect()} == {1}
