@@ -193,25 +193,39 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
                     .select("id_a", "id_b", "jaccard"))
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, computed the scalable way: explode
-    tokens, hash once per token (codegen projection), aggregate 64
-    per-bit sign votes as plain SUMs (partial map-side aggregation),
-    then assemble the bits in a final projection. Returns
-    (id_col, simhash). ~10× the expression-fold version: no
-    interpreted higher-order functions anywhere.
+def portable_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — identical in every
+    engine with md5 (DuckDB twin:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``). Slower than
+    xxhash64 (string md5 + hex conv) — use it where cross-engine
+    reproducibility matters more than raw hash throughput."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, *,
+                  hash_col=F.xxhash64, bits: int = 64) -> DataFrame:
+    """SimHash per document, computed the scalable way: explode tokens,
+    hash once per token (codegen projection), aggregate per-bit sign
+    votes as plain SUMs (partial map-side aggregation), then assemble
+    the bits in a final projection. Returns (id_col, simhash). ~10× the
+    expression-fold version: no interpreted higher-order functions
+    anywhere.
+
+    ``hash_col``/``bits`` pick the token hash: xxhash64/64 (default,
+    JVM-native, Spark-specific values) or portable_hash60/60
+    (engine-portable → DuckDB-oracle-checkable, same plan shape).
     """
     toks = ensure_min_partitions(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
-    h = toks.select(id_col, F.xxhash64("t").alias("h"))
+    h = toks.select(id_col, hash_col(F.col("t")).alias("h"))
     votes = h.groupBy(id_col).agg(*[
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"_v{b}")
-        for b in range(64)
+        for b in range(bits)
     ])
     out = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         out = out.bitwiseOR(
             F.when(F.col(f"_v{b}") > 0,
                    F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
-                               minhash_lsh_pairs, simhash_table)
+                               minhash_lsh_pairs, portable_hash60,
+                               simhash_table)
 from ..operators.joins import asof_join, range_join
 from ..operators.multimodal import (attach_payload, extract_features,
                                     sample_frames)
@@ -371,6 +372,45 @@ def q38_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q40 — portable SimHash (md5-derived 60-bit token hash): the
+# oracle-checked twin of q21 — identical explode→vote-sum→assemble plan,
+# engine-portable hash, so every fingerprint bit is verified cross-engine
+# --------------------------------------------------------------------------
+
+def q40_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_table(docs, "doc_id", "text",
+                         hash_col=portable_hash60, bits=60)
+
+
+_Q40_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(60))
+_Q40_BITS = "\n       + ".join(
+    f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(60))
+
+# distinct bit positions → the + chain is exactly the bitwise OR
+Q40_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM t
+), v AS (
+  SELECT doc_id,
+         {_Q40_VOTES}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       {_Q40_BITS} AS simhash
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
 # Q39 — banded range join: clicks within the hour before each purchase
 # (interval join re-keyed as (user, time-bucket) equi-join — SURVEY.md
 # §2.3's declared range-join surface; naive theta form is a per-user
@@ -434,4 +474,6 @@ SPECS = [
               "order-sensitive rolling-hash fingerprint dedup (rows-only)"),
     QuerySpec("q39_range_clicks", q39_range_clicks, Q39_SQL,
               "banded range join: clicks in the hour before each purchase"),
+    QuerySpec("q40_simhash_portable", q40_simhash_portable, Q40_SQL,
+              "SimHash with engine-portable md5-derived 60-bit hash"),
 ]

@@ -150,3 +150,26 @@ def test_ivf_ann_full_probe_equals_bruteforce(spark, sf_dir):
     full = {(r.query_id, r.neighbor_id)
             for r in ivf_ann(q, emb, k=3, n_cells=8, n_probe=8, seed=42).collect()}
     assert full == exact
+
+
+def test_simhash_portable_matches_python_reference(spark):
+    import hashlib
+    import re
+
+    from elt_gluepipeline_spark.operators.dedup import portable_hash60
+
+    texts = {1: "the quick brown fox jumps", 2: "hello world hello again"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def py_simhash(text: str) -> int:
+        votes = [0] * 60
+        for tok in re.split(r"\s+", text.strip()):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    got = {r.doc_id: r.simhash
+           for r in simhash_table(df, "doc_id", "text",
+                                  hash_col=portable_hash60, bits=60).collect()}
+    assert got == {i: py_simhash(t) for i, t in texts.items()}
