@@ -116,8 +116,23 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   .select("id_a", "id_b", "jaccard"))
 
 
+def portable_pair_hash(s: Column, seed: int) -> Column:
+    """Seeded engine-portable shingle hash: md5 of ``s + '#' + seed``.
+    The seed is the digit run after the LAST '#', so (s, seed) → input
+    is injective even when s contains '#'."""
+    return portable_hash60(F.concat_ws("#", s, F.lit(str(seed))))
+
+
+def portable_band_hash(*cols: Column) -> Column:
+    """Engine-portable band hash: md5 over '#'-joined decimal strings
+    of the band's minhash values (non-negative longs → identical string
+    forms in every engine)."""
+    return portable_hash60(F.concat_ws("#", *[c.cast("string") for c in cols]))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
-                       k: int = 3, n_hashes: int = 32) -> DataFrame:
+                       k: int = 3, n_hashes: int = 32,
+                       pair_hash=None) -> DataFrame:
     """MinHash signatures as wide columns (_h0.._hN): explode distinct
     shingles, hash each with n seeds in one codegen'd projection, then
     min-aggregate per document.
@@ -126,21 +141,29 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     expressions ~10×: projections and hash aggregates are whole-stage
     codegen'd, partial mins happen map-side, and only n_hashes longs
     per document cross the shuffle.
+
+    ``pair_hash(s, seed) -> Column`` picks the seeded shingle hash:
+    default xxhash64 (JVM-native), or ``portable_pair_hash`` for
+    engine-reproducible signatures.
     """
+    if pair_hash is None:
+        pair_hash = lambda s, seed: F.xxhash64(s, F.lit(seed))  # noqa: E731
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"))
     base = base.filter(F.size("shingles") > 0)
     exploded = base.select("doc_id", F.explode("shingles").alias("s"))
     hashed = exploded.select(
-        "doc_id", *[F.xxhash64("s", F.lit(i)).alias(f"_h{i}") for i in range(n_hashes)])
+        "doc_id", *[pair_hash(F.col("s"), i).alias(f"_h{i}")
+                    for i in range(n_hashes)])
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       k: int = 3, n_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      pair_hash=None, band_hash=None) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     bands×rows = n_hashes; a pair becomes a candidate iff it collides
@@ -149,17 +172,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     hashes, never all-pairs. Verification recomputes exact Jaccard via
     the same inverted-index count used by blocked_jaccard_pairs,
     restricted to candidate pairs.
+
+    ``pair_hash``/``band_hash`` default to xxhash64 (JVM-native); pass
+    ``portable_pair_hash``/``portable_band_hash`` for candidate sets an
+    external engine can reproduce bit-for-bit.
     """
     rows_per_band = n_hashes // bands
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
+    if band_hash is None:
+        band_hash = F.xxhash64
 
-    sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes)
+    sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes,
+                             pair_hash=pair_hash)
     band_entries = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
-                     F.xxhash64(*[F.col(f"_h{b * rows_per_band + r}")
-                                  for r in range(rows_per_band)]).alias("band_hash"))
+                     band_hash(*[F.col(f"_h{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)]).alias("band_hash"))
             for b in range(bands)
         ])).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")

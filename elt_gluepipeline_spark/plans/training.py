@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
-                               minhash_lsh_pairs, portable_hash60,
+                               minhash_lsh_pairs, portable_band_hash,
+                               portable_hash60, portable_pair_hash,
                                simhash_table)
 from ..operators.joins import asof_join, range_join
 from ..operators.multimodal import (attach_payload, extract_features,
@@ -372,6 +373,74 @@ def q38_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q41 — portable MinHash+LSH: q17's exact pipeline (32 minhashes, 8
+# bands, candidate self-join, exact-Jaccard verify) with md5-derived
+# hashes, so DuckDB reproduces the CANDIDATE SET and the verified pairs
+# bit-for-bit — the LSH algorithm itself is oracle-checked, not just
+# row counts
+# --------------------------------------------------------------------------
+
+def q41_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text",
+                             k=3, n_hashes=32, bands=8, threshold=0.3,
+                             pair_hash=portable_pair_hash,
+                             band_hash=portable_band_hash)
+
+
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_Q41_MINS = ",\n         ".join(
+    "MIN(" + _H60.format(x=f"s || '#{i}'") + f") AS h{i}" for i in range(32))
+_Q41_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_id,\n         "
+    + _H60.format(x="concat_ws('#', "
+                  + ", ".join(f"h{b * 4 + r}" for r in range(4)) + ")")
+    + " AS band_hash FROM sig"
+    for b in range(8))
+
+Q41_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+), nz AS (
+  SELECT doc_id, shingles FROM base WHERE len(shingles) > 0
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM nz
+), sig AS (
+  SELECT doc_id,
+         {_Q41_MINS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+{_Q41_BANDS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM nz
+), common AS (
+  SELECT ca.id_a, ca.id_b, COUNT(*) AS n_common
+  FROM cand ca
+  JOIN sh sa ON sa.doc_id = ca.id_a
+  JOIN sh sb ON sb.doc_id = ca.id_b AND sb.s = sa.s
+  GROUP BY ca.id_a, ca.id_b
+)
+SELECT cm.id_a, cm.id_b,
+       cm.n_common / (na.n + nb.n - cm.n_common) AS jaccard
+FROM common cm
+JOIN sizes na ON na.doc_id = cm.id_a
+JOIN sizes nb ON nb.doc_id = cm.id_b
+WHERE cm.n_common / (na.n + nb.n - cm.n_common) >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
 # Q40 — portable SimHash (md5-derived 60-bit token hash): the
 # oracle-checked twin of q21 — identical explode→vote-sum→assemble plan,
 # engine-portable hash, so every fingerprint bit is verified cross-engine
@@ -476,4 +545,7 @@ SPECS = [
               "banded range join: clicks in the hour before each purchase"),
     QuerySpec("q40_simhash_portable", q40_simhash_portable, Q40_SQL,
               "SimHash with engine-portable md5-derived 60-bit hash"),
+    QuerySpec("q41_minhash_portable", q41_minhash_portable, Q41_SQL,
+              "MinHash+LSH with engine-portable hashes (candidate set "
+              "and verified pairs oracle-checked)"),
 ]

@@ -173,3 +173,24 @@ def test_simhash_portable_matches_python_reference(spark):
            for r in simhash_table(df, "doc_id", "text",
                                   hash_col=portable_hash60, bits=60).collect()}
     assert got == {i: py_simhash(t) for i, t in texts.items()}
+
+
+def test_minhash_portable_finds_near_dups(spark):
+    from elt_gluepipeline_spark.operators.dedup import (portable_band_hash,
+                                                        portable_pair_hash)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+         (3, "completely different words with no overlap here")],
+        "doc_id long, text string")
+    out = minhash_lsh_pairs(df, "doc_id", "text", k=3, n_hashes=32, bands=8,
+                            threshold=0.3,
+                            pair_hash=portable_pair_hash,
+                            band_hash=portable_band_hash).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    j = {(r.id_a, r.id_b): r.jaccard for r in out}[(1, 2)]
+    # docs 1/2 share 5 of their 7 distinct 3-shingles (only the
+    # final-token shingle differs) → 5/7
+    assert abs(j - 5 / 7) < 1e-12
