@@ -189,9 +189,10 @@ def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
     scale path.
 
     1. CENTROIDS: a deterministic sample of n_cells candidate vectors
-       (ordered by xxhash64(id, seed) — reproducible, no kmeans
-       iterations; a trained quantizer slots in by replacing this list).
-       Tiny → broadcast to every task inside the UDF closures.
+       (ordered by an ENGINE-PORTABLE md5-derived hash of ``id#seed``
+       — reproducible by any engine with md5, no kmeans iterations; a
+       trained quantizer slots in by replacing this list). Tiny →
+       broadcast to every task inside the UDF closures.
     2. ASSIGN: every candidate vector goes to its nearest centroid's
        cell — one Arrow-batched numpy GEMM per batch (vectorized
        argmax), a map-only stage over the corpus.
@@ -206,11 +207,15 @@ def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    from .dedup import portable_hash60  # noqa: PLC0415 (cycle-free late import)
+
+    sample_h = portable_hash60(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed))))
     cents = (candidates
              .select(F.col(id_col).alias("cid"),
                      _as_double(F.col(vec_col)).alias("v"),
-                     F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
-             .orderBy("h").limit(n_cells).collect())
+                     sample_h.alias("h"))
+             .orderBy("h", "cid").limit(n_cells).collect())
     if not cents:  # empty corpus → empty result, same schema/id dtype
         return (queries.select(F.col(id_col).alias("query_id")).limit(0)
                        .withColumn("neighbor_id", F.col("query_id"))
@@ -225,7 +230,9 @@ def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
             a = np.asarray(v, dtype=np.float64)
             n = np.linalg.norm(a) or 1.0
             sims = (cmat @ a) / (cnorm * n)
-            order = np.argsort(-sims)[:top]
+            # stable sort → exact ties resolve to the lower cell index,
+            # the same tie-break an ORDER BY sim DESC, cell ASC gives
+            order = np.argsort(-sims, kind="stable")[:top]
             out.append([int(i) for i in order])
         return pd.Series(out)
 

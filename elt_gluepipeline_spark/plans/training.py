@@ -20,8 +20,8 @@ from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
 from ..operators.joins import asof_join, range_join
 from ..operators.multimodal import (attach_payload, extract_features,
                                     sample_frames)
-from ..operators.similarity import (cosine_neardup_pairs, ivf_ann,
-                                    knn_bruteforce, lsh_ann)
+from ..operators.similarity import (_hyperplanes, cosine_neardup_pairs,
+                                    ivf_ann, knn_bruteforce, lsh_ann)
 from ..operators.textstats import (EN_STOPWORDS, bpe_ish_tokens,
                                    fingerprint_md5, fingerprint_rolling,
                                    langid_en_heuristic, n_tokens,
@@ -211,6 +211,42 @@ def q20_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann(queries, emb, k=3, dim=64, n_planes=6, seed=42)
 
 
+# The hyperplanes are deterministic module-time constants (seeded
+# gaussians), so the oracle embeds the SAME doubles as literals: DuckDB
+# reproduces the sign signatures, hence the exact bucket candidate set,
+# hence the same top-k. Sign decisions are unrounded doubles — a dot
+# product within float-noise of 0 could theoretically flip between
+# engines, but P(|N(0,1)·v| < 1e-12) is negligible and the rounded-
+# cosine ranking below it is tie-broken exactly like q19's.
+_Q20_PLANES = _hyperplanes(64, 6, 42)
+_Q20_SIG = "\n         + ".join(
+    f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, plane in enumerate(_Q20_PLANES))
+
+Q20_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+         {_Q20_SIG} AS sig
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS q_vec, sig FROM sigs WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, v AS c_vec, sig FROM sigs),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.q_vec, c.c_vec)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cosine
+  FROM q JOIN c ON q.sig = c.sig AND q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Q31 — IVF approximate NN (coarse-quantizer cells; probabilistic recall
 # → rows-only)
@@ -220,6 +256,60 @@ def q31_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_ann(queries, emb, k=3, n_cells=16, n_probe=4, seed=42)
+
+
+# Every IVF stage is deterministic and engine-portable: centroid choice
+# orders by md5(id#seed), cell assignment/probing rank raw cosine with
+# (sim DESC, cell ASC) tie-break (numpy stable argsort ≡ the SQL window
+# below), final ranking uses 6-decimal-rounded cosine. The oracle
+# recomputes centroids FROM THE DATA, so nothing is baked in.
+Q31_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT v AS cv,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(('0x' || substr(md5(vec_id || '#42'), 1, 15)) AS BIGINT),
+                    vec_id) - 1 AS cell
+  FROM e
+  QUALIFY cell < 16
+),
+scored_cells AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_dot_product(e.v, c.cv)
+         / (sqrt(list_dot_product(c.cv, c.cv))
+            * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS c_vec, cell
+  FROM (SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM scored_cells)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, v AS q_vec, cell
+  FROM (SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM scored_cells WHERE vec_id < 8)
+  WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         ROUND(list_dot_product(p.q_vec, a.c_vec)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                  * sqrt(list_dot_product(a.c_vec, a.c_vec))), 6) AS cosine
+  FROM probe p JOIN assign a
+    ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -523,8 +613,9 @@ SPECS = [
               "blocked exact n-gram Jaccard near-dup"),
     QuerySpec("q19_knn_cosine", q19_knn_cosine, Q19_SQL,
               "brute-force cosine top-k"),
-    QuerySpec("q20_lsh_ann", q20_lsh_ann, None,
-              "LSH approximate NN (rows-only)"),
+    QuerySpec("q20_lsh_ann", q20_lsh_ann, Q20_SQL,
+              "LSH approximate NN (deterministic seeded hyperplanes "
+              "embedded in the oracle → bucket set + top-k checked)"),
     QuerySpec("q21_simhash", q21_simhash, None,
               "SimHash fingerprints (rows-only)"),
     QuerySpec("q22_multimodal_meta", q22_multimodal_meta, Q22_SQL,
@@ -537,8 +628,9 @@ SPECS = [
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,
               "multimodal frame-sampling fan-out (mapInPandas one-to-many)"),
-    QuerySpec("q31_ivf_ann", q31_ivf_ann, None,
-              "IVF coarse-quantizer ANN (probabilistic recall; rows-only)"),
+    QuerySpec("q31_ivf_ann", q31_ivf_ann, Q31_SQL,
+              "IVF coarse-quantizer ANN (portable centroid sampling → "
+              "cells, probes, and top-k all oracle-checked)"),
     QuerySpec("q38_rolling_fingerprint", q38_rolling_fingerprint, None,
               "order-sensitive rolling-hash fingerprint dedup (rows-only)"),
     QuerySpec("q39_range_clicks", q39_range_clicks, Q39_SQL,
