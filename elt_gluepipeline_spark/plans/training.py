@@ -24,9 +24,7 @@ from ..operators.similarity import (_hyperplanes, cosine_neardup_pairs,
                                     ivf_ann, knn_bruteforce, lsh_ann)
 from ..operators.textstats import (EN_STOPWORDS, bpe_ish_tokens,
                                    fingerprint_md5, fingerprint_rolling,
-                                   langid_en_heuristic, n_tokens,
-                                   quality_score, stopword_ratio,
-                                   uniq_token_ratio)
+                                   langid_en_heuristic, n_tokens, tokens)
 from ..sources.readers import read_table
 from . import QuerySpec
 
@@ -53,16 +51,40 @@ FROM documents GROUP BY md5(text)
 # --------------------------------------------------------------------------
 
 def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-tokenization form: the raw and lowercased token arrays are
+    projected ONCE, every stat derives from them, and quality derives
+    from the stat COLUMNS (CollapseProject won't inline non-cheap
+    duplicated expressions, so nothing re-tokenizes). Same doubles as
+    composing textstats.* directly — those remain the per-column API.
+    """
     docs = read_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        n_tokens(t).alias("n_tokens"),
+        tokens(t).alias("_tok"),
+        tokens(F.lower(t)).alias("_ltok"),
         F.size(bpe_ish_tokens(t)).cast("long").alias("n_tokens_bpe"),
-        uniq_token_ratio(t).alias("uniq_ratio"),
-        stopword_ratio(t).alias("stop_ratio"),
-        quality_score(t).alias("quality"),
     )
+    nt = F.size("_tok")
+    uniq = F.when(nt == 0, F.lit(0.0)) \
+            .otherwise(F.size(F.array_distinct("_tok")) / nt)
+    n_stop = F.size(F.filter("_ltok", lambda x: x.isin(*EN_STOPWORDS)))
+    stop = F.when(F.size("_ltok") == 0, F.lit(0.0)) \
+            .otherwise(n_stop / F.size("_ltok"))
+    stats = base.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        "n_tokens_bpe",
+        uniq.alias("uniq_ratio"),
+        stop.alias("stop_ratio"),
+    )
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10_000),
+                       F.lit(1.0)).otherwise(F.lit(0.0))
+    return stats.select(
+        "*",
+        (F.lit(0.5) * F.col("uniq_ratio")
+         + F.lit(0.2) * (F.lit(1.0) - F.col("stop_ratio"))
+         + F.lit(0.3) * length_ok).alias("quality"))
 
 
 Q14_SQL = f"""

@@ -23,10 +23,12 @@ def test_queries_and_oracles_align(spark):
     assert set(o) <= set(q)
     assert len(q) >= 20
     # rows-only queries are the documented probabilistic/hash-specific ones
-    assert set(q) - set(o) == {"q17_minhash_neardup", "q20_lsh_ann",
-                           "q21_simhash", "q31_ivf_ann",
-                           "q36_top_locations_approx",
-                           "q38_rolling_fingerprint"}
+    # rows-only is reserved for deliberately Spark-hash/sketch-specific
+    # variants; each has an oracle-checked portable twin (q41, q40, q08,
+    # q24 respectively)
+    assert set(q) - set(o) == {"q17_minhash_neardup", "q21_simhash",
+                               "q36_top_locations_approx",
+                               "q38_rolling_fingerprint"}
 
 
 def test_multimodal_plumbing(spark):
