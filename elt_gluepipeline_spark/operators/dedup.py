@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -116,11 +118,44 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   .select("id_a", "id_b", "jaccard"))
 
 
-def portable_pair_hash(s: Column, seed: int) -> Column:
-    """Seeded engine-portable shingle hash: md5 of ``s + '#' + seed``.
-    The seed is the digit run after the LAST '#', so (s, seed) → input
-    is injective even when s contains '#'."""
-    return portable_hash60(F.concat_ws("#", s, F.lit(str(seed))))
+class PortableMinhashFamily:
+    """n engine-portable minhash functions from ONE md5 per shingle.
+
+    Hashing the shingle n times (md5 of ``s#seed`` per seed) makes the
+    signature stage n× as expensive as it needs to be; instead the md5
+    runs once and its two 32-bit halves (x, y) feed a 2-universal
+    family ``h_i = (a_i·x + b_i·y + c_i) mod (2^61 - 1)`` with seeded
+    coefficients a_i, b_i < 2^29 — every intermediate stays < 2^62, so
+    the arithmetic is overflow-free under ANSI mode and reproduces
+    exactly in any engine with md5 and 64-bit integers. Candidate
+    recall only depends on the family being pairwise-uniform; the
+    exact-Jaccard verify stage is hash-independent.
+    """
+
+    P = (1 << 61) - 1
+
+    def __init__(self, n_hashes: int, seed: int = 1):
+        rng = random.Random(seed)
+        self.n = n_hashes
+        self.coeffs = [(rng.randrange(1, 1 << 29), rng.randrange(1, 1 << 29),
+                        rng.randrange(0, 1 << 31)) for _ in range(n_hashes)]
+
+    def prepare(self, s: Column) -> list[Column]:
+        """The one-md5 projection: two 32-bit halves as longs."""
+        hexd = F.md5(s)
+        return [F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("_x"),
+                F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("_y")]
+
+    def derive(self) -> list[Column]:
+        """The n hash columns over a prepared (_x, _y) projection."""
+        return [F.pmod(F.lit(a) * F.col("_x") + F.lit(b) * F.col("_y")
+                       + F.lit(c), F.lit(self.P)).alias(f"_h{i}")
+                for i, (a, b, c) in enumerate(self.coeffs)]
+
+    def sql_min_exprs(self) -> list[str]:
+        """DuckDB MIN(...) AS h{i} twins over columns x, y."""
+        return [f"MIN(({a} * x + {b} * y + {c}) % {self.P}) AS h{i}"
+                for i, (a, b, c) in enumerate(self.coeffs)]
 
 
 def portable_band_hash(*cols: Column) -> Column:
@@ -132,7 +167,8 @@ def portable_band_hash(*cols: Column) -> Column:
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
                        k: int = 3, n_hashes: int = 32,
-                       pair_hash=None) -> DataFrame:
+                       pair_family: PortableMinhashFamily | None = None
+                       ) -> DataFrame:
     """MinHash signatures as wide columns (_h0.._hN): explode distinct
     shingles, hash each with n seeds in one codegen'd projection, then
     min-aggregate per document.
@@ -142,20 +178,23 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     codegen'd, partial mins happen map-side, and only n_hashes longs
     per document cross the shuffle.
 
-    ``pair_hash(s, seed) -> Column`` picks the seeded shingle hash:
-    default xxhash64 (JVM-native), or ``portable_pair_hash`` for
-    engine-reproducible signatures.
+    Default hashing is seeded xxhash64 (JVM-native); pass a
+    ``PortableMinhashFamily`` for engine-reproducible signatures (one
+    md5 per shingle, n derived universal hashes).
     """
-    if pair_hash is None:
-        pair_hash = lambda s, seed: F.xxhash64(s, F.lit(seed))  # noqa: E731
     base = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"))
     base = base.filter(F.size("shingles") > 0)
     exploded = base.select("doc_id", F.explode("shingles").alias("s"))
-    hashed = exploded.select(
-        "doc_id", *[pair_hash(F.col("s"), i).alias(f"_h{i}")
-                    for i in range(n_hashes)])
+    if pair_family is not None:
+        assert pair_family.n == n_hashes
+        prep = exploded.select("doc_id", *pair_family.prepare(F.col("s")))
+        hashed = prep.select("doc_id", *pair_family.derive())
+    else:
+        hashed = exploded.select(
+            "doc_id", *[F.xxhash64("s", F.lit(i)).alias(f"_h{i}")
+                        for i in range(n_hashes)])
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)])
 
@@ -163,7 +202,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       k: int = 3, n_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
-                      pair_hash=None, band_hash=None) -> DataFrame:
+                      pair_family: PortableMinhashFamily | None = None,
+                      band_hash=None) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     bands×rows = n_hashes; a pair becomes a candidate iff it collides
@@ -173,9 +213,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     the same inverted-index count used by blocked_jaccard_pairs,
     restricted to candidate pairs.
 
-    ``pair_hash``/``band_hash`` default to xxhash64 (JVM-native); pass
-    ``portable_pair_hash``/``portable_band_hash`` for candidate sets an
-    external engine can reproduce bit-for-bit.
+    ``pair_family``/``band_hash`` default to xxhash64 (JVM-native);
+    pass ``PortableMinhashFamily``/``portable_band_hash`` for candidate
+    sets an external engine can reproduce bit-for-bit.
     """
     rows_per_band = n_hashes // bands
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
@@ -183,7 +223,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
         band_hash = F.xxhash64
 
     sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes,
-                             pair_hash=pair_hash)
+                             pair_family=pair_family)
     band_entries = sig.select(
         "doc_id",
         F.explode(F.array(*[

