@@ -631,6 +631,31 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Q42 — corpus vocabulary: token frequency top-100 (explode → hash agg
+# with map-side partials → TakeOrderedAndProject, i.e. per-partition
+# top-k then driver merge — never a full global sort). The boundary tie
+# at rank 100 breaks on the token itself, so the cutoff is
+# deterministic across engines and partitionings.
+# --------------------------------------------------------------------------
+
+def q42_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return freq.orderBy(F.col("n").desc(), F.col("token")).limit(100)
+
+
+Q42_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -669,4 +694,7 @@ SPECS = [
     QuerySpec("q41_minhash_portable", q41_minhash_portable, Q41_SQL,
               "MinHash+LSH with engine-portable hashes (candidate set "
               "and verified pairs oracle-checked)"),
+    QuerySpec("q42_vocab", q42_vocab, Q42_SQL,
+              "corpus vocabulary: token frequency top-100 "
+              "(explode → agg → TakeOrdered)"),
 ]
