@@ -1,0 +1,123 @@
+"""Scale spot-check: does each query's cost actually track the data?
+
+Materializes an N× copy of the FACT tables (lineitem / orders /
+events — replicas with shifted keys, so join fan-outs and group
+cardinalities grow honestly) next to unchanged dimensions, then times
+a query set at 1× and N× in one warmed session and prints per-query
+ratios. A declarative plan with sane shuffles should scale ~linearly
+(ratio ≲ N on a machine with spare cores, plus fixed overhead);
+a quadratic candidate explosion or a single-reducer bottleneck shows
+up immediately as ratio >> N.
+
+Usage:
+  python tools/scale_check.py [factor] [src_sf_dir] [query ...]
+
+Output: one JSON line {"factor": N, "queries": {name: {"t1": s,
+"tN": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from elt_gluepipeline_spark.plans import registry  # noqa: E402
+from elt_gluepipeline_spark.session import get_spark  # noqa: E402
+from elt_gluepipeline_spark.sources.readers import read_table  # noqa: E402
+
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+
+DEFAULT_QUERIES = [
+    "q01_line_revenue", "q02_clv", "q03_clv_tiered", "q04_rfm_segments",
+    "q05_customer_profile", "q06_trend_daily", "q08_top_locations",
+    "q09_discount_effect", "q16_iqr_outliers", "q26_trend_rollup",
+    "q28_asof_attribution", "q33_top_customers_per_nation",
+    "q36_top_locations_approx", "q39_range_clicks",
+]
+
+
+def build_scaled(spark, src: str, out: str, factor: int) -> None:
+    """Write an N× dataset: facts replicated with shifted keys, dims
+    copied through (same engine-readable layout either way)."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def replicate(name: str, key_cols: list[str]) -> None:
+        df = read_table(spark, src, name)
+        offset = df.agg(F.max(key_cols[0])).collect()[0][0] + 1
+        parts = [df] if factor >= 1 else []
+        for i in range(1, factor):
+            shifted = df
+            for kc in key_cols:
+                shifted = shifted.withColumn(kc, F.col(kc) + F.lit(i * offset))
+            parts.append(shifted)
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    # orders/lineitem share the orderkey offset so joins stay consistent
+    orders = read_table(spark, src, "orders")
+    okey_offset = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    parts_o, parts_l = [], []
+    lineitem = read_table(spark, src, "lineitem")
+    for i in range(factor):
+        parts_o.append(orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_offset)))
+        parts_l.append(lineitem.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * okey_offset)))
+    o, li = parts_o[0], parts_l[0]
+    for p in parts_o[1:]:
+        o = o.unionByName(p)
+    for p in parts_l[1:]:
+        li = li.unionByName(p)
+    o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    replicate("events", ["event_id"])
+
+    for name in ALL_TABLES:
+        if name in ("orders", "lineitem", "events"):
+            continue
+        read_table(spark, src, name).write.mode("overwrite") \
+            .parquet(f"{out}/{name}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    names = sys.argv[3:] or DEFAULT_QUERIES
+
+    spark = get_spark("scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "spark-warehouse", f"scale_x{factor}")
+    build_scaled(spark, src, out, factor)
+
+    specs = registry()
+    results = {}
+    for name in names:
+        spec = specs[name]
+        spec.build(spark, src).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        spec.build(spark, src).write.format("noop").mode("overwrite").save()
+        t1 = time.time() - t0
+        t0 = time.time()
+        spec.build(spark, out).write.format("noop").mode("overwrite").save()
+        tN = time.time() - t0
+        results[name] = {"t1": round(t1, 2), "tN": round(tN, 2),
+                         "ratio": round(tN / t1, 1) if t1 > 0 else None}
+        print(f"  {name:32s} 1x={t1:6.2f}s {factor}x={tN:6.2f}s "
+              f"ratio={tN / t1:5.1f}", file=sys.stderr)
+    print(json.dumps({"factor": factor, "src": src, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
