@@ -123,39 +123,39 @@ class PortableMinhashFamily:
 
     Hashing the shingle n times (md5 of ``s#seed`` per seed) makes the
     signature stage n× as expensive as it needs to be; instead the md5
-    runs once and its two 32-bit halves (x, y) feed a 2-universal
-    family ``h_i = (a_i·x + b_i·y + c_i) mod (2^61 - 1)`` with seeded
-    coefficients a_i, b_i < 2^29 — every intermediate stays < 2^62, so
-    the arithmetic is overflow-free under ANSI mode and reproduces
-    exactly in any engine with md5 and 64-bit integers. Candidate
-    recall only depends on the family being pairwise-uniform; the
-    exact-Jaccard verify stage is hash-independent.
-    """
+    runs once, its first 60 bits become a base value z, and hash i is
+    the XOR permutation ``h_i = z XOR r_i`` with seeded 60-bit
+    constants — one codegen'd XOR per hash, reproducible in any engine
+    with md5 and 64-bit integers (DuckDB: ``xor(z, r)``).
 
-    P = (1 << 61) - 1
+    The family must genuinely REORDER per i: an affine
+    ``(a_i·x + b_i·y + c_i)`` with small coefficients never wraps its
+    modulus, stays monotone in (x, y), and so lets one dominant shingle
+    win the argmin for every i — measured 2× spurious band candidates
+    on a dense corpus. XOR flips high bits per r_i, so each hash picks
+    a different winner; candidate recall only needs approximate
+    min-wise uniformity, and the exact-Jaccard verify stage is
+    hash-independent.
+    """
 
     def __init__(self, n_hashes: int, seed: int = 1):
         rng = random.Random(seed)
         self.n = n_hashes
-        self.coeffs = [(rng.randrange(1, 1 << 29), rng.randrange(1, 1 << 29),
-                        rng.randrange(0, 1 << 31)) for _ in range(n_hashes)]
+        self.rs = [rng.randrange(0, 1 << 60) for _ in range(n_hashes)]
 
     def prepare(self, s: Column) -> list[Column]:
-        """The one-md5 projection: two 32-bit halves as longs."""
-        hexd = F.md5(s)
-        return [F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("_x"),
-                F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("_y")]
+        """The one-md5 projection: first 60 bits as a long."""
+        return [F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                 .cast("long").alias("_z")]
 
     def derive(self) -> list[Column]:
-        """The n hash columns over a prepared (_x, _y) projection."""
-        return [F.pmod(F.lit(a) * F.col("_x") + F.lit(b) * F.col("_y")
-                       + F.lit(c), F.lit(self.P)).alias(f"_h{i}")
-                for i, (a, b, c) in enumerate(self.coeffs)]
+        """The n hash columns over a prepared (_z,) projection."""
+        return [F.col("_z").bitwiseXOR(F.lit(r)).alias(f"_h{i}")
+                for i, r in enumerate(self.rs)]
 
     def sql_min_exprs(self) -> list[str]:
-        """DuckDB MIN(...) AS h{i} twins over columns x, y."""
-        return [f"MIN(({a} * x + {b} * y + {c}) % {self.P}) AS h{i}"
-                for i, (a, b, c) in enumerate(self.coeffs)]
+        """DuckDB MIN(...) AS h{i} twins over column z."""
+        return [f"MIN(xor(z, {r})) AS h{i}" for i, r in enumerate(self.rs)]
 
 
 def portable_band_hash(*cols: Column) -> Column:

@@ -525,15 +525,14 @@ WITH base AS (
   SELECT doc_id, shingles FROM base WHERE len(shingles) > 0
 ), sh AS (
   SELECT doc_id, unnest(shingles) AS s FROM nz
-), shxy AS (
+), shz AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS x,
-         CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS y
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS z
   FROM sh
 ), sig AS (
   SELECT doc_id,
          {_Q41_MINS}
-  FROM shxy GROUP BY doc_id
+  FROM shz GROUP BY doc_id
 ), bands AS (
 {_Q41_BANDS}
 ), cand AS (

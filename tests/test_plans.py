@@ -80,3 +80,19 @@ def test_q37_calendar_dim_broadcasts(spark):
     plan = _plan(spark, "q37_calendar_join")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q39_range_join_is_hash_join_with_band_residual(spark):
+    plan = _plan(spark, "q39_range_clicks")
+    # banded form: an equi hash join (keys include the time bucket)
+    # with the band as a residual condition — never a nested loop /
+    # cartesian over per-key groups
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_q42_vocab_top_k_never_global_sorts(spark):
+    plan = _plan(spark, "q42_vocab")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle

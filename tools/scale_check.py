@@ -82,9 +82,16 @@ def build_scaled(spark, src: str, out: str, factor: int) -> None:
     o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
     li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     replicate("events", ["event_id"])
+    # corpus tables replicate too: every doc/vector gains N-1 exact
+    # clones under new ids — the DENSEST possible near-dup structure,
+    # so dedup/similarity output grows ~N^2/2 per clone group while a
+    # sane plan's cost tracks that output, not corpus^2
+    replicate("documents", ["doc_id"])
+    replicate("embeddings", ["vec_id"])
 
+    scaled = {"orders", "lineitem", "events", "documents", "embeddings"}
     for name in ALL_TABLES:
-        if name in ("orders", "lineitem", "events"):
+        if name in scaled:
             continue
         read_table(spark, src, name).write.mode("overwrite") \
             .parquet(f"{out}/{name}.parquet")
