@@ -731,7 +731,11 @@ def _det_bounds(prefix: str) -> list:
 
 
 def q32_threshold_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    from ..operators import ensure_min_partitions
+    # decimal stat aggregates + severity when-chains are CPU-heavy per
+    # row; a small single-row-group parquet input would serialize them
+    # on one core (no-op at real scale, where splits >= parallelism)
+    li = ensure_min_partitions(read_table(spark, sf_dir, "lineitem"))
     # ONE aggregation computes both metrics' stats (single scan+shuffle,
     # not one per metric column)
     thresholds = (li.groupBy("l_returnflag")
