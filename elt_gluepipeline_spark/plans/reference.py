@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import (clean_item_name, first_match_classify)
-from ..functions.deterministic import davg, davg_sql, dsum, dsum_sql
+from ..functions.deterministic import davg, davg_sql, dec, dsum, dsum_sql
 from ..functions.keys import surrogate_key, surrogate_key_sql
 from ..operators.aggregates import grouping_rollup
 from ..operators.quality import extract_violations, severity_from_thresholds
@@ -411,15 +411,29 @@ GROUP BY dim.year, dim.is_weekend
 # --------------------------------------------------------------------------
 
 def q09_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    from ..operators import ensure_min_partitions
+    li = ensure_min_partitions(read_table(spark, sf_dir, "lineitem"))
     net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    return (li.withColumn("is_discounted", F.col("l_discount") > 0)
-              .groupBy("is_discounted")
-              .agg(F.count(F.lit(1)).alias("n_lines"),
-                   F.countDistinct("l_orderkey").alias("n_orders"),
-                   dsum("l_extendedprice").alias("gross_revenue"),
-                   dsum(net).alias("net_revenue"),
-                   davg("l_discount").alias("avg_discount")))
+    # Two-level aggregation instead of COUNT(DISTINCT)-alongside-sums:
+    # a mixed distinct/non-distinct agg plans as an Expand that doubles
+    # every scanned row. Pre-aggregating per (flag, orderkey) computes
+    # the same values (decimal sums are exact, so sum-of-partial-sums
+    # is bit-identical) with one shuffle of the distinct pairs and no
+    # row duplication — the term that dominates at 100 TB.
+    lvl1 = (li.withColumn("is_discounted", F.col("l_discount") > 0)
+              .groupBy("is_discounted", "l_orderkey")
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.sum(dec("l_extendedprice")).alias("_g"),
+                   F.sum(dec(net)).alias("_nv"),
+                   F.sum(dec("l_discount")).alias("_d"),
+                   F.count("l_discount").alias("_dn")))
+    return (lvl1.groupBy("is_discounted")
+                .agg(F.sum("_n").alias("n_lines"),
+                     F.count("l_orderkey").alias("n_orders"),
+                     F.sum("_g").cast("double").alias("gross_revenue"),
+                     F.sum("_nv").cast("double").alias("net_revenue"),
+                     (F.sum("_d").cast("double") / F.sum("_dn"))
+                     .cast("double").alias("avg_discount")))
 
 
 Q09_SQL = f"""
