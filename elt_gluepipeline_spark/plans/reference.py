@@ -938,6 +938,106 @@ WHERE session_id < (SELECT MAX(session_id) FROM rolled r2
 """
 
 
+# --------------------------------------------------------------------------
+# Q43 — ntile quantile scoring (the ranking-window class SURVEY.md §2.5
+# declares "trivially added": ntile over a partitioned window). RFM-style
+# quintile scores per nation. Scale note: a window PARTITION BY key puts
+# each key's rows on one task, so the key must have bounded per-key
+# cardinality (here: customers per nation). For unbounded keys, bucket
+# via grouped percentile cutoffs (q03's pattern) instead of ntile.
+# --------------------------------------------------------------------------
+
+def q43_spend_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    j = (rev.join(cust, rev.o_custkey == cust.c_custkey)
+            .select("c_nationkey", "c_custkey", "revenue"))
+    # deterministic total order inside each window (tie-break on key)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("revenue").desc(),
+                                                  F.col("c_custkey"))
+    return j.withColumn("quintile", F.ntile(5).over(w))
+
+
+Q43_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, {dsum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_nationkey, c.c_custkey, rev.revenue,
+       CAST(NTILE(5) OVER (PARTITION BY c.c_nationkey
+                           ORDER BY rev.revenue DESC, c.c_custkey)
+            AS INTEGER) AS quintile
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q44 — left-semi join (EXISTS): customers with >=1 urgent order.
+# Semi joins ship only the join key of the probe side and emit each
+# build row at most once — no fact-row duplication, the right plan for
+# "has at least one" predicates at 100 TB (vs inner join + distinct,
+# which shuffles the full match multiplicity first).
+# --------------------------------------------------------------------------
+
+def q44_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    urgent = (read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+                .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+Q44_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# --------------------------------------------------------------------------
+# Q45 — full-outer reconciliation: order headers vs line rollup, with
+# presence status. The full-outer surface SURVEY.md §2.3 notes the
+# reference lacks; both sides shuffle on the same key (orderkey), so
+# the rollup and the join share one exchange.
+# --------------------------------------------------------------------------
+
+def q45_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (read_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice"))
+    lines = (read_table(spark, sf_dir, "lineitem")
+             .groupBy("l_orderkey")
+             .agg(dsum("l_extendedprice").alias("line_total"),
+                  F.count(F.lit(1)).alias("n_lines")))
+    rec = o.join(lines, o.o_orderkey == lines.l_orderkey, "full_outer")
+    status = (F.when(F.col("o_orderkey").isNull(), F.lit("lines_only"))
+               .when(F.col("l_orderkey").isNull(), F.lit("header_only"))
+               .otherwise(F.lit("both")))
+    return rec.select(
+        F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("header_total"),
+        "line_total", "n_lines", status.alias("status"))
+
+
+Q45_SQL = f"""
+WITH l AS (
+  SELECT l_orderkey, {dsum_sql('l_extendedprice')} AS line_total,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS orderkey,
+       o.o_totalprice AS header_total,
+       l.line_total, l.n_lines,
+       CASE WHEN o.o_orderkey IS NULL THEN 'lines_only'
+            WHEN l.l_orderkey IS NULL THEN 'header_only'
+            ELSE 'both' END AS status
+FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -991,4 +1091,10 @@ SPECS = [
               "(sketch values engine-specific; rows-only)"),
     QuerySpec("q37_calendar_join", q37_calendar_join, Q37_SQL,
               "J2 date-dimension broadcast join (dim generated in-engine)"),
+    QuerySpec("q43_spend_quintiles", q43_spend_quintiles, Q43_SQL,
+              "ntile ranking window: per-nation spend quintiles"),
+    QuerySpec("q44_urgent_customers", q44_urgent_customers, Q44_SQL,
+              "left-semi join (EXISTS) surface"),
+    QuerySpec("q45_order_reconcile", q45_order_reconcile, Q45_SQL,
+              "full-outer reconciliation with presence status"),
 ]

@@ -96,3 +96,25 @@ def test_q42_vocab_top_k_never_global_sorts(spark):
     plan = _plan(spark, "q42_vocab")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_q44_semi_join_is_semi_in_plan(spark):
+    plan = _plan(spark, "q44_urgent_customers")
+    # must plan as a real semi join (LeftSemi), not inner join+distinct
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q45_full_outer_shares_orderkey_exchange(spark):
+    plan = _plan(spark, "q45_order_reconcile")
+    # rollup and join key on the same column: the lineitem side must not
+    # need a second exchange between its aggregate and the join
+    assert "FullOuter" in plan
+    # tree nodes render as "Exchange (n)"; detail headings as "(n) Exchange"
+    assert plan.count("Exchange (") <= 2, plan
+
+
+def test_q43_ntile_window_is_partitioned(spark):
+    plan = _plan(spark, "q43_spend_quintiles")
+    # the ntile window must be keyed (no single-partition global window)
+    assert "SinglePartition" not in plan
