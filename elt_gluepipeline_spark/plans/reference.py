@@ -323,11 +323,20 @@ def q08_top_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (o.join(cust, o.o_custkey == cust.c_custkey)
           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
-    agg = (j.groupBy("n_name")
-            .agg(F.countDistinct(_d("o_orderdate")).alias("active_days"),
-                 F.count(F.lit(1)).alias("total_orders"),
-                 dsum("o_totalprice").alias("revenue"))
-            .withColumn("orders_per_day", F.col("total_orders") / F.col("active_days")))
+    # two-level instead of COUNT(DISTINCT)-with-sums: mixed
+    # distinct/plain aggregates plan as an Expand duplicating every
+    # joined row; pre-aggregating per (nation, day) gets identical
+    # values (exact decimal partial sums) without the duplication —
+    # and the (nation, day) grain is tiny, so level 2 is nearly free.
+    lvl1 = (j.groupBy("n_name", _d("o_orderdate").alias("_day"))
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(dec("o_totalprice")).alias("_rev")))
+    agg = (lvl1.groupBy("n_name")
+               .agg(F.count("_day").alias("active_days"),
+                    F.sum("_n").alias("total_orders"),
+                    F.sum("_rev").cast("double").alias("revenue"))
+               .withColumn("orders_per_day",
+                           F.col("total_orders") / F.col("active_days")))
     w = Window.orderBy(F.col("revenue").desc(), F.col("n_name"))
     return agg.withColumn("rank", F.row_number().over(w).cast("long"))
 
