@@ -1047,6 +1047,52 @@ FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q46 — INTERSECT (§2.6 set-op surface): customers who ordered in BOTH
+# 1996 and 1997. Plans as a LeftSemi over pre-distinct inputs — one
+# shuffle per side on the same key, no row multiplication.
+# --------------------------------------------------------------------------
+
+def q46_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    y96 = (o.filter(F.year("o_orderdate") == 1996)
+             .select(F.col("o_custkey").alias("custkey")))
+    y97 = (o.filter(F.year("o_orderdate") == 1997)
+             .select(F.col("o_custkey").alias("custkey")))
+    return y96.intersect(y97)
+
+
+Q46_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+# --------------------------------------------------------------------------
+# Q47 — EXCEPT ALL (§2.6 O3 with multiset fidelity — the B6 fix made
+# queryable): the exact multiset of lines REMOVED by the quality
+# predicates. exceptAll preserves duplicate counts, so removed ∪ kept
+# reconstructs the input exactly — the invariant `subtract` silently
+# breaks by deduping.
+# --------------------------------------------------------------------------
+
+def q47_removed_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (read_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    clean = li.filter((F.col("l_quantity") > 0) & (F.col("l_quantity") <= 47)
+                      & (F.col("l_extendedprice") > 0))
+    return li.exceptAll(clean)
+
+
+Q47_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+EXCEPT ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+WHERE l_quantity > 0 AND l_quantity <= 47 AND l_extendedprice > 0
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -1106,4 +1152,8 @@ SPECS = [
               "left-semi join (EXISTS) surface"),
     QuerySpec("q45_order_reconcile", q45_order_reconcile, Q45_SQL,
               "full-outer reconciliation with presence status"),
+    QuerySpec("q46_repeat_customers", q46_repeat_customers, Q46_SQL,
+              "INTERSECT set-op surface"),
+    QuerySpec("q47_removed_lines", q47_removed_lines, Q47_SQL,
+              "EXCEPT ALL multiset set-op (B6-fixed semantics, queryable)"),
 ]
