@@ -289,15 +289,18 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str, *,
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
     h = toks.select(id_col, hash_col(F.col("t")).alias("h"))
-    votes = h.groupBy(id_col).agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_v{b}")
-        for b in range(bits)
-    ])
+    # branchless votes: sum the raw bit per position (no when/otherwise
+    # in the 64-wide aggregate) and recover the sign at the end —
+    # vote_b > 0  ⇔  2*ones_b > n_tokens. Same result, leaner codegen
+    # on the per-token hot path.
+    votes = h.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+          .alias(f"_s{b}") for b in range(bits)])
     out = F.lit(0).cast("long")
     for b in range(bits):
         out = out.bitwiseOR(
-            F.when(F.col(f"_v{b}") > 0,
+            F.when(F.col(f"_s{b}") * 2 > F.col("_n"),
                    F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
     return votes.select(F.col(id_col), out.alias("simhash"))
 
