@@ -631,6 +631,58 @@ GROUP BY p.event_id, p.user_id
 
 
 # --------------------------------------------------------------------------
+# Q48 — q39 through the STREAMING runtime: watermarked stream-stream
+# interval join (purchases ⋈ clicks within [-1h, 0] on user), drained
+# with AvailableNow, then a batch rollup per purchase. The bounded
+# event-time condition is what lets the join evict buffered state —
+# the property that makes this run unbounded at scale. Same oracle as
+# q39: the streaming and batch range joins must agree row-for-row.
+# --------------------------------------------------------------------------
+
+_EVENTS_NANOS_DDL = ("event_id long, ts long, user_id long, "
+                     "event_type string, value double, props string")
+
+
+def q48_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (run_rollup_available_now,
+                                    stream_interval_join)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def src() -> DataFrame:
+        # watermarks need instant TIMESTAMP (not NTZ): build it from raw
+        # epoch micros, and extract unix_micros at the end so outputs
+        # stay timezone-independent
+        return (spark.readStream.schema(_EVENTS_NANOS_DDL)
+                     .option("pathGlobFilter", "events.parquet")
+                     .parquet(sf_dir)
+                     .select("event_id", "user_id", "event_type",
+                             F.timestamp_micros(F.expr("ts div 1000"))
+                              .alias("ts")))
+
+    purchases = (src().filter(F.col("event_type") == "purchase")
+                      .select("event_id", "user_id", "ts"))
+    clicks = (src().filter(F.col("event_type") == "click")
+                   .select("user_id", "ts"))
+    j = stream_interval_join(purchases, clicks, on=["user_id"],
+                             left_ts="ts", right_ts="ts",
+                             lower_s=-3600, upper_s=0, prefix="click_")
+    # stateful-shard count is a real deployment knob (shards ∝ sustained
+    # rate): every micro-batch pays a state-store commit PER shard, so a
+    # bounded backfill drain wants few shards. Restore the session
+    # setting once the drain finishes (the call blocks to completion).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        drained = run_rollup_available_now(j, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (drained.groupBy(F.col("event_id").alias("purchase_id"),
+                            F.col("user_id"))
+                   .agg(F.count(F.lit(1)).alias("n_clicks_1h"),
+                        F.max(F.unix_micros("click_ts")).alias("last_click_us")))
+
+
+# --------------------------------------------------------------------------
 # Q42 — corpus vocabulary: token frequency top-100 (explode → hash agg
 # with map-side partials → TakeOrderedAndProject, i.e. per-partition
 # top-k then driver merge — never a full global sort). The boundary tie
@@ -696,4 +748,7 @@ SPECS = [
     QuerySpec("q42_vocab", q42_vocab, Q42_SQL,
               "corpus vocabulary: token frequency top-100 "
               "(explode → agg → TakeOrdered)"),
+    QuerySpec("q48_stream_attribution", q48_stream_attribution, Q39_SQL,
+              "watermarked stream-stream interval join (streaming twin "
+              "of q39, same oracle)"),
 ]

@@ -112,3 +112,44 @@ def run_rollup_available_now(agg: DataFrame,
             .start())
     q.awaitTermination()
     return agg.sparkSession.table(name)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    lateness: str = "2 hours",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (the streaming twin of
+    operators.joins.range_join): right rows within
+    ``[left_ts + lower_s, left_ts + upper_s]`` seconds of each left row,
+    equi-matched on ``on``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, which is exactly what lets Spark evict
+    join state: a buffered right row can be dropped once the left
+    watermark passes ``right_ts - lower_s``. Without the time bound the
+    state store grows forever — the interval is load-bearing at scale,
+    not a convenience. Right columns come back ``prefix``-renamed.
+    Event-time columns must be instant TIMESTAMP (watermarks reject
+    NTZ); keep outputs timezone-stable by extracting ``unix_micros``
+    downstream rather than formatting.
+    """
+    r = right.select([F.col(c).alias(prefix + c) for c in right.columns])
+    lw = left.withWatermark(left_ts, lateness)
+    rw = r.withWatermark(prefix + right_ts, lateness)
+    cond = None
+    for k in on:
+        c = lw[k] == rw[prefix + k]
+        cond = c if cond is None else cond & c
+    rts, lts = rw[prefix + right_ts], lw[left_ts]
+    cond = (cond
+            & (rts >= lts + F.expr(f"make_interval(0,0,0,0,0,0,{lower_s})"))
+            & (rts <= lts + F.expr(f"make_interval(0,0,0,0,0,0,{upper_s})")))
+    return lw.join(rw, cond, "inner")

@@ -65,3 +65,15 @@ def test_stream_windowed_rollup_matches_batch(spark, tmp_path):
     max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
     want = {(r.cat, r.tv, r.n) for r in batch.collect() if r.w.end <= max_ts}
     assert got == want and len(got) >= 1
+
+
+def test_stream_interval_join_matches_batch_range_join(spark):
+    # q48's property, pinned at sf0.001: the watermarked stream-stream
+    # interval join must agree row-for-row with the batch range join
+    from elt_gluepipeline_spark.plans import registry
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in
+             registry()["q39_range_clicks"].build(spark, sf).collect()}
+    stream = {tuple(r) for r in
+              registry()["q48_stream_attribution"].build(spark, sf).collect()}
+    assert stream == batch and len(stream) > 0
