@@ -675,7 +675,7 @@ def q29_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    dsum("value").alias("total_value"))
               .select(F.date_format("bucket.start", TS_FMT).alias("bucket_start"),
                       "event_type", "n_events", "total_value"))
-    return run_rollup_available_now(agg)
+    return run_rollup_available_now(agg, state_partitions=8)
 
 
 # --------------------------------------------------------------------------
@@ -919,7 +919,8 @@ def q35_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("user_id", "event_id",
                         F.expr("ts div 1000").alias("ts_us")))
     sessions = sessionize_stateful(src, gap_minutes=SESSION_GAP_MIN)
-    return run_rollup_available_now(sessions, output_mode="append")
+    return run_rollup_available_now(sessions, output_mode="append",
+                                    state_partitions=8)
 
 
 Q35_SQL = f"""

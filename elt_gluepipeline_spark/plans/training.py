@@ -666,16 +666,8 @@ def q48_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = stream_interval_join(purchases, clicks, on=["user_id"],
                              left_ts="ts", right_ts="ts",
                              lower_s=-3600, upper_s=0, prefix="click_")
-    # stateful-shard count is a real deployment knob (shards ∝ sustained
-    # rate): every micro-batch pays a state-store commit PER shard, so a
-    # bounded backfill drain wants few shards. Restore the session
-    # setting once the drain finishes (the call blocks to completion).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        drained = run_rollup_available_now(j, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = run_rollup_available_now(j, output_mode="append",
+                                       state_partitions=8)
     return (drained.groupBy(F.col("event_id").alias("purchase_id"),
                             F.col("user_id"))
                    .agg(F.count(F.lit(1)).alias("n_clicks_1h"),

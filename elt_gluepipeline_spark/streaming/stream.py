@@ -90,7 +90,8 @@ _MEM_SINK_SEQ = itertools.count(1)
 
 
 def run_rollup_available_now(agg: DataFrame,
-                             output_mode: str = "complete") -> DataFrame:
+                             output_mode: str = "complete",
+                             state_partitions: int | None = None) -> DataFrame:
     """Drain a streaming aggregation with Trigger.AvailableNow into a
     memory sink (complete mode) and return the final result as a BATCH
     DataFrame.
@@ -105,13 +106,26 @@ def run_rollup_available_now(agg: DataFrame,
     flatMapGroups operators require output_mode='append'. A production
     continuous stream uses the append-mode parquet sink above instead.
     """
+    spark = agg.sparkSession
     name = f"_stream_rollup_{next(_MEM_SINK_SEQ)}"
-    q = (agg.writeStream.format("memory").queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start())
-    q.awaitTermination()
-    return agg.sparkSession.table(name)
+    # state_partitions sizes the stateful-operator shard count for the
+    # drain (a real deployment knob — shards ∝ sustained rate): every
+    # micro-batch pays a state-store commit PER shard, so a bounded
+    # backfill wants few. Restored once the drain completes (blocking).
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start())
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_interval_join(
