@@ -69,6 +69,35 @@ def grouping_rollup(df: DataFrame, keys: Sequence[str],
     return df.rollup(*[F.col(k) for k in keys]).agg(gid, *aggs)
 
 
+def pivot_agg(df: DataFrame, keys: Sequence[str], pivot_col: str,
+              values: dict[str, str], agg_builder) -> DataFrame:
+    """Pivot with KNOWN values lowered to ONE conditional aggregation.
+
+    ``df.groupBy(...).pivot(col, values).agg(...)`` plans as TWO
+    aggregation passes in Spark (inner agg keyed on (keys, pivot_col),
+    then a pivotfirst agg keyed on keys) — two exchanges, the first
+    keyed on the high-cardinality composite. When the caller knows the
+    pivot values (the dashboard crosstab case — SURVEY.md A11,
+    streamlit/go_streamlit.py:400-404), lowering each cell to
+    ``agg(CASE WHEN pivot=v THEN x END)`` needs ONE partial+final
+    aggregation keyed on ``keys`` alone: one exchange, and the shuffle
+    rows are already as wide as the final crosstab (cells travel as
+    partial aggregation state, one row per key per map task).
+
+    ``values`` maps pivot value → output column name; ``agg_builder``
+    maps a filtered Column-provider to the aggregate for one cell:
+    ``lambda cell: dsum(cell("o_totalprice"))``.
+    """
+    def cell_for(value: str):
+        def cell(col: str | Column) -> Column:
+            c = F.col(col) if isinstance(col, str) else col
+            return F.when(F.col(pivot_col) == value, c)
+        return cell
+    aggs = [agg_builder(cell_for(v)).alias(name)
+            for v, name in values.items()]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
 def time_rollup(df: DataFrame, ts_col: str, grain: str, keys: Sequence[str],
                 aggs: Sequence[Column]) -> DataFrame:
     """A4: time-bucketed rollup at one grain ∈ {hour, day, week, month}.

@@ -1094,6 +1094,141 @@ WHERE l_quantity > 0 AND l_quantity <= 47 AND l_extendedprice > 0
 """
 
 
+# --------------------------------------------------------------------------
+# Q49 — pivot (wide metric matrix: the dashboard's crosstab shape,
+# streamlit/go_streamlit.py:400-404 rendered as columns). Built with
+# operators.aggregates.pivot_agg, which lowers a known-values pivot to
+# ONE conditional aggregation — Spark's own ``.pivot()`` plans two
+# aggregation passes (and without an explicit value list it first runs
+# a distinct-values job over the fact: a full extra scan at 100 TB).
+# --------------------------------------------------------------------------
+
+_PRIORITIES = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+               "4-NOT SPECIFIED": "not_specified", "5-LOW": "low"}
+
+
+def q49_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import pivot_agg
+    o = read_table(spark, sf_dir, "orders")
+    d = o.select(F.year("o_orderdate").cast("int").alias("year"),
+                 "o_orderpriority", "o_totalprice")
+    return pivot_agg(d, ["year"], "o_orderpriority", _PRIORITIES,
+                     lambda cell: dsum(cell("o_totalprice")))
+
+
+Q49_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       {", ".join(
+           dsum_sql(f"CASE WHEN o_orderpriority = '{k}' THEN o_totalprice END")
+           + f" AS {v}" for k, v in _PRIORITIES.items())}
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q50 — stream-static enrichment join: the events stream joined to a
+# static dimension (customer segment) inside the streaming runtime,
+# then aggregated. The static side is broadcast — each micro-batch
+# probes an executor-local hash map, so the stream never shuffles for
+# the join; that is THE join shape for enriching a firehose against
+# reference data at scale. Result equals the batch join+agg → same
+# oracle.
+# --------------------------------------------------------------------------
+
+def q50_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import run_rollup_available_now
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir))
+    dim = (read_table(spark, sf_dir, "customer")
+           .select("c_custkey", "c_mktsegment"))
+    enriched = src.join(F.broadcast(dim),
+                        src.user_id == dim.c_custkey, "inner")
+    agg = (enriched.groupBy("event_type", "c_mktsegment")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        dsum("value").alias("total_value")))
+    return run_rollup_available_now(agg, state_partitions=8)
+
+
+Q50_SQL = f"""
+SELECT event_type, c_mktsegment, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY event_type, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Q51 — analytic-window completion (§2.5 note: lead / first_value /
+# dense_rank "trivially added via the same Window surface" — here they
+# are, oracle-checked): per-customer order timeline. Both windows
+# partition on the same key, so Catalyst plans ONE exchange and two
+# in-partition sorts — adding analytic columns costs sorts, not
+# shuffles.
+# --------------------------------------------------------------------------
+
+def q51_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_size = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.date_format(_d("o_orderdate"), DATE_FMT).alias("order_date"),
+        "o_totalprice",
+        F.date_format(F.lead(_d("o_orderdate")).over(w_time),
+                      DATE_FMT).alias("next_order_date"),
+        F.first("o_totalprice").over(w_time).alias("first_order_value"),
+        F.dense_rank().over(w_size).cast("int").alias("size_rank"))
+
+
+Q51_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o_totalprice,
+       CAST(LEAD(CAST(o_orderdate AS DATE))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS VARCHAR)
+         AS next_order_date,
+       FIRST_VALUE(o_totalprice)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS first_order_value,
+       CAST(DENSE_RANK()
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+         AS size_rank
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Q52 — CUBE grouping sets (q26 covers ROLLUP's grain ladder; CUBE is
+# the full lattice the dashboard's slice-anyway filters imply). One
+# Expand ×4 feeds one partial+final aggregation — a 4× row fan-out on
+# a 2-bit lattice, vs 4 separate scans of the fact. gid disambiguates
+# subtotal rows from genuine NULL group values.
+# --------------------------------------------------------------------------
+
+def q52_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+             .agg(F.grouping_id().cast("int").alias("gid"),
+                  F.count(F.lit(1)).alias("n_orders"),
+                  dsum("o_totalprice").alias("revenue")))
+
+
+Q52_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -1157,4 +1292,14 @@ SPECS = [
               "INTERSECT set-op surface"),
     QuerySpec("q47_removed_lines", q47_removed_lines, Q47_SQL,
               "EXCEPT ALL multiset set-op (B6-fixed semantics, queryable)"),
+    QuerySpec("q49_priority_pivot", q49_priority_pivot, Q49_SQL,
+              "pivot crosstab with explicit values (one aggregation pass)"),
+    QuerySpec("q50_stream_enrich", q50_stream_enrich, Q50_SQL,
+              "stream-static broadcast enrichment join through the "
+              "streaming runtime"),
+    QuerySpec("q51_order_timeline", q51_order_timeline, Q51_SQL,
+              "lead / first_value / dense_rank analytic windows, one "
+              "exchange"),
+    QuerySpec("q52_status_cube", q52_status_cube, Q52_SQL,
+              "CUBE lattice with grouping_id (one Expand, one aggregation)"),
 ]

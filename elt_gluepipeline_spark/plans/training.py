@@ -100,7 +100,7 @@ WITH toks AS (
          -- so each punctuation CHAR is its own token) and drops
          -- whitespace-only tokens; the RE2-compatible twin extracts word
          -- runs + single non-word non-space chars
-         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
            AS n_tokens_bpe,
          CASE WHEN len(tok) = 0 THEN 0.0
               ELSE len(list_distinct(tok)) / len(tok) END AS uniq_ratio,

@@ -2,6 +2,7 @@ from pyspark.sql import functions as F
 
 from elt_gluepipeline_spark.functions.deterministic import davg, dsum
 from elt_gluepipeline_spark.operators.aggregates import (grouped_percentiles,
+                                                         pivot_agg,
                                                          time_rollup,
                                                          two_level_agg)
 
@@ -42,6 +43,21 @@ def test_time_rollup_grains(spark):
         ("2024-01-01 10:00:00", 3.0), ("2024-01-02 00:00:00", 4.0)}
     daily = time_rollup(df, "ts", "day", [], [dsum("v").alias("s")])
     assert {r.s for r in daily.collect()} == {3.0, 4.0}
+
+
+def test_pivot_agg_matches_native_pivot(spark):
+    df = spark.createDataFrame(
+        [("2024", "a", 1.0), ("2024", "a", 2.0), ("2024", "b", 4.0),
+         ("2025", "b", 8.0)],
+        "y string, k string, v double")
+    ours = pivot_agg(df, ["y"], "k", {"a": "col_a", "b": "col_b", "c": "col_c"},
+                     lambda cell: dsum(cell("v")))
+    native = (df.groupBy("y").pivot("k", ["a", "b", "c"]).agg(dsum("v"))
+                .withColumnsRenamed({"a": "col_a", "b": "col_b", "c": "col_c"}))
+    assert ({tuple(r) for r in ours.collect()}
+            == {tuple(r) for r in native.collect()})
+    # absent pivot value -> NULL cell (SUM over no rows), like native
+    assert all(r.col_c is None for r in ours.collect())
 
 
 def test_deterministic_sum_matches_plain_sum(spark):

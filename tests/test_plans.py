@@ -118,3 +118,29 @@ def test_q43_ntile_window_is_partitioned(spark):
     plan = _plan(spark, "q43_spend_quintiles")
     # the ntile window must be keyed (no single-partition global window)
     assert "SinglePartition" not in plan
+
+
+def test_q49_pivot_is_one_aggregation_pass(spark):
+    plan = _plan(spark, "q49_priority_pivot")
+    # explicit pivot values: no distinct-values pre-pass, no Expand —
+    # ONE partial+final aggregation over the fact
+    assert "Expand" not in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange (") <= 1, plan
+
+
+def test_q51_windows_share_one_exchange(spark):
+    plan = _plan(spark, "q51_order_timeline")
+    # both analytic windows partition on o_custkey: adding columns must
+    # cost sorts, not a second shuffle
+    assert plan.count("Exchange (") <= 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_q52_cube_is_one_expand_one_agg(spark):
+    plan = _plan(spark, "q52_status_cube")
+    # the whole 4-set lattice from one Expand + one aggregation —
+    # never one scan per grouping set
+    assert plan.count("Expand") >= 1
+    assert "partial_count" in plan
+    assert plan.count("Exchange (") <= 1, plan

@@ -67,6 +67,26 @@ def test_stream_windowed_rollup_matches_batch(spark, tmp_path):
     assert got == want and len(got) >= 1
 
 
+def test_stream_enrich_matches_batch_join(spark):
+    # q50's property, pinned at sf0.001: the stream-static broadcast
+    # enrichment join + aggregation must equal the same plan run as a
+    # batch join
+    from elt_gluepipeline_spark.plans import registry
+    from elt_gluepipeline_spark.sources.readers import read_table
+    sf = "/root/testdata/sf0.001"
+    stream = {tuple(r) for r in
+              registry()["q50_stream_enrich"].build(spark, sf).collect()}
+    ev = read_table(spark, sf, "events")
+    dim = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    batch = (ev.join(dim, ev.user_id == dim.c_custkey)
+               .groupBy("event_type", "c_mktsegment")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                     .cast("double").alias("total_value")))
+    want = {tuple(r) for r in batch.collect()}
+    assert stream == want and len(stream) > 0
+
+
 def test_stream_interval_join_matches_batch_range_join(spark):
     # q48's property, pinned at sf0.001: the watermarked stream-stream
     # interval join must agree row-for-row with the batch range join
