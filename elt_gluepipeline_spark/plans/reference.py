@@ -23,7 +23,7 @@ from ..functions.keys import surrogate_key, surrogate_key_sql
 from ..operators.aggregates import grouping_rollup
 from ..operators.quality import extract_violations, severity_from_thresholds
 from ..operators.windows import dedupe_keep_latest
-from ..sources.readers import read_table
+from ..sources.readers import (ntz_micros, read_table, read_table_stream)
 from . import QuerySpec
 
 DATE_FMT = "yyyy-MM-dd"
@@ -648,27 +648,14 @@ GROUP BY event_type
 # the result equals the batch rollup, so the same oracle applies.
 # --------------------------------------------------------------------------
 
-_EVENTS_NANOS_SCHEMA = ("event_id long, ts long, user_id long, "
-                        "event_type string, value double, props string")
-
-
 def q29_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import run_rollup_available_now
-    # events.parquet stores TIMESTAMP(NANOS): read as long, rebuild NTZ
-    # (same normalization as sources.readers.read_table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # No withWatermark here: complete-mode output never evicts window
     # state, and watermarks require instant TIMESTAMP while this column
     # is deliberately NTZ (session-timezone-independent output). The
     # production append-mode path (streaming.stream_windowed_rollup)
     # carries the watermark.
-    # file-source streams take a directory; glob-filter to the one table
-    src = (spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-                .withColumn("ts", F.expr(
-                    "timestampadd(MICROSECOND, ts div 1000, "
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')")))
+    src = read_table_stream(spark, sf_dir, "events")
     agg = (src.groupBy(F.window("ts", "1 hour").alias("bucket"),
                        F.col("event_type"))
               .agg(F.count(F.lit(1)).alias("n_events"),
@@ -910,14 +897,10 @@ FROM sess GROUP BY user_id, session_id
 def q35_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessionize import sessionize_stateful
     from ..streaming.stream import run_rollup_available_now
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-                # ts is parquet NANOS read as long: keep event time as
-                # epoch micros so only longs cross the Arrow boundary
-                .select("user_id", "event_id",
-                        F.expr("ts div 1000").alias("ts_us")))
+    # keep event time as epoch micros so only longs cross the Arrow
+    # boundary into the stateful fold
+    src = (read_table_stream(spark, sf_dir, "events")
+           .select("user_id", "event_id", ntz_micros("ts").alias("ts_us")))
     sessions = sessionize_stateful(src, gap_minutes=SESSION_GAP_MIN)
     return run_rollup_available_now(sessions, output_mode="append",
                                     state_partitions=8)
@@ -1138,10 +1121,7 @@ GROUP BY year(o_orderdate)
 
 def q50_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import run_rollup_available_now
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir))
+    src = read_table_stream(spark, sf_dir, "events")
     dim = (read_table(spark, sf_dir, "customer")
            .select("c_custkey", "c_mktsegment"))
     enriched = src.join(F.broadcast(dim),

@@ -25,7 +25,8 @@ from ..operators.similarity import (_hyperplanes, cosine_neardup_pairs,
 from ..operators.textstats import (EN_STOPWORDS, bpe_ish_tokens,
                                    fingerprint_md5, fingerprint_rolling,
                                    langid_en_heuristic, n_tokens, tokens)
-from ..sources.readers import read_table
+from ..sources.readers import (ntz_micros, ntz_to_instant, read_table,
+                               read_table_stream)
 from . import QuerySpec
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
@@ -432,13 +433,8 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 # inclusive point-in-time lookup; shuffle-once union+window plan)
 # --------------------------------------------------------------------------
 
-_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-
-
-def _ntz_micros(col: str) -> F.Column:
-    """Epoch microseconds of an NTZ timestamp via pure NTZ arithmetic
-    (timezone-independent on both engines)."""
-    return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+# shared NTZ→epoch-micros helper lives in sources.readers (ntz_micros)
+_ntz_micros = ntz_micros
 
 
 def q28_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,25 +635,17 @@ GROUP BY p.event_id, p.user_id
 # q39: the streaming and batch range joins must agree row-for-row.
 # --------------------------------------------------------------------------
 
-_EVENTS_NANOS_DDL = ("event_id long, ts long, user_id long, "
-                     "event_type string, value double, props string")
-
-
 def q48_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import (run_rollup_available_now,
                                     stream_interval_join)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def src() -> DataFrame:
-        # watermarks need instant TIMESTAMP (not NTZ): build it from raw
-        # epoch micros, and extract unix_micros at the end so outputs
-        # stay timezone-independent
-        return (spark.readStream.schema(_EVENTS_NANOS_DDL)
-                     .option("pathGlobFilter", "events.parquet")
-                     .parquet(sf_dir)
-                     .select("event_id", "user_id", "event_type",
-                             F.timestamp_micros(F.expr("ts div 1000"))
-                              .alias("ts")))
+        # watermarks need instant TIMESTAMP (not NTZ): convert via epoch
+        # micros, and extract unix_micros at the end so outputs stay
+        # timezone-independent
+        return (read_table_stream(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type",
+                        ntz_to_instant("ts").alias("ts")))
 
     purchases = (src().filter(F.col("event_type") == "purchase")
                       .select("event_id", "user_id", "ts"))

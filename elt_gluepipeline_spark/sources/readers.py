@@ -38,19 +38,29 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem')."""
-    nanos_cols = NANOS_TS_COLUMNS.get(name, ())
-    if nanos_cols:
-        # runtime-settable legacy conf; needed because the driver's own
-        # session won't have it at build time
+def _set_ts_read_confs(spark: SparkSession, name: str) -> None:
+    """Timestamp-layout confs shared by the batch and streaming readers.
+
+    nanosAsLong is runtime-settable and needed because the driver's own
+    session won't have it at build time; it only affects columns whose
+    parquet footer actually says TIMESTAMP(NANOS). inferTimestampNTZ
+    keeps naive parquet timestamps timezone-naive (TIMESTAMP_NTZ) so
+    formatted output is session-timezone-independent.
+    """
+    if NANOS_TS_COLUMNS.get(name, ()):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # naive parquet timestamps must stay timezone-naive (TIMESTAMP_NTZ)
-    # so formatted output is session-timezone-independent
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+
+
+def _normalize_nanos(df: DataFrame, name: str) -> DataFrame:
+    """Dtype-guarded ns→µs normalization: only rewrites a column that
+    actually read as bigint (i.e. the file stores TIMESTAMP(NANOS) and
+    nanosAsLong kicked in). Files that store µs timestamps arrive as
+    timestamp_ntz and pass through untouched — robust to the testdata
+    being regenerated with either encoding."""
+    dtypes = dict(df.dtypes)
+    for c in NANOS_TS_COLUMNS.get(name, ()):
+        if dtypes.get(c) == "bigint":
             # ns → µs as NTZ via pure arithmetic on an NTZ epoch:
             # timezone-independent (timestamp_micros() would build an
             # instant that renders shifted under non-UTC sessions)
@@ -58,6 +68,51 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 c, F.expr(f"timestampadd(MICROSECOND, {c} div 1000, "
                           f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem')."""
+    _set_ts_read_confs(spark, name)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_nanos(df, name)
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of read_table: file-source stream over one
+    testdata table with the SAME timestamp normalization.
+
+    File streams require an explicit schema; taking it from the batch
+    parquet footer (under the same confs) instead of hard-coding one
+    makes the stream robust to the timestamp encoding of the files —
+    a hard-coded ``ts long`` schema silently misreads µs-encoded
+    timestamps as raw longs (the round-2 q29/q35/q48 regression).
+    Event-time columns come out TIMESTAMP_NTZ; use ntz_to_instant()
+    where the plan needs watermarks (which reject NTZ).
+    """
+    _set_ts_read_confs(spark, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    src = (spark.readStream.schema(schema)
+                # file-source streams take a directory; glob-filter to
+                # the one table
+                .option("pathGlobFilter", f"{name}.parquet")
+                .parquet(sf_dir))
+    return _normalize_nanos(src, name)
+
+
+def ntz_micros(col: str) -> F.Column:
+    """Epoch microseconds of an NTZ timestamp via pure NTZ arithmetic
+    (timezone-independent on both engines)."""
+    return F.expr(f"timestampdiff(MICROSECOND, "
+                  f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+
+
+def ntz_to_instant(col: str) -> F.Column:
+    """NTZ wall-time (interpreted as UTC) → instant TIMESTAMP, for
+    plans that need watermarks/stream-stream joins (which reject NTZ).
+    Downstream outputs should extract unix_micros rather than format,
+    so results stay session-timezone-independent."""
+    return F.timestamp_micros(ntz_micros(col))
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

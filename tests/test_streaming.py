@@ -87,6 +87,39 @@ def test_stream_enrich_matches_batch_join(spark):
     assert stream == want and len(stream) > 0
 
 
+def test_stream_hourly_matches_batch_rollup(spark):
+    # q29's property, pinned at sf0.001: the streaming tumbling-window
+    # rollup drained with AvailableNow must equal the batch hourly
+    # rollup (q06_trend_hourly) — this is what catches a testdata
+    # timestamp-encoding change in pytest instead of the driver gate
+    from elt_gluepipeline_spark.plans import registry
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in
+             registry()["q06_trend_hourly"].build(spark, sf).collect()}
+    stream = {tuple(r) for r in
+              registry()["q29_stream_hourly"].build(spark, sf).collect()}
+    assert stream == batch and len(stream) > 0
+
+
+def test_stream_sessions_match_batch_sessionize(spark):
+    # q35's property, pinned at sf0.001: stateful streaming
+    # sessionization == batch sessionization minus each user's trailing
+    # open session (completed-sessions semantics)
+    from pyspark.sql import Window
+    from elt_gluepipeline_spark.plans import registry
+    sf = "/root/testdata/sf0.001"
+    batch_df = registry()["q34_sessionize"].build(spark, sf)
+    w = Window.partitionBy("user_id")
+    closed = (batch_df
+              .withColumn("_max_sid", F.max("session_id").over(w))
+              .filter(F.col("session_id") < F.col("_max_sid"))
+              .drop("_max_sid"))
+    want = {tuple(r) for r in closed.collect()}
+    stream = {tuple(r) for r in
+              registry()["q35_stream_sessions"].build(spark, sf).collect()}
+    assert stream == want and len(stream) > 0
+
+
 def test_stream_interval_join_matches_batch_range_join(spark):
     # q48's property, pinned at sf0.001: the watermarked stream-stream
     # interval join must agree row-for-row with the batch range join
