@@ -32,6 +32,21 @@ class QuerySpec:
     doc: str = ""
 
 
+# The driver's correctness gate records only the FIRST 50 registry
+# entries (insertion order), so ordering is part of the contract: keep
+# every query that needs an oracle-checked driver row in the head, and
+# push queries whose coverage is redundant to the tail. Tail entries
+# still run everywhere else (pytest, bench, tools/check_correctness).
+_DEPRIORITIZED = (
+    "q06_trend_weekly",    # same _trend code path as q06_trend_daily
+    "q06_trend_monthly",   # same _trend code path as q06_trend_daily
+    "q36_top_locations_approx",  # rows-only HLL variant of green q08
+    "q17_minhash_neardup",  # rows-only; portable oracle twin is q41
+    "q21_simhash",          # rows-only; portable oracle twin is q40
+    "q38_rolling_fingerprint",  # rows-only; md5 oracle twin is q24
+)
+
+
 def registry() -> dict[str, QuerySpec]:
     """All declared queries, reference-parity + extensions."""
     from . import reference, training
@@ -42,4 +57,6 @@ def registry() -> dict[str, QuerySpec]:
             if spec.name in out:
                 raise ValueError(f"duplicate query name {spec.name}")
             out[spec.name] = spec
-    return out
+    head = {n: s for n, s in out.items() if n not in _DEPRIORITIZED}
+    tail = {n: out[n] for n in _DEPRIORITIZED if n in out}
+    return {**head, **tail}
