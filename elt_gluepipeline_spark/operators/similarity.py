@@ -19,7 +19,6 @@ a pandas_udf BLAS path can slot behind the same signature.
 from __future__ import annotations
 
 import random
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -130,64 +129,88 @@ NEARDUP_SCHEMA = StructType([
 
 
 def cosine_neardup_pairs(df: DataFrame, *, threshold: float,
-                         n_blocks: int = 8, id_col: str = "vec_id",
-                         vec_col: str = "embedding",
-                         round_to: int = 6) -> DataFrame:
+                         n_blocks: int | None = None, id_col: str = "vec_id",
+                         vec_col: str = "embedding", round_to: int = 6,
+                         target_block_bytes: int = 64 << 20) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (recall 1.0): every pair
     with cosine >= threshold, id_a < id_b.
 
     Distributed brute force as a BLOCKED MATRIX PRODUCT: vectors hash
-    into n_blocks buckets, each bucket is assembled into one
-    (rows x dim) float64 matrix, and every bucket PAIR (bi <= bj) is
-    scored with a single numpy GEMM inside mapInPandas — B(B+1)/2
-    independent tasks, each O((n/B)^2 * d) with two blocks resident.
-    An unordered id pair lands in exactly one bucket pair, so no pair
-    is scored or emitted twice.
+    into n_blocks buckets and every bucket PAIR (bi <= bj) is scored
+    with one numpy GEMM — B(B+1)/2 independent tasks, each
+    O((n/B)^2 * d) with two blocks resident. An unordered id pair lands
+    in exactly one bucket pair, so no pair is scored or emitted twice.
 
-    This is the exact path; its total compute is inherently O(n^2 * d).
-    Scale knobs: raise n_blocks so 2 blocks fit a task's memory (work
-    per task falls as 1/B^2), or switch to the sub-linear probabilistic
-    path (``lsh_ann`` sign-LSH buckets) when n^2 is off the table.
-    GEMM beats per-pair SQL expressions by >100x here — this is the one
-    place the Python/Arrow boundary wins over codegen.
+    Block pairs are assembled by replicating each vector AS ROWS into
+    the (blk_a, blk_b) groups it participates in and folding each group
+    with applyInPandas — vectors arrive as Arrow record batches, never
+    as one collect_list'd array value, so there is no ~2 GB single-value
+    ceiling and no executor-OOM block row at corpus scale. Per-task
+    memory is two blocks (~2x target_block_bytes), controlled by
+    n_blocks; when n_blocks is None it is auto-sized from count x dim
+    so each block's float64 matrix is ~target_block_bytes.
+
+    This is the exact path; its total compute is inherently O(n^2 * d)
+    and its shuffle O(n * B * d) (each vector meets every other block).
+    Switch to the sub-linear probabilistic path (``lsh_ann`` sign-LSH
+    buckets) when n^2 is off the table. GEMM beats per-pair SQL
+    expressions by >100x here — this is the one place the Python/Arrow
+    boundary wins over codegen.
     """
-    blocks = (df.select(F.col(id_col).cast("long").alias("_id"),
-                        F.col(vec_col).cast("array<double>").alias("_v"))
-                .withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)))
-                .groupBy("_blk")
-                .agg(F.collect_list(F.struct("_id", "_v")).alias("_items")))
-    pairs = (blocks.select(F.col("_blk").alias("_blk_a"), F.col("_items").alias("_a"))
-                   .join(blocks.select(F.col("_blk").alias("_blk_b"),
-                                       F.col("_items").alias("_b")),
-                         F.col("_blk_a") <= F.col("_blk_b")))
+    v = df.select(F.col(id_col).cast("long").alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    if n_blocks is None:
+        first = v.select(F.size("_v").alias("d")).head(1)
+        dim = first[0]["d"] if first else 1
+        n = v.count()
+        n_blocks = max(1, -(-(n * max(dim, 1) * 8) // target_block_bytes))
+    b = int(n_blocks)
 
-    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids_a = np.array([e["_id"] for e in row["_a"]], dtype=np.int64)
-                mat_a = np.array([e["_v"] for e in row["_a"]], dtype=np.float64)
-                same = row["_blk_a"] == row["_blk_b"]
-                if same:
-                    ids_b, mat_b = ids_a, mat_a
-                else:
-                    ids_b = np.array([e["_id"] for e in row["_b"]], dtype=np.int64)
-                    mat_b = np.array([e["_v"] for e in row["_b"]], dtype=np.float64)
-                norm_a = np.linalg.norm(mat_a, axis=1)
-                norm_b = norm_a if same else np.linalg.norm(mat_b, axis=1)
-                denom = np.outer(norm_a, norm_b)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom > 0, (mat_a @ mat_b.T) / denom, 0.0)
-                cos = np.round(cos, round_to)
-                ii, jj = np.nonzero(cos >= threshold)
-                if same:
-                    keep = ii < jj  # strict upper triangle: each pair once
-                    ii, jj = ii[keep], jj[keep]
-                ia, ib = ids_a[ii], ids_b[jj]
-                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-                yield pd.DataFrame({"id_a": lo, "id_b": hi,
-                                    "cosine": cos[ii, jj]})
+    # vector in block k joins group (min(k,o), max(k,o)) for every block
+    # o; side marks which matrix it lands in ('l'/'r', diagonal = both)
+    blk = F.pmod(F.xxhash64("_id"), F.lit(b)).cast("int")
+    pair_of = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda o: F.struct(
+            F.least(F.col("_blk"), o).alias("_ba"),
+            F.greatest(F.col("_blk"), o).alias("_bb"),
+            F.when(F.col("_blk") == o, F.lit("lr"))
+             .when(F.col("_blk") < o, F.lit("l"))
+             .otherwise(F.lit("r")).alias("_side")))
+    exploded = (v.withColumn("_blk", blk)
+                 .withColumn("_p", F.explode(pair_of))
+                 .select("_id", "_v", F.col("_p._ba").alias("_ba"),
+                         F.col("_p._bb").alias("_bb"),
+                         F.col("_p._side").alias("_side")))
 
-    return pairs.mapInPandas(_score, schema=NEARDUP_SCHEMA)
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["_side"] != "r"]
+        same = bool((pdf["_side"] == "lr").any())
+        right = left if same else pdf[pdf["_side"] != "l"]
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64),
+                                 "cosine": np.array([], dtype=np.float64)})
+        ids_a = left["_id"].to_numpy(dtype=np.int64)
+        mat_a = np.array(list(left["_v"]), dtype=np.float64)
+        ids_b = ids_a if same else right["_id"].to_numpy(dtype=np.int64)
+        mat_b = mat_a if same else np.array(list(right["_v"]), dtype=np.float64)
+        norm_a = np.linalg.norm(mat_a, axis=1)
+        norm_b = norm_a if same else np.linalg.norm(mat_b, axis=1)
+        denom = np.outer(norm_a, norm_b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (mat_a @ mat_b.T) / denom, 0.0)
+        cos = np.round(cos, round_to)
+        ii, jj = np.nonzero(cos >= threshold)
+        if same:
+            keep = ii < jj  # strict upper triangle: each pair once
+            ii, jj = ii[keep], jj[keep]
+        ia, ib = ids_a[ii], ids_b[jj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ii, jj]})
+
+    return (exploded.groupBy("_ba", "_bb")
+                    .applyInPandas(_score, schema=NEARDUP_SCHEMA))
 
 
 def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,

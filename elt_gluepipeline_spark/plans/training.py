@@ -412,7 +412,10 @@ GROUP BY 1
 
 def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.45, n_blocks=8)
+    # n_blocks auto-sized from count x dim so each block's float64
+    # matrix stays ~64 MB — the knob that keeps two blocks per task
+    # resident at any corpus scale
+    return cosine_neardup_pairs(emb, threshold=0.45)
 
 
 Q25_SQL = """

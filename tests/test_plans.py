@@ -144,3 +144,12 @@ def test_q52_cube_is_one_expand_one_agg(spark):
     assert plan.count("Expand") >= 1
     assert "partial_count" in plan
     assert plan.count("Exchange (") <= 1, plan
+
+
+def test_q25_blocks_stream_as_rows_not_single_values(spark):
+    plan = _plan(spark, "q25_embedding_neardup")
+    # block pairs fold through grouped applyInPandas: vectors reach the
+    # GEMM as Arrow record batches (rows), never as one collect_list'd
+    # array value — the ~2 GB single-value ceiling stays out of the plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "collect_list" not in plan
