@@ -932,6 +932,81 @@ WHERE session_id < (SELECT MAX(session_id) FROM rolled r2
 
 
 # --------------------------------------------------------------------------
+# Q53/Q54 — streaming twins of the T3 dedupe semantics
+# (go-incremental-ingest-elt.py:200-213), closing the batch q12 loop:
+#
+# Q53 drives dropDuplicatesWithinWatermark through an AvailableNow
+# drain. The operator keeps each key's FIRST-PROCESSED row — which row
+# that is depends on file/batch order, so to stay oracle-deterministic
+# the query emits the KEY COLUMNS only: "every key exactly once" is
+# precisely the operator's guarantee, and the distinct key set is
+# order-insensitive. State is evicted as the watermark passes — the
+# property that lets keyed dedupe run forever at firehose scale
+# (whole-history dropDuplicates state grows without bound).
+#
+# Q54 is the full keep-LATEST twin: a complete-mode streaming
+# aggregation with max_by over the (ts, event_id) order key — the
+# deterministic latest row per key, matching batch q12's oracle
+# column-for-column.
+# --------------------------------------------------------------------------
+
+def q53_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import run_rollup_available_now
+    from ..sources.readers import ntz_to_instant
+    src = (read_table_stream(spark, sf_dir, "events")
+           # watermarks reject NTZ: convert via epoch micros
+           .withColumn("ts", ntz_to_instant("ts"))
+           .withWatermark("ts", "1 hour")
+           .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+           .select("user_id", "event_type"))
+    return run_rollup_available_now(src, output_mode="append",
+                                    state_partitions=8)
+
+
+Q53_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q54_stream_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import run_rollup_available_now
+    src = read_table_stream(spark, sf_dir, "events")
+    latest = (src.groupBy("user_id", "event_type")
+                 .agg(F.max_by(
+                          F.struct("event_id",
+                                   F.date_format("ts", TS_FMT).alias("ts"),
+                                   "value"),
+                          F.struct("ts", "event_id")).alias("_r"))
+                 .select("user_id", "event_type",
+                         F.col("_r.event_id").alias("event_id"),
+                         F.col("_r.ts").alias("ts"),
+                         F.col("_r.value").alias("value")))
+    return run_rollup_available_now(latest, state_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# Q55 — skew-proof exact distinct count (operators.skew). The salt is
+# derived from the COUNTED VALUE, so shards partition the value space:
+# per-shard exact counts sum to the exact total. The oracle is a plain
+# COUNT(DISTINCT) — the hash-match PROVES salting changes nothing but
+# the shuffle layout. This is the A6 surface (go-metric-elt.py:237-243)
+# hardened for a key whose distinct set would crush one reducer.
+# --------------------------------------------------------------------------
+
+def q55_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count_distinct
+    ev = read_table(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["event_type"], "user_id",
+                                 n_salt=32, out_name="n_users")
+
+
+Q55_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Q43 — ntile quantile scoring (the ranking-window class SURVEY.md §2.5
 # declares "trivially added": ntile over a partitioned window). RFM-style
 # quintile scores per nation. Scale note: a window PARTITION BY key puts
@@ -1282,4 +1357,13 @@ SPECS = [
               "exchange"),
     QuerySpec("q52_status_cube", q52_status_cube, Q52_SQL,
               "CUBE lattice with grouping_id (one Expand, one aggregation)"),
+    QuerySpec("q53_stream_dedupe", q53_stream_dedupe, Q53_SQL,
+              "dropDuplicatesWithinWatermark drained AvailableNow "
+              "(state-evicting keyed dedupe; deterministic key set)"),
+    QuerySpec("q54_stream_keep_latest", q54_stream_keep_latest, Q12_SQL,
+              "streaming keep-latest dedupe: complete-mode max_by twin "
+              "of batch q12, same oracle"),
+    QuerySpec("q55_salted_distinct", q55_salted_distinct, Q55_SQL,
+              "skew-proof exact COUNT(DISTINCT) via value-space salting "
+              "(hash-match vs plain oracle proves exactness)"),
 ]
