@@ -38,7 +38,14 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: Sequence[str],
     'inner'/'left' type.
     """
     assert how in ("inner", "left"), "salted_join supports inner/left"
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    # salt from the row's own values: deterministic across task retries
+    # (monotonically_increasing_id would re-deal salts on a retry —
+    # harmless for inner/left results but poison for debugging and for
+    # any downstream that caches shards). Identical rows share a salt;
+    # hot-key rows almost always differ in some other column, which is
+    # what spreads them.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
+                  F.lit(n_salt))
     s = skewed.withColumn("_salt", salt)
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))

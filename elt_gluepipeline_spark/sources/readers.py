@@ -163,6 +163,30 @@ def read_jdbc_table(spark: SparkSession, url: str, table: str,
     return reader.load()
 
 
+def sql_literal(value) -> str:
+    """Render a bookmark value as a TYPED ANSI-SQL literal.
+
+    Strict databases reject comparing a numeric/timestamp column to a
+    quoted string (and silently mis-collate dates), so the watermark
+    predicate must carry the value's own type: numbers render bare,
+    datetimes/dates as JDBC escape literals ``{ts '...'}`` / ``{d
+    '...'}`` (every JDBC driver translates these to its engine's
+    native form — more portable than ANSI TIMESTAMP '...', which e.g.
+    Derby rejects), strings quoted with '' escaping.
+    """
+    import datetime as _dt
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, _dt.datetime):
+        return "{ts '%s'}" % value.strftime('%Y-%m-%d %H:%M:%S.%f')[:-3]
+    if isinstance(value, _dt.date):
+        return "{d '%s'}" % value.isoformat()
+    escaped = str(value).replace("'", "''")
+    return f"'{escaped}'"
+
+
 def read_jdbc_incremental(spark: SparkSession, url: str, table: str,
                           watermark_column: str, last_value,
                           properties: dict[str, str] | None = None) -> DataFrame:
@@ -170,11 +194,14 @@ def read_jdbc_incremental(spark: SparkSession, url: str, table: str,
     go-incremental-ingest-elt.py:162-195). The predicate is evaluated in
     the source database, not in Spark — bookmark values live outside the
     plan, so the explicit query form is the right call (SURVEY.md §4).
+    The bookmark renders as a typed literal (sql_literal), not a quoted
+    string — strict databases reject string-vs-numeric comparisons.
     """
     if last_value is None:
         query = f"SELECT * FROM {table}"
     else:
-        query = f"SELECT * FROM {table} WHERE {watermark_column} > '{last_value}'"
+        query = (f"SELECT * FROM {table} "
+                 f"WHERE {watermark_column} > {sql_literal(last_value)}")
     reader = (spark.read.format("jdbc")
               .option("url", url)
               .option("query", query))
