@@ -46,6 +46,26 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
 
 
+def test_bucketed_join_beats_per_run_repartition(spark, bucketed_pair):
+    # the reference re-repartitions both join sides on the key EVERY
+    # run (go-quality-elt.py:262-267) — that plan pays >=2 Exchanges
+    # per run; the bucketed plan paid its shuffle once at write time
+    # and runs with zero
+    ta, tb = bucketed_pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(0, 1000, 3).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("vb"))
+        ref_style = a.repartition(8, "k").join(b.repartition(8, "k"), "k")
+        assert _plan(ref_style).count("Exchange") >= 2
+        bucketed = read_bucketed(spark, ta).join(read_bucketed(spark, tb), "k")
+        assert "Exchange" not in _plan(bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
 def test_bucketed_groupby_has_no_shuffle(spark, bucketed_pair):
     ta, _ = bucketed_pair
     agg = read_bucketed(spark, ta).groupBy("k").agg(F.sum("va").alias("s"))
