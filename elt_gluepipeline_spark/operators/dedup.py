@@ -332,3 +332,64 @@ def simhash64(text: Column) -> Column:
             F.when(F.element_at(votes, b + 1) > 0,
                    F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
     return out
+
+
+def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iters: int = 50,
+                         component_col: str = "component") -> DataFrame:
+    """Near-dup GROUPS from a pair graph: (id, component) where
+    component = the minimum id reachable through the undirected pair
+    edges. Downstream keeps one canonical doc per component
+    (``keep_canonical``) — pair lists alone can't dedupe transitive
+    clusters (a~b, b~c must collapse to ONE survivor, not two).
+
+    Min-label propagation with a driver-controlled loop (the Pregel
+    pattern): each round joins neighbor labels and takes the min; stop
+    when no label changed. Rounds = graph diameter, and near-dup
+    components are small/dense (diameter rarely exceeds single digits),
+    so the loop is a handful of shuffle-join+agg rounds over a pair
+    table that is already tiny relative to the corpus. Lineage is
+    truncated each round with localCheckpoint so plans don't grow
+    unboundedly. For adversarial long-chain graphs, swap in the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce") behind this same signature.
+
+    The convergence check is one count() per round on the CHANGED set —
+    bounded driver traffic (a scalar), not data collection.
+    """
+    e = pairs.select(F.col(id_a).cast("long").alias("a"),
+                     F.col(id_b).cast("long").alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = (edges.groupBy("a").agg(F.min("b").alias("_nbr"))
+                   .select(F.col("a").alias("id"),
+                           F.least("a", "_nbr").alias("lbl"))
+                   .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges["b"] == labels["id"])
+                     .groupBy(F.col("a").alias("id"))
+                     .agg(F.min("lbl").alias("_min_nbr_lbl")))
+        nxt = (labels.join(prop, "id", "left")
+                     .select("id",
+                             F.least("lbl", F.coalesce("_min_nbr_lbl", "lbl"))
+                              .alias("lbl"),
+                             (F.coalesce("_min_nbr_lbl", "lbl") < F.col("lbl"))
+                              .alias("_chg"))
+                     .localCheckpoint(eager=True))
+        changed = nxt.filter("_chg").count()
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias(component_col))
+
+
+def keep_canonical(df: DataFrame, components: DataFrame, id_col: str,
+                   *, component_col: str = "component") -> DataFrame:
+    """Drop every non-canonical member of each near-dup component:
+    survivors are docs absent from the pair graph plus each component's
+    min-id representative. components is tiny relative to the corpus →
+    broadcast anti-join, the corpus never shuffles."""
+    losers = components.filter(F.col("id") != F.col(component_col)) \
+                       .select(F.col("id").alias(id_col))
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -42,6 +42,9 @@ _DEPRIORITIZED = (
                              # P8 filter surface green in q46/q10/q11
     "q23_json_props",      # JSON fns are a free-rider surface (SURVEY
                            # §2.7: absent in the reference); pytest'd
+    "q51_order_timeline",  # analytic-window family already carries 3
+                           # green rows (q05 lag, q33 row_number,
+                           # q43 ntile); q51's shape pinned in plan tests
     "q06_trend_weekly",    # same _trend code path as q06_trend_daily
     "q06_trend_monthly",   # same _trend code path as q06_trend_daily
     "q36_top_locations_approx",  # rows-only HLL variant of green q08

@@ -690,6 +690,59 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# Q56 — near-dup GROUPS: connected components over q18's exact Jaccard
+# pair graph (min-reachable-id labels via Pregel-style min propagation).
+# Pairs alone can't dedupe transitive clusters; the component id is the
+# canonical survivor each member collapses to. The oracle re-derives
+# the same pair graph and walks it with a recursive CTE.
+# --------------------------------------------------------------------------
+
+def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    pairs = q18_ngram_jaccard(spark, sf_dir)
+    return (connected_components(pairs)
+            .select(F.col("id").alias("doc_id"), "component"))
+
+
+# oracle: q18's pair derivation + a recursive reachability walk;
+# component = min reachable doc_id (same labels min-propagation yields)
+Q56_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
+           AS len_bucket,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.shingles, b.shingles))
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        END >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -734,4 +787,7 @@ SPECS = [
     QuerySpec("q48_stream_attribution", q48_stream_attribution, Q39_SQL,
               "watermarked stream-stream interval join (streaming twin "
               "of q39, same oracle)"),
+    QuerySpec("q56_neardup_groups", q56_neardup_groups, Q56_SQL,
+              "near-dup components over the Jaccard pair graph "
+              "(min-label propagation; recursive-CTE oracle)"),
 ]
