@@ -393,3 +393,58 @@ def keep_canonical(df: DataFrame, components: DataFrame, id_col: str,
     losers = components.filter(F.col("id") != F.col(component_col)) \
                        .select(F.col("id").alias(id_col))
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def cross_corpus_containment(corpus: DataFrame, bench: DataFrame, *,
+                             corpus_id: str = "doc_id",
+                             bench_id: str = "doc_id",
+                             corpus_text: str = "text",
+                             bench_text: str = "text",
+                             k: int = 3, threshold: float = 0.5,
+                             max_shingle_df: int | None = None) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, containment)
+    for every corpus×bench pair whose shingle CONTAINMENT — shared
+    shingles / bench doc's shingles — reaches ``threshold``. Training
+    docs that contain an eval item must leave the corpus; Jaccard is
+    the wrong metric here because a long training doc that swallows a
+    short benchmark item whole still has low Jaccard.
+
+    Same inverted-index SSJoin shape as blocked_jaccard_pairs, but
+    across TWO corpora: explode distinct shingles on both sides, join
+    on the shingle, count shared per pair. Shuffle keys on the shingle
+    value — diverse — and output is proportional to real overlap, never
+    |corpus|×|bench|. The benchmark side is tiny in practice, so its
+    exploded index is the small side of the join.
+
+    ``max_shingle_df`` optionally drops shingles appearing in more than
+    that many CORPUS docs from the index (stop-phrase guard). With it
+    set, containment undercounts pairs that share only ultra-common
+    shingles — acceptable for decontamination (those aren't leaks), and
+    it caps the join fan-out of a pathological hot shingle. None = exact.
+    """
+    assert threshold > 0.0, "inverted-index plan requires threshold > 0"
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        word_shingles(F.col(corpus_text), k).alias("sh"))
+    c = c.filter(F.size("sh") > 0)
+    b = ensure_min_partitions(bench).select(
+        F.col(bench_id).alias("bench_id"),
+        word_shingles(F.col(bench_text), k).alias("sh"))
+    b = b.filter(F.size("sh") > 0)
+
+    c_inv = c.select("corpus_id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = (c_inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+                    .filter(F.col("_df") > max_shingle_df)
+                    .select("s"))
+        c_inv = c_inv.join(F.broadcast(hot), "s", "left_anti")
+    b_sizes = b.select("bench_id", F.size("sh").alias("n_b"))
+    b_inv = b.select("bench_id", F.explode("sh").alias("s"))
+
+    shared = (c_inv.join(b_inv, "s")
+                   .groupBy("corpus_id", "bench_id")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    return (shared.join(b_sizes, "bench_id")
+                  .withColumn("containment", F.col("c") / F.col("n_b"))
+                  .filter(F.col("containment") >= threshold)
+                  .select("corpus_id", "bench_id", "containment"))

@@ -1,0 +1,79 @@
+"""Deterministic, engine-portable sampling & splitting for training
+corpora.
+
+``df.sample`` draws from a per-partition RNG stream: results change
+with partitioning, task retries, and Spark versions — useless for a
+train/test split that must be stable across reruns and auditable by
+another engine. These operators derive every decision from a HASH OF
+THE ROW'S OWN KEY (md5-based, portable_hash60), so:
+
+- membership is a pure function of (key, seed) — reproducible on any
+  engine with md5 (the DuckDB oracle re-derives it),
+- resampling/reprocessing any subset yields consistent assignments
+  (a doc never migrates between train and test when the corpus grows),
+- the plan is one codegen'd projection — no shuffle, no RNG state.
+
+This is the assignment discipline a 100 TB corpus needs: the split is
+data, not an artifact of the job that produced it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+BUCKETS = 1_000
+
+
+def portable_bucket(key: Column, *, seed: int = 7,
+                    n_buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a key column:
+    md5-derived 60-bit hash of 'key#seed', mod n_buckets. DuckDB twin:
+    ``CAST(('0x' || substr(md5(key || '#seed'), 1, 15)) AS BIGINT)
+    % n_buckets``."""
+    h = portable_hash60(F.concat_ws("#", key.cast("string"),
+                                    F.lit(str(seed))))
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def assign_split(df: DataFrame, key_col: str, *, test_permille: int = 100,
+                 seed: int = 7, split_col: str = "split") -> DataFrame:
+    """Tag each row 'test' (≈test_permille/1000 of keys) or 'train'.
+
+    Hash-based, so the same key lands in the same split forever —
+    growing the corpus, changing partitioning, or re-running never
+    moves a document across the boundary (the leak-proofing property
+    random sampling lacks).
+    """
+    bucket = portable_bucket(F.col(key_col), seed=seed)
+    return df.withColumn(
+        split_col,
+        F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train")))
+
+
+def deterministic_sample(df: DataFrame, key_col: str, *, permille: int,
+                         seed: int = 7) -> DataFrame:
+    """Keep ≈permille/1000 of keys, deterministically (filter is a
+    pushdown-friendly single predicate; no RNG, no shuffle)."""
+    return df.filter(portable_bucket(F.col(key_col), seed=seed) < permille)
+
+
+def stratified_sample(df: DataFrame, key_col: str,
+                      strata: Sequence[tuple[Column, int]], *,
+                      default_permille: int = 0,
+                      seed: int = 7) -> DataFrame:
+    """Per-stratum deterministic sampling: ``strata`` is
+    [(predicate, permille)], first match wins — e.g. keep 100% of rare
+    languages, 5% of english. Same hash discipline as assign_split, so
+    per-stratum membership is stable under corpus growth."""
+    bucket = portable_bucket(F.col(key_col), seed=seed)
+    rate: Column | None = None
+    for pred, pm in strata:
+        rate = F.when(pred, pm) if rate is None else rate.when(pred, pm)
+    rate = (rate.otherwise(default_permille) if rate is not None
+            else F.lit(default_permille))
+    return df.filter(bucket < rate)

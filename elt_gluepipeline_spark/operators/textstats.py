@@ -97,3 +97,16 @@ def fingerprint_rolling(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+def line_repetition(text: Column) -> Column:
+    """Duplicate-line fraction: 1 - distinct_lines/total_lines over
+    non-empty trimmed lines (0.0 for empty docs). High values flag
+    boilerplate/spam — the classic repetition quality filter. Pure
+    array expressions, codegen'd, no shuffle."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    n = F.size(lines)
+    return F.when(n == 0, F.lit(0.0)) \
+            .otherwise(1.0 - F.size(F.array_distinct(lines)) / n)

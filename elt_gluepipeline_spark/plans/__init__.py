@@ -51,6 +51,10 @@ _DEPRIORITIZED = (
     "q17_minhash_neardup",  # rows-only; portable oracle twin is q41
     "q21_simhash",          # rows-only; portable oracle twin is q40
     "q38_rolling_fingerprint",  # rows-only; md5 oracle twin is q24
+    "q57_portable_split",  # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q58_contamination",   # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -743,6 +743,61 @@ SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 """
 
 
+# --------------------------------------------------------------------------
+# Q57 — deterministic hash-based train/test split (operators.sampling):
+# membership is a pure function of (doc_id, seed), so the split is
+# stable under corpus growth, repartitioning, and reruns — and the
+# oracle re-derives every assignment from the same md5 arithmetic.
+# --------------------------------------------------------------------------
+
+def q57_portable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import assign_split
+    docs = read_table(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").select("doc_id", "split")
+
+
+Q57_SQL = """
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15))
+                      AS BIGINT) % 1000 < 100
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Q58 — benchmark decontamination: corpus docs whose shingle
+# CONTAINMENT of a benchmark doc (shared / bench shingles) reaches 0.5.
+# Bench side simulated as every 10th doc. Inverted-index join across
+# the two corpora; the oracle recomputes containment set-exactly.
+# --------------------------------------------------------------------------
+
+def q58_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cross_corpus_containment
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return cross_corpus_containment(corpus, bench, k=3, threshold=0.5)
+
+
+Q58_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+),
+c AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id % 10 <> 0 AND len(sh) > 0),
+b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0 AND len(sh) > 0)
+SELECT corpus_id, bench_id,
+       len(list_intersect(c.sh, b.sh)) / len(b.sh) AS containment
+FROM c JOIN b ON len(list_intersect(c.sh, b.sh)) / len(b.sh) >= 0.5
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -790,4 +845,10 @@ SPECS = [
     QuerySpec("q56_neardup_groups", q56_neardup_groups, Q56_SQL,
               "near-dup components over the Jaccard pair graph "
               "(min-label propagation; recursive-CTE oracle)"),
+    QuerySpec("q57_portable_split", q57_portable_split, Q57_SQL,
+              "deterministic hash-based train/test split (md5 bucket, "
+              "stable under corpus growth)"),
+    QuerySpec("q58_contamination", q58_contamination, Q58_SQL,
+              "benchmark decontamination: cross-corpus shingle "
+              "containment (inverted-index join)"),
 ]
