@@ -130,3 +130,52 @@ def test_stream_interval_join_matches_batch_range_join(spark):
     stream = {tuple(r) for r in
               registry()["q48_stream_attribution"].build(spark, sf).collect()}
     assert stream == batch and len(stream) > 0
+
+
+def test_stream_sessions_timeout_closes_idle(spark):
+    # event-time-timeout variant, pinned at sf0.001 against an
+    # independent pure-python sessionizer: the drain must emit every
+    # CLOSED session plus every open session whose (last + gap) the
+    # end-of-stream watermark passed — i.e. only sessions still inside
+    # the gap window at max(ts) stay in state
+    from elt_gluepipeline_spark.sources.readers import (ntz_micros,
+                                                        ntz_to_instant,
+                                                        read_table,
+                                                        read_table_stream)
+    from elt_gluepipeline_spark.streaming.sessionize import \
+        sessionize_stateful_timeout
+    from elt_gluepipeline_spark.streaming.stream import \
+        run_rollup_available_now
+
+    sf = "/root/testdata/sf0.001"
+    gap_min = 30
+    gap_us = gap_min * 60 * 1_000_000
+
+    src = (read_table_stream(spark, sf, "events")
+           .select("user_id", "event_id", ntz_to_instant("ts").alias("ts"))
+           .withWatermark("ts", "0 seconds"))
+    sessions = sessionize_stateful_timeout(src, gap_minutes=gap_min)
+    got = {tuple(r) for r in
+           run_rollup_available_now(sessions, output_mode="append",
+                                    state_partitions=8).collect()}
+
+    pdf = (read_table(spark, sf, "events")
+           .select("user_id", "event_id", ntz_micros("ts").alias("us"))
+           .toPandas())
+    max_us = int(pdf["us"].max())
+    want = set()
+    for uid, g in pdf.sort_values(["us", "event_id"]).groupby("user_id"):
+        sid, start, last, n = 0, None, None, 0
+        rows = []
+        for us in g["us"]:
+            us = int(us)
+            if last is None:
+                sid, start, last, n = sid + 1, us, us, 1
+            elif us - last > gap_us:
+                rows.append((uid, sid, n, last - start, True))
+                sid, start, last, n = sid + 1, us, us, 1
+            else:
+                last, n = us, n + 1
+        rows.append((uid, sid, n, last - start, last + gap_us < max_us))
+        want |= {r[:4] for r in rows if r[4]}
+    assert got == want and len(got) > 0
