@@ -153,3 +153,29 @@ def test_q25_blocks_stream_as_rows_not_single_values(spark):
     # array value — the ~2 GB single-value ceiling stays out of the plan
     assert "FlatMapGroupsInPandas" in plan
     assert "collect_list" not in plan
+
+
+def test_q55_salted_distinct_is_two_phase_no_expand(spark):
+    plan = _plan(spark, "q55_salted_distinct")
+    # value-space salting: phase 1 distinct-counts per (key, salt),
+    # phase 2 sums shards — no COUNT(DISTINCT) Expand row-doubling,
+    # partial aggregation before every exchange
+    assert "Expand" not in plan
+    assert "partial_count" in plan
+
+
+def test_q57_split_is_pure_projection_no_shuffle(spark):
+    plan = _plan(spark, "q57_portable_split")
+    # hash-membership split: one codegen'd projection over the scan —
+    # zero Exchange, so it composes under any upstream partitioning
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen'd projection
+    assert "ReadSchema: struct<doc_id:bigint>" in plan  # pruned to 1 col
+
+
+def test_q58_contamination_no_cartesian(spark):
+    plan = _plan(spark, "q58_contamination")
+    # cross-corpus containment joins on the shingle value, never
+    # corpus x bench
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
