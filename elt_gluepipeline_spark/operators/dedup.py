@@ -350,9 +350,9 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
     so the loop is a handful of shuffle-join+agg rounds over a pair
     table that is already tiny relative to the corpus. Lineage is
     truncated each round with localCheckpoint so plans don't grow
-    unboundedly. For adversarial long-chain graphs, swap in the
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce") behind this same signature.
+    unboundedly. For adversarial long-chain graphs use
+    ``connected_components_star`` (same output contract, O(log^2 n)
+    rounds regardless of diameter).
 
     The convergence check is one count() per round on the CHANGED set —
     bounded driver traffic (a scalar), not data collection.
@@ -448,3 +448,77 @@ def cross_corpus_containment(corpus: DataFrame, bench: DataFrame, *,
                   .withColumn("containment", F.col("c") / F.col("n_b"))
                   .filter(F.col("containment") >= threshold)
                   .select("corpus_id", "bench_id", "containment"))
+
+
+def _edge_digest(e: DataFrame) -> tuple[int, int]:
+    """(count, xor-free hash sum) fingerprint of a canonical edge set —
+    one tiny aggregate, used as the convergence check."""
+    # decimal sum: exact and overflow-proof under ANSI mode (a long sum
+    # of 64-bit hashes overflows)
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h")
+                ).collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def connected_components_star(pairs: DataFrame, *, id_a: str = "id_a",
+                              id_b: str = "id_b", max_iters: int = 30,
+                              component_col: str = "component") -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the ADVERSARIAL-GRAPH path: converges in O(log^2 n)
+    rounds regardless of diameter, where plain min-label propagation
+    (``connected_components``) needs one round per hop and dies on a
+    long chain of templated near-dups.
+
+    Each round is two groupBy+join passes over the edge list:
+    large-star hangs every neighbor larger than u onto u's
+    neighborhood minimum; small-star re-hangs the small neighbors.
+    Edges monotonically contract toward stars rooted at component
+    minima; convergence is detected with a count+hash fingerprint of
+    the canonical edge set (one scalar aggregate per round, no data to
+    the driver).
+    """
+    e = (pairs.select(F.least(F.col(id_a), F.col(id_b)).cast("long").alias("a"),
+                      F.greatest(F.col(id_a), F.col(id_b)).cast("long").alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .distinct().localCheckpoint(eager=True))
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.union(edges.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+
+    def _min_nbr(adj: DataFrame) -> DataFrame:
+        return (adj.groupBy("a")
+                   .agg(F.least(F.first("a"), F.min("b")).alias("m")))
+
+    digest = _edge_digest(e)
+    for _ in range(max_iters):
+        # LARGE-STAR: for each u, hang every neighbor v > u onto m(u)
+        adj = _sym(e)
+        m = _min_nbr(adj)
+        e = (adj.filter(F.col("b") > F.col("a"))
+                .join(m, "a")
+                .select(F.least(F.col("b"), F.col("m")).alias("a"),
+                        F.greatest(F.col("b"), F.col("m")).alias("b"))
+                .filter(F.col("a") != F.col("b")).distinct())
+        # SMALL-STAR: orient edges to the larger endpoint, re-hang the
+        # small neighbors (and u itself) onto the neighborhood min
+        oriented = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        m2 = _min_nbr(oriented)
+        hang = (oriented.join(m2, "a")
+                        .select(F.col("b").alias("v"), F.col("m")))
+        self_edge = m2.select(F.col("a").alias("v"), F.col("m"))
+        e = (hang.union(self_edge)
+                 .filter(F.col("v") != F.col("m"))
+                 .select(F.least("v", "m").alias("a"),
+                         F.greatest("v", "m").alias("b"))
+                 .distinct().localCheckpoint(eager=True))
+        nxt = _edge_digest(e)
+        if nxt == digest:
+            break
+        digest = nxt
+    # converged to stars: every node's minimum neighbor is its root
+    labels = _min_nbr(_sym(e))
+    return labels.select(F.col("a").alias("id"),
+                         F.col("m").alias(component_col))

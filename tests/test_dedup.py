@@ -26,3 +26,31 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(pairs).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 13
+
+
+def test_star_contraction_matches_min_label(spark):
+    import random
+    from elt_gluepipeline_spark.operators.dedup import (
+        connected_components, connected_components_star)
+    rng = random.Random(11)
+    # random graph: 60 nodes, 50 random edges → many components
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {(r.id, r.component)
+            for r in connected_components_star(pairs).collect()}
+    prop = {(r.id, r.component)
+            for r in connected_components(pairs).collect()}
+    assert star == prop and len(star) > 0
+
+
+def test_star_contraction_long_chain_few_rounds(spark):
+    from elt_gluepipeline_spark.operators.dedup import \
+        connected_components_star
+    # a 40-hop path converges in O(log n) rounds — max_iters=8 would
+    # be nowhere near enough for per-hop propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "id_a long, id_b long")
+    comp = connected_components_star(pairs, max_iters=8).collect()
+    assert {r.component for r in comp} == {0}
+    assert len(comp) == 41
