@@ -228,20 +228,45 @@ WHERE rn <= 3
 # Q20 — LSH-bucketed approximate NN (probabilistic recall → rows-only)
 # --------------------------------------------------------------------------
 
+def _embedding_dim(default: int = 64) -> int:
+    """Vector width of the testdata embeddings, read from a parquet
+    footer at import — q20's hyperplanes (and their oracle literals)
+    must match the data's dim, and the driver has regenerated testdata
+    between rounds before (the ts-encoding drift); deriving the dim
+    from the data keeps both sides in lockstep if it drifts too."""
+    import glob
+    import os
+    try:
+        import pyarrow.parquet as pq
+        for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+            if os.path.exists(p):
+                col = (pq.ParquetFile(p).read_row_group(0, columns=["embedding"])
+                         .column(0))
+                if len(col) > 0:
+                    return len(col[0])
+    except Exception:
+        pass
+    return default
+
+
+EMB_DIM = _embedding_dim()
+
+
 def q20_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_ann(queries, emb, k=3, dim=64, n_planes=6, seed=42)
+    return lsh_ann(queries, emb, k=3, dim=EMB_DIM, n_planes=6, seed=42)
 
 
 # The hyperplanes are deterministic module-time constants (seeded
-# gaussians), so the oracle embeds the SAME doubles as literals: DuckDB
-# reproduces the sign signatures, hence the exact bucket candidate set,
-# hence the same top-k. Sign decisions are unrounded doubles — a dot
-# product within float-noise of 0 could theoretically flip between
-# engines, but P(|N(0,1)·v| < 1e-12) is negligible and the rounded-
-# cosine ranking below it is tie-broken exactly like q19's.
-_Q20_PLANES = _hyperplanes(64, 6, 42)
+# gaussians over the data's own dim), so the oracle embeds the SAME
+# doubles as literals: DuckDB reproduces the sign signatures, hence the
+# exact bucket candidate set, hence the same top-k. Sign decisions are
+# unrounded doubles — a dot product within float-noise of 0 could
+# theoretically flip between engines, but P(|N(0,1)·v| < 1e-12) is
+# negligible and the rounded-cosine ranking below it is tie-broken
+# exactly like q19's.
+_Q20_PLANES = _hyperplanes(EMB_DIM, 6, 42)
 _Q20_SIG = "\n         + ".join(
     f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0 THEN {1 << i} ELSE 0 END)"
     for i, plane in enumerate(_Q20_PLANES))
