@@ -55,6 +55,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q58_contamination",   # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q59_dedupe_corpus",   # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -769,6 +769,62 @@ SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 
 
 # --------------------------------------------------------------------------
+# Q59 — the dedup user story end-to-end: near-dup pairs → components →
+# canonical survivors. What a real curation pipeline runs nightly: the
+# corpus minus every non-canonical member of every near-dup cluster.
+# --------------------------------------------------------------------------
+
+def q59_dedupe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, keep_canonical
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = q18_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs)
+    return (keep_canonical(docs, comps, "doc_id")
+            .select("doc_id", "lang"))
+
+
+Q59_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
+           AS len_bucket,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.shingles, b.shingles))
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        END >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+losers AS (
+  SELECT id FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+  WHERE id <> component
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q57 — deterministic hash-based train/test split (operators.sampling):
 # membership is a pure function of (doc_id, seed), so the split is
 # stable under corpus growth, repartitioning, and reruns — and the
@@ -876,4 +932,7 @@ SPECS = [
     QuerySpec("q58_contamination", q58_contamination, Q58_SQL,
               "benchmark decontamination: cross-corpus shingle "
               "containment (inverted-index join)"),
+    QuerySpec("q59_dedupe_corpus", q59_dedupe_corpus, Q59_SQL,
+              "end-to-end corpus dedupe: pairs → components → "
+              "canonical survivors (broadcast anti-join)"),
 ]
