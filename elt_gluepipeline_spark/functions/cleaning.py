@@ -78,3 +78,33 @@ def drop_test_rows(pred_cols: Sequence[Column]) -> Column:
     for c in pred_cols:
         keep = keep & ~F.coalesce(c.rlike("(?i)test"), F.lit(False))
     return keep
+
+
+# PII scrubbing: the redaction pass a training corpus runs before
+# anything else. Patterns are RE2-compatible (no lookarounds), so the
+# same regexes run identically in Spark (Java) and DuckDB/RE2-based
+# engines — cross-engine agreement is tested, not assumed.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{0,3}[-. (]{0,2}\d{3}[-. )]{0,2}\d{3}[-. ]?\d{4}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+)
+
+
+def scrub_pii(col: Column, *, patterns: Sequence[tuple[str, str]] = PII_PATTERNS,
+              token_fmt: str = "<{name}>") -> Column:
+    """Replace every PII match with a typed placeholder token
+    (``<email>``, ``<phone>``, ...). Chained regexp_replace — pure
+    codegen'd expressions, order follows the pattern list (emails
+    before phones so a phone regex never eats an address's digits)."""
+    out = col
+    for name, pattern in patterns:
+        out = F.regexp_replace(out, pattern, token_fmt.format(name=name))
+    return out
+
+
+def pii_counts(col: Column, *, patterns: Sequence[tuple[str, str]] = PII_PATTERNS
+               ) -> list[Column]:
+    """Per-pattern match counts (audit columns for a scrub run)."""
+    return [F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0))).alias(f"n_{n}")
+            for n, p in patterns]

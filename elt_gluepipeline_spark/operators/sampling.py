@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash60
@@ -77,3 +77,46 @@ def stratified_sample(df: DataFrame, key_col: str,
     rate = (rate.otherwise(default_permille) if rate is not None
             else F.lit(default_permille))
     return df.filter(bucket < rate)
+
+
+def token_budget_shards(df: DataFrame, id_col: str, tokens_col: Column, *,
+                        budget: int, shard_col: str = "shard",
+                        n_partitions: int | None = None) -> DataFrame:
+    """Assign each row a shard id so consecutive rows (in ``id_col``
+    order) fill ~``budget`` tokens per shard — the packing step that
+    turns a curated corpus into bounded training shards.
+
+    shard = floor(exclusive_prefix_sum(tokens) / budget), computed as a
+    DISTRIBUTED PREFIX SUM: range-partition on the order key (so
+    partition p holds a contiguous key range), window-cumsum WITHIN
+    each partition, then add per-partition offsets (one tiny aggregate
+    collected to the driver — one row per partition, a bounded scalar
+    exchange, not data). A single global-order window would funnel the
+    corpus through ONE task; this shape keeps every stage parallel and
+    is exact for any partitioning because offsets + local prefix
+    reconstruct the global running total.
+    """
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    d = (df.select(F.col(id_col).alias("_id"), tokens_col.alias("_t"))
+           .repartitionByRange(n_partitions, "_id")
+           .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy("_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum("_t").over(w), F.lit(0))
+    totals = {r["_pid"]: r["_s"]
+              for r in d.groupBy("_pid").agg(F.sum("_t").alias("_s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    # map-literal lookup stays one compact expression even at cluster
+    # partition counts (a when-chain would grow the plan per partition)
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        off = F.coalesce(omap[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    return d.select(F.col("_id").alias(id_col),
+                    F.floor((off + local) / F.lit(budget)).cast("long")
+                     .alias(shard_col))

@@ -57,6 +57,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q59_dedupe_corpus",   # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q60_token_shards",    # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

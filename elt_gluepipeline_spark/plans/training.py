@@ -825,6 +825,37 @@ WHERE doc_id NOT IN (SELECT id FROM losers)
 
 
 # --------------------------------------------------------------------------
+# Q60 — token-budget sharding: floor(global exclusive prefix-sum of
+# token counts / budget) in doc_id order, computed as a DISTRIBUTED
+# prefix sum (range partitions + within-partition window + broadcast
+# offsets) — never a single global-order window. The oracle computes
+# the same prefix with one ordered window, which DuckDB can afford.
+# --------------------------------------------------------------------------
+
+_SHARD_BUDGET = 5_000
+
+
+def q60_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_shards
+    docs = read_table(spark, sf_dir, "documents")
+    return token_budget_shards(docs, "doc_id", n_tokens(F.col("text")),
+                               budget=_SHARD_BUDGET)
+
+
+Q60_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor((SUM(toks) OVER (ORDER BY doc_id) - toks) / {_SHARD_BUDGET})
+            AS BIGINT) AS shard
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # Q57 — deterministic hash-based train/test split (operators.sampling):
 # membership is a pure function of (doc_id, seed), so the split is
 # stable under corpus growth, repartitioning, and reruns — and the
@@ -935,4 +966,6 @@ SPECS = [
     QuerySpec("q59_dedupe_corpus", q59_dedupe_corpus, Q59_SQL,
               "end-to-end corpus dedupe: pairs → components → "
               "canonical survivors (broadcast anti-join)"),
+    QuerySpec("q60_token_shards", q60_token_shards, Q60_SQL,
+              "token-budget training shards via distributed prefix sum"),
 ]

@@ -99,3 +99,64 @@ def test_line_repetition(spark):
     assert got[1] == 0.75   # 4 lines, 1 distinct
     assert got[2] == 0.0
     assert got[3] == 0.0    # blank-only doc
+
+
+def test_token_budget_shards_exact_prefix(spark):
+    from elt_gluepipeline_spark.operators.sampling import token_budget_shards
+    rows = [(i, 10 * (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {r.doc_id: r.shard for r in
+           token_budget_shards(df, "doc_id", F.col("toks"),
+                               budget=100, n_partitions=8).collect()}
+    run = 0
+    for i, t in rows:  # serial reference: exclusive prefix / budget
+        assert got[i] == run // 100, (i, got[i], run)
+        run += t
+    # shard ids are dense from 0
+    assert min(got.values()) == 0
+
+
+def test_token_budget_shards_partitioning_invariant(spark):
+    from elt_gluepipeline_spark.operators.sampling import token_budget_shards
+    df = spark.createDataFrame([(i, i % 13) for i in range(500)],
+                               "doc_id long, toks long")
+    a = {tuple(r) for r in token_budget_shards(
+        df, "doc_id", F.col("toks"), budget=50, n_partitions=3).collect()}
+    b = {tuple(r) for r in token_budget_shards(
+        df.repartition(17), "doc_id", F.col("toks"), budget=50,
+        n_partitions=11).collect()}
+    assert a == b  # offsets + local prefix reconstruct the same global sum
+
+
+def test_scrub_pii_cross_engine(spark):
+    # the same RE2-compatible patterns must behave identically in Spark
+    # (Java regex) and DuckDB (RE2) — tested, not assumed
+    import duckdb
+    from elt_gluepipeline_spark.functions.cleaning import (PII_PATTERNS,
+                                                           pii_counts,
+                                                           scrub_pii)
+    rows = [(1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "call +1 (555) 123-4567 or 555.987.6543"),
+            (3, "server at 192.168.0.1 responded"),
+            (4, "clean text, nothing sensitive"),
+            (5, "two addrs: a@b.io c@d.net")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_out = {r.doc_id: r.clean for r in
+                 df.select("doc_id",
+                           scrub_pii(F.col("text")).alias("clean")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{s}')" for i, s in rows)
+                + ") v(doc_id, text)")
+    expr = "text"
+    for name, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    duck_out = dict(con.sql(f"SELECT doc_id, {expr} FROM t").fetchall())
+    assert spark_out == duck_out
+    assert "<email>" in spark_out[1] and "jane" not in spark_out[1]
+    assert spark_out[2].count("<phone>") == 2
+    assert "<ipv4>" in spark_out[3]
+    assert spark_out[4] == rows[3][1]  # clean text untouched
+    counts = df.select("doc_id", *pii_counts(F.col("text"))).collect()
+    got = {r.doc_id: (r.n_email, r.n_phone, r.n_ipv4) for r in counts}
+    assert got[5] == (2, 0, 0) and got[3] == (0, 0, 1)
