@@ -90,9 +90,13 @@ def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = f"""
 WITH toks AS (
+  -- empty-doc guard: Spark tokenization yields [] for
+  -- empty/whitespace text while regexp_split_to_array('') is ['']
   SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\\s+') AS tok,
-         regexp_split_to_array(trim(lower(text)), '\\s+') AS ltok
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltok
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -844,8 +848,11 @@ def q60_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q60_SQL = f"""
 WITH t AS (
+  -- empty-doc guard: Spark counts 0 tokens for empty/whitespace text
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         END AS toks
   FROM documents
 )
 SELECT doc_id,
