@@ -1,0 +1,39 @@
+"""SQL front-door (SURVEY.md §7.1 engine/sql.py): register the
+testdata tables and every declared query as temp views, so the whole
+engine surface is addressable from ``spark.sql`` — the literal-SQL
+twin the oracle gate exercises in DuckDB, available in-engine too.
+
+Views are lazy logical plans: registering all ~60 queries costs plan
+construction only; nothing executes until a view is selected from.
+Streaming-drain queries (q29/q35/q48/q50/q53/q54) EXECUTE their drain
+at build time, so they are registered only when ``include_streaming``
+is set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .plans import registry
+from .sources.readers import load_tables
+
+# queries whose build() runs a bounded streaming drain eagerly
+STREAMING_QUERIES = frozenset({
+    "q29_stream_hourly", "q35_stream_sessions", "q48_stream_attribution",
+    "q50_stream_enrich", "q53_stream_dedupe", "q54_stream_keep_latest",
+})
+
+
+def register_all(spark: SparkSession, sf_dir: str, *,
+                 include_streaming: bool = False) -> list[str]:
+    """Register base tables + declared queries as temp views; returns
+    the registered view names. After this, ``spark.sql("SELECT * FROM
+    q02_clv")`` (or any composition over it) runs the engine's plan."""
+    load_tables(spark, sf_dir)  # base tables as views
+    names: list[str] = []
+    for name, spec in registry().items():
+        if name in STREAMING_QUERIES and not include_streaming:
+            continue
+        spec.build(spark, sf_dir).createOrReplaceTempView(name)
+        names.append(name)
+    return names

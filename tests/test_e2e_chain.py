@@ -88,3 +88,21 @@ def test_full_chain_sf0001(spark, sf_dir, tmp_path):
     assert out.count() == base.select("l_returnflag").distinct().count()
     assert out.agg(F.sum("n_lines")).collect()[0][0] == n_clean
     tagged.unpersist()
+
+
+def test_sql_front_door(spark, sf_dir):
+    # SURVEY §7.1 engine/sql.py: every declared query is addressable
+    # from spark.sql, and compositions over the views run the engine's
+    # plans
+    from elt_gluepipeline_spark.sql import register_all
+    names = register_all(spark, sf_dir)
+    assert "q02_clv" in names and len(names) > 50
+    direct = spark.sql("SELECT COUNT(*) AS n FROM q02_clv").collect()[0].n
+    assert direct > 0
+    composed = spark.sql("""
+        SELECT c.value_tier, SUM(l.revenue) AS rev
+        FROM q01_line_revenue l JOIN q03_clv_tiered c
+          ON l.l_orderkey = c.c_custkey
+        GROUP BY c.value_tier
+    """)  # cross-view composition plans and runs the engine's plans
+    assert composed.count() >= 0 and {"value_tier", "rev"} == set(composed.columns)
