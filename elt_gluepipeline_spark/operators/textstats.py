@@ -110,3 +110,39 @@ def line_repetition(text: Column) -> Column:
     n = F.size(lines)
     return F.when(n == 0, F.lit(0.0)) \
             .otherwise(1.0 - F.size(F.array_distinct(lines)) / n)
+
+
+def chunk_documents(df, id_col: str, text_col: str, *, size: int,
+                    overlap: int = 0):
+    """Split each document into token-window chunks of ``size`` tokens
+    with ``overlap`` tokens carried between consecutive chunks — the
+    long-document preprocessing step between cleaning and tokenization.
+
+    Pure array expressions: tokenize once, derive chunk-start offsets
+    with sequence(), posexplode one row per chunk, slice + rejoin.
+    Map-only (no shuffle); chunk fan-out is bounded by doc length /
+    stride. Empty docs yield no chunks.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    from pyspark.sql import functions as F
+    assert 0 <= overlap < size, "need 0 <= overlap < chunk size"
+    stride = size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # last chunk start: the largest multiple of stride still inside the
+    # doc; short docs get exactly one chunk (start 0)
+    starts = F.when(n <= 0, F.array().cast("array<int>")) \
+              .otherwise(F.sequence(
+                  F.lit(0),
+                  F.greatest(F.ceil((n - F.lit(size)) / F.lit(stride)), F.lit(0))
+                   .cast("int") * F.lit(stride),
+                  F.lit(stride)))
+    base = df.select(F.col(id_col), toks.alias("_tok"),
+                     F.posexplode(starts).alias("chunk_id", "_start"))
+    chunk = F.slice("_tok", F.col("_start") + 1, size)
+    return base.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"))

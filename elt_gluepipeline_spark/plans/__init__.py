@@ -59,6 +59,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q60_token_shards",    # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q61_chunk_docs",      # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -863,6 +863,48 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# Q61 — long-document chunking into overlapping token windows
+# (map-only posexplode fan-out; the preprocessing between cleaning and
+# tokenization). Chunk grid reproduced exactly by the oracle.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 40, 10
+
+
+def q61_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import chunk_documents
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text",
+                           size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+
+
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+Q61_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0
+), st AS (
+  SELECT doc_id, tok,
+         unnest(range(0,
+                      GREATEST(CAST(ceil((n - {_CHUNK_SIZE})
+                                    / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT),
+                               0) * {_CHUNK_STRIDE} + 1,
+                      {_CHUNK_STRIDE})) AS start
+  FROM s
+)
+SELECT doc_id,
+       start // {_CHUNK_STRIDE} AS chunk_id,
+       array_to_string(tok[start + 1:start + {_CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(len(tok[start + 1:start + {_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens
+FROM st
+"""
+
+
+# --------------------------------------------------------------------------
 # Q57 — deterministic hash-based train/test split (operators.sampling):
 # membership is a pure function of (doc_id, seed), so the split is
 # stable under corpus growth, repartitioning, and reruns — and the
@@ -975,4 +1017,6 @@ SPECS = [
               "canonical survivors (broadcast anti-join)"),
     QuerySpec("q60_token_shards", q60_token_shards, Q60_SQL,
               "token-budget training shards via distributed prefix sum"),
+    QuerySpec("q61_chunk_docs", q61_chunk_docs, Q61_SQL,
+              "overlapping token-window chunking (map-only posexplode)"),
 ]

@@ -160,3 +160,24 @@ def test_scrub_pii_cross_engine(spark):
     counts = df.select("doc_id", *pii_counts(F.col("text"))).collect()
     got = {r.doc_id: (r.n_email, r.n_phone, r.n_ipv4) for r in counts}
     assert got[5] == (2, 0, 0) and got[3] == (0, 0, 1)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from elt_gluepipeline_spark.operators.textstats import chunk_documents
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),  # 10 toks → 3 chunks
+         (2, "a b"),                                  # short → 1 chunk
+         (3, "   ")],                                 # empty → 0 chunks
+        "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", size=4, overlap=1)
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+           for r in out.collect()}
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)   # 1-token overlap carried
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)   # tail covered exactly
+    assert got[(2, 0)] == ("a b", 2)           # short doc: one ragged chunk
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0)}  # empty doc: none
+    # every token of doc 1 appears in ≥1 chunk (coverage property)
+    covered = set(" ".join(t for t, _ in
+                           [got[(1, i)] for i in range(3)]).split())
+    assert covered == {f"w{i}" for i in range(10)}
