@@ -61,6 +61,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q61_chunk_docs",      # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q62_mixture_sample",  # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

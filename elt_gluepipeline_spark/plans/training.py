@@ -905,6 +905,39 @@ FROM st
 
 
 # --------------------------------------------------------------------------
+# Q62 — deterministic mixture sampling: per-language keep rates (keep
+# all non-English, downsample English to ~25%) with hash membership —
+# the corpus-mixture rebalancing step, reproducible by any engine with
+# md5. First-match strata semantics; the oracle recomputes every
+# hash decision.
+# --------------------------------------------------------------------------
+
+_MIX_RATES = (("en", 250),)  # permille per lang; others keep everything
+_MIX_DEFAULT = 1000
+
+
+def q62_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+    docs = read_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id",
+        [(F.col("lang") == lang, pm) for lang, pm in _MIX_RATES],
+        default_permille=_MIX_DEFAULT)
+    return kept.select("doc_id", "lang")
+
+
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in _MIX_RATES) \
+    + f" ELSE {_MIX_DEFAULT} END"
+Q62_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15))
+           AS BIGINT) % 1000 < {_MIX_CASE}
+"""
+
+
+# --------------------------------------------------------------------------
 # Q57 — deterministic hash-based train/test split (operators.sampling):
 # membership is a pure function of (doc_id, seed), so the split is
 # stable under corpus growth, repartitioning, and reruns — and the
@@ -1019,4 +1052,7 @@ SPECS = [
               "token-budget training shards via distributed prefix sum"),
     QuerySpec("q61_chunk_docs", q61_chunk_docs, Q61_SQL,
               "overlapping token-window chunking (map-only posexplode)"),
+    QuerySpec("q62_mixture_sample", q62_mixture_sample, Q62_SQL,
+              "deterministic corpus-mixture rebalancing (per-stratum "
+              "hash rates, every decision oracle-recomputed)"),
 ]
