@@ -381,6 +381,14 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
         labels = nxt.drop("_chg")
         if changed == 0:
             break
+    else:
+        # returning unconverged labels would silently hand WRONG
+        # components to keep_canonical (which deletes documents) —
+        # fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(long-chain graph?) — raise max_iters or use "
+            f"connected_components_star")
     return labels.select("id", F.col("lbl").alias(component_col))
 
 
@@ -388,11 +396,16 @@ def keep_canonical(df: DataFrame, components: DataFrame, id_col: str,
                    *, component_col: str = "component") -> DataFrame:
     """Drop every non-canonical member of each near-dup component:
     survivors are docs absent from the pair graph plus each component's
-    min-id representative. components is tiny relative to the corpus →
-    broadcast anti-join, the corpus never shuffles."""
+    min-id representative. The loser set scales with the DUPLICATE
+    count (which at a typical 30-50% web-corpus dup rate is corpus-
+    sized), so the anti-join is left to the planner: AQE broadcasts it
+    when small and shuffles ids (never documents' payload columns —
+    only the join key moves for the probe side build) when not.
+    Forcing a broadcast here would collect billions of ids to the
+    driver at the 100 TB design point."""
     losers = components.filter(F.col("id") != F.col(component_col)) \
                        .select(F.col("id").alias(id_col))
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 def cross_corpus_containment(corpus: DataFrame, bench: DataFrame, *,
@@ -518,6 +531,10 @@ def connected_components_star(pairs: DataFrame, *, id_a: str = "id_a",
         if nxt == digest:
             break
         digest = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            f"rounds — raise max_iters")
     # converged to stars: every node's minimum neighbor is its root
     labels = _min_nbr(_sym(e))
     return labels.select(F.col("a").alias("id"),

@@ -100,7 +100,12 @@ def token_budget_shards(df: DataFrame, id_col: str, tokens_col: Column, *,
         n_partitions = df.sparkSession.sparkContext.defaultParallelism
     d = (df.select(F.col(id_col).alias("_id"), tokens_col.alias("_t"))
            .repartitionByRange(n_partitions, "_id")
-           .withColumn("_pid", F.spark_partition_id()))
+           .withColumn("_pid", F.spark_partition_id())
+           # PIN the range partitioning: repartitionByRange samples its
+           # boundaries per execution, so without materializing here the
+           # offsets job and the final select could see DIFFERENT _pid
+           # assignments near boundaries — silently wrong shards
+           .localCheckpoint(eager=True))
     w = (Window.partitionBy("_pid").orderBy("_id")
                .rowsBetween(Window.unboundedPreceding, -1))
     local = F.coalesce(F.sum("_t").over(w), F.lit(0))

@@ -22,10 +22,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def salted_join(skewed: DataFrame, other: DataFrame, on: Sequence[str],
-                *, n_salt: int = 16, how: str = "inner") -> DataFrame:
+                *, n_salt: int = 16, how: str = "inner",
+                salt_on: Sequence[str] | None = None) -> DataFrame:
     """Equi-join a skewed big side against a non-broadcastable side.
 
     The skewed side gets a per-row deterministic salt in [0, n_salt);
@@ -34,18 +36,27 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: Sequence[str],
     builds; tiny dims should just broadcast). The join key becomes
     (on..., salt), so a hot key's rows spread over n_salt reducers.
 
+    Salt derivation: hash of ``salt_on`` columns (default: every
+    HASHABLE non-join column, falling back to all columns) —
+    deterministic across task retries, unlike an id-generator salt.
+    Caveat: rows IDENTICAL in the salted columns share a salt, so a
+    hot key whose rows are exact duplicates does not spread — project
+    a distinguishing column into the frame (or dedupe+count first) for
+    that shape. Map-typed columns are skipped (Spark can't hash them).
+
     Row-identical to ``skewed.join(other, on, how)`` for equi-joins of
     'inner'/'left' type.
     """
     assert how in ("inner", "left"), "salted_join supports inner/left"
-    # salt from the row's own values: deterministic across task retries
-    # (monotonically_increasing_id would re-deal salts on a retry —
-    # harmless for inner/left results but poison for debugging and for
-    # any downstream that caches shards). Identical rows share a salt;
-    # hot-key rows almost always differ in some other column, which is
-    # what spreads them.
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
-                  F.lit(n_salt))
+    if salt_on is None:
+        hashable = [f.name for f in skewed.schema.fields
+                    if not isinstance(f.dataType, MapType)]
+        # prefer non-join columns: they are what distinguishes a hot
+        # key's rows from each other
+        non_join = [c for c in hashable if c not in on]
+        salt_on = non_join or hashable
+    assert salt_on, "no hashable columns to derive a salt from"
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(n_salt))
     s = skewed.withColumn("_salt", salt)
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))

@@ -76,6 +76,13 @@ def registry() -> dict[str, QuerySpec]:
             if spec.name in out:
                 raise ValueError(f"duplicate query name {spec.name}")
             out[spec.name] = spec
+    missing = [n for n in _DEPRIORITIZED if n not in out]
+    if missing:
+        raise ValueError(f"_DEPRIORITIZED names not in registry: {missing}")
     head = {n: s for n, s in out.items() if n not in _DEPRIORITIZED}
-    tail = {n: out[n] for n in _DEPRIORITIZED if n in out}
+    if len(out) > 50 and len(head) != 50:
+        raise ValueError(
+            f"registry head must be exactly 50 (driver gate contract), "
+            f"got {len(head)}: adjust _DEPRIORITIZED")
+    tail = {n: out[n] for n in _DEPRIORITIZED}
     return {**head, **tail}

@@ -953,10 +953,17 @@ WHERE session_id < (SELECT MAX(session_id) FROM rolled r2
 def q53_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import run_rollup_available_now
     from ..sources.readers import ntz_to_instant
+    # Lateness spans the whole bounded backfill: within-watermark
+    # dedupe only guarantees once-per-key while a key's state LIVES, so
+    # matching the DISTINCT oracle requires no eviction during the
+    # drain (a multi-file drain with 1h lateness could re-emit a key
+    # recurring days apart). A continuous production stream sets a real
+    # lateness — that path (eviction + bounded state) is pytest'd in
+    # stream_ingest.
     src = (read_table_stream(spark, sf_dir, "events")
            # watermarks reject NTZ: convert via epoch micros
            .withColumn("ts", ntz_to_instant("ts"))
-           .withWatermark("ts", "1 hour")
+           .withWatermark("ts", "3650 days")
            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
            .select("user_id", "event_type"))
     return run_rollup_available_now(src, output_mode="append",

@@ -180,7 +180,10 @@ def sql_literal(value) -> str:
     if isinstance(value, (int, float)):
         return repr(value)
     if isinstance(value, _dt.datetime):
-        return "{ts '%s'}" % value.strftime('%Y-%m-%d %H:%M:%S.%f')[:-3]
+        # FULL microsecond precision: truncating the bookmark would
+        # re-match already-ingested rows inside the truncated window on
+        # the next pull (the duplicate-ingest bug watermarks prevent)
+        return "{ts '%s'}" % value.strftime('%Y-%m-%d %H:%M:%S.%f')
     if isinstance(value, _dt.date):
         return "{d '%s'}" % value.isoformat()
     escaped = str(value).replace("'", "''")

@@ -3,11 +3,16 @@ testdata tables and every declared query as temp views, so the whole
 engine surface is addressable from ``spark.sql`` — the literal-SQL
 twin the oracle gate exercises in DuckDB, available in-engine too.
 
-Views are lazy logical plans: registering all ~60 queries costs plan
-construction only; nothing executes until a view is selected from.
-Streaming-drain queries (q29/q35/q48/q50/q53/q54) EXECUTE their drain
-at build time, so they are registered only when ``include_streaming``
-is set.
+Most views are lazy logical plans: registering them costs plan
+construction only, and nothing executes until a view is selected
+from. Two classes of query EXECUTE work at build time and are
+therefore opt-in:
+
+- streaming drains (q29/q35/q48/q50/q53/q54) run their bounded
+  AvailableNow drain when built;
+- driver-loop/collect builds (q25 auto-sizes blocks with a count,
+  q31 collects centroids, q56/q59 iterate connected components, q60
+  collects per-partition offsets) run real Spark jobs when built.
 """
 
 from __future__ import annotations
@@ -23,9 +28,17 @@ STREAMING_QUERIES = frozenset({
     "q50_stream_enrich", "q53_stream_dedupe", "q54_stream_keep_latest",
 })
 
+# queries whose build() runs batch jobs eagerly (collects / iterative
+# driver loops) — registering them is running them
+EAGER_QUERIES = frozenset({
+    "q25_embedding_neardup", "q31_ivf_ann", "q56_neardup_groups",
+    "q59_dedupe_corpus", "q60_token_shards",
+})
+
 
 def register_all(spark: SparkSession, sf_dir: str, *,
-                 include_streaming: bool = False) -> list[str]:
+                 include_streaming: bool = False,
+                 include_eager: bool = False) -> list[str]:
     """Register base tables + declared queries as temp views; returns
     the registered view names. After this, ``spark.sql("SELECT * FROM
     q02_clv")`` (or any composition over it) runs the engine's plan."""
@@ -33,6 +46,8 @@ def register_all(spark: SparkSession, sf_dir: str, *,
     names: list[str] = []
     for name, spec in registry().items():
         if name in STREAMING_QUERIES and not include_streaming:
+            continue
+        if name in EAGER_QUERIES and not include_eager:
             continue
         spec.build(spark, sf_dir).createOrReplaceTempView(name)
         names.append(name)

@@ -66,7 +66,9 @@ def sessionize_stateful(events: DataFrame, *, gap_minutes: int = 30,
                 closed.append((key[0], sid, n, last - start))
                 sid, start, last, n = sid + 1, ts, ts, 1
             else:
-                last, n = ts, n + 1
+                # late cross-batch events must extend bounds
+                # monotonically, never move them backward
+                start, last, n = min(start, ts), max(last, ts), n + 1
         state.update((sid, start, last, n))
         yield pd.DataFrame(closed, columns=["user_id", "session_id",
                                             "n_events", "duration_us"])
@@ -122,11 +124,18 @@ def sessionize_stateful_timeout(events: DataFrame, *, gap_minutes: int = 30,
                 closed.append((key[0], sid, n, last - start))
                 sid, start, last, n = sid + 1, ts, ts, 1
             else:
-                last, n = ts, n + 1
+                # a LATE cross-batch event (admitted by the watermark)
+                # may sort before the stored last: extend bounds
+                # monotonically, never move them backward
+                start, last, n = min(start, ts), max(last, ts), n + 1
         state.update((sid, start, last, n))
         # the open session times out when the WATERMARK passes
-        # last + gap (epoch millis)
-        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        # last + gap (epoch millis); clamp to just past the current
+        # watermark — Spark rejects a timeout at or before it (possible
+        # when a late event's last + gap already lies behind)
+        timeout_ms = max((last + gap_us) // 1000,
+                         state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(closed, columns=cols)
 
     return (events.groupBy(user_col)

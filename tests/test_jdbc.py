@@ -81,6 +81,6 @@ def test_sql_literal_rendering():
     assert sql_literal(2.5) == "2.5"
     assert sql_literal(True) == "TRUE"
     assert sql_literal(dt.date(2024, 3, 1)) == "{d '2024-03-01'}"
-    assert sql_literal(dt.datetime(2024, 3, 1, 12, 30, 0)) == \
-        "{ts '2024-03-01 12:30:00.000'}"
+    assert sql_literal(dt.datetime(2024, 3, 1, 12, 30, 0, 500)) == \
+        "{ts '2024-03-01 12:30:00.000500'}"  # full us precision kept
     assert sql_literal("o'brien") == "'o''brien'"
