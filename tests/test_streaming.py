@@ -179,3 +179,80 @@ def test_stream_sessions_timeout_closes_idle(spark):
         rows.append((uid, sid, n, last - start, last + gap_us < max_us))
         want |= {r[:4] for r in rows if r[4]}
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessions_across_micro_batches(spark, tmp_path):
+    # multi-batch drain (maxFilesPerTrigger=1): state carries across
+    # micro-batches, and a LATE event delivered in a later batch —
+    # inside the session gap — must extend the open session's bounds
+    # monotonically, not move them backward
+    import datetime as dt
+    from elt_gluepipeline_spark.streaming.sessionize import \
+        sessionize_stateful
+    src_dir = str(tmp_path / "ev")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src_dir)
+
+    m = dt.timedelta(minutes=1)
+    # batch 1: u1 events at 12:00, 12:10
+    write_file([(1, 1, base), (1, 2, base + 10 * m)])
+    # batch 2: LATE event 12:05 (inside the open session) + 12:20
+    write_file([(1, 3, base + 5 * m), (1, 4, base + 20 * m)])
+    # batch 3: u1 at 13:30 — 70min gap closes session 1 (4 events)
+    write_file([(1, 5, base + 90 * m)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir)
+              .select("user_id", "event_id",
+                      F.unix_micros("ts").alias("ts_us")))
+    sessions = sessionize_stateful(stream, gap_minutes=30)
+    name = "_mb_sessions"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [tuple(r) for r in spark.table(name).collect()]
+    # one closed session: 4 events spanning 12:00-12:20 (20 min)
+    assert got == [(1, 1, 4, 20 * 60 * 1_000_000)]
+
+
+def test_timeout_sessions_across_micro_batches(spark, tmp_path):
+    # event-time-timeout variant under a multi-batch drain: the
+    # watermark advances between batches; timeouts must clamp past it
+    # (a late event's last+gap can lie behind the watermark) and idle
+    # sessions flush once it passes last+gap
+    import datetime as dt
+    from elt_gluepipeline_spark.streaming.sessionize import \
+        sessionize_stateful_timeout
+    src_dir = str(tmp_path / "ev2")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src_dir)
+
+    m = dt.timedelta(minutes=1)
+    write_file([(1, 1, base), (2, 2, base + 2 * m)])
+    # u2 goes idle; u1 keeps going far past u2's last+gap
+    write_file([(1, 3, base + 120 * m)])
+    write_file([(1, 4, base + 240 * m)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir)
+              .withWatermark("ts", "0 seconds"))
+    sessions = sessionize_stateful_timeout(stream, gap_minutes=30)
+    name = "_mb_timeout_sessions"
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    # u2's idle session flushed by timeout; u1's first two singleton
+    # sessions closed by gap; the trailing u1 session (ts 240m) may or
+    # may not time out depending on the final watermark — accept both
+    assert (2, 1, 1, 0) in got           # u2 idle session flushed
+    assert (1, 1, 1, 0) in got and (1, 2, 1, 0) in got
+    assert got <= {(2, 1, 1, 0), (1, 1, 1, 0), (1, 2, 1, 0), (1, 3, 1, 0)}
