@@ -292,3 +292,48 @@ def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
     top = top_n_per_key(scored, ["query_id"],
                         [F.col("cosine").desc(), F.col("neighbor_id")], k)
     return top.select("query_id", "neighbor_id", "cosine")
+
+
+def quantize_int8(df: DataFrame, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage
+    /bandwidth step a vector corpus pays before ANN serving (4× smaller
+    than float32, 8× than float64).
+
+    Per vector: scale = max(|v|)/127, code_i = floor(v_i/scale + 0.5)
+    (half-up, engine-portable — no banker's-rounding divergence),
+    reconstruction v̂_i = code_i·scale. All higher-order array
+    expressions in double precision: map-only, codegen'd, no shuffle,
+    no Python — at corpus scale this is a pure scan-transform whose
+    cost is bounded by the parquet read. All-zero vectors quantize to
+    all-zero codes (scale 0 guard).
+
+    Output per vector: the int8 code array plus audit scalars —
+    ``scale``, ``code_sum``/``code_l1`` (integer checksums; exact
+    cross-engine equality evidence), and ``mse`` (mean squared
+    reconstruction error).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v"))
+    amax = F.array_max(F.transform("_v", lambda x: F.abs(x)))
+    b = base.select(id_col, "_v", amax.alias("_amax"))
+    scale = F.col("_amax") / F.lit(127.0)
+    code = F.when(F.col("_amax") == 0.0,
+                  F.transform("_v", lambda x: F.lit(0).cast("long"))) \
+            .otherwise(F.transform(
+                "_v", lambda x: F.floor(x / (F.col("_amax") / F.lit(127.0))
+                                        + F.lit(0.5))))
+    c = b.select(id_col, "_v", "_amax", code.alias("_code"))
+    sq_err = F.zip_with("_code", "_v",
+                        lambda q, x: (q * scale - x) * (q * scale - x))
+    mse = F.when(F.size("_v") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(sq_err, F.lit(0.0), lambda a, e: a + e) / F.size("_v"))
+    return c.select(
+        id_col,
+        F.col("_code").cast("array<tinyint>").alias("code"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate("_code", F.lit(0).cast("long"),
+                    lambda a, e: a + e).alias("code_sum"),
+        F.aggregate("_code", F.lit(0).cast("long"),
+                    lambda a, e: a + F.abs(e)).alias("code_l1"),
+        F.round(mse, 6).alias("mse"))

@@ -112,6 +112,33 @@ def line_repetition(text: Column) -> Column:
             .otherwise(1.0 - F.size(F.array_distinct(lines)) / n)
 
 
+def top_count(arr: Column) -> Column:
+    """Occurrence count of the most frequent element of ``arr`` (0 for
+    empty). Nested higher-order expression — O(distinct·n) per row,
+    codegen'd, no shuffle: the right shape when rows are documents
+    (bounded token counts), vs an explode+groupBy that would shuffle
+    every token occurrence in the corpus."""
+    return F.when(F.size(arr) == 0, F.lit(0)).otherwise(
+        F.array_max(F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)))))
+
+
+def singleton_count(arr: Column) -> Column:
+    """Number of distinct elements of ``arr`` occurring exactly once."""
+    return F.size(F.filter(
+        F.array_distinct(arr),
+        lambda x: F.size(F.filter(arr, lambda y: y == x)) == 1))
+
+
+def bigrams(tok: Column) -> Column:
+    """Adjacent token pairs joined with a space; <2 tokens → empty."""
+    n = F.size(tok)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(F.slice(tok, 1, n - 1), F.slice(tok, 2, n - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)))
+
+
 def chunk_documents(df, id_col: str, text_col: str, *, size: int,
                     overlap: int = 0):
     """Split each document into token-window chunks of ``size`` tokens

@@ -63,6 +63,10 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q62_mixture_sample",  # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q63_repetition",      # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q64_embed_quantize",  # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

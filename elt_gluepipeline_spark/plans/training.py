@@ -992,6 +992,116 @@ FROM c JOIN b ON len(list_intersect(c.sh, b.sh)) / len(b.sh) >= 0.5
 """
 
 
+# --------------------------------------------------------------------------
+# Q63 — repetition quality signals (the Gopher/MassiveText repetition
+# filters): most-frequent-token fraction, most-frequent-bigram
+# fraction, duplicated-token-occurrence fraction. All nested
+# higher-order array expressions — per-document map-only work (rows
+# are documents, token counts bounded), so the corpus never shuffles;
+# the explode+groupBy alternative would shuffle every token
+# occurrence. The oracle recomputes each signal with DuckDB list
+# lambdas over the same tokenization.
+# --------------------------------------------------------------------------
+
+def q63_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import bigrams, singleton_count, top_count
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    b = base.select("doc_id", "_tok", bigrams(F.col("_tok")).alias("_big"))
+    n, nb = F.size("_tok"), F.size("_big")
+    top_tok = F.when(n == 0, F.lit(0.0)) \
+               .otherwise(top_count(F.col("_tok")) / n)
+    top_big = F.when(nb == 0, F.lit(0.0)) \
+               .otherwise(top_count(F.col("_big")) / nb)
+    dup_tok = F.when(n == 0, F.lit(0.0)) \
+               .otherwise((n - singleton_count(F.col("_tok"))) / n)
+    return b.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(top_tok, 6).alias("top_token_frac"),
+        F.round(top_big, 6).alias("top_bigram_frac"),
+        F.round(dup_tok, 6).alias("dup_token_frac"))
+
+
+Q63_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents
+), big AS (
+  SELECT doc_id, tok,
+         CASE WHEN len(tok) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(list_zip(tok[1:len(tok)-1], tok[2:len(tok)]),
+                                  p -> p[1] || ' ' || p[2]) END AS bg
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(tok) AS BIGINT) AS n_tokens,
+  ROUND(CASE WHEN len(tok) = 0 THEN 0.0 ELSE
+    list_max(list_transform(list_distinct(tok),
+                            x -> len(list_filter(tok, y -> y = x))))
+      / len(tok) END, 6) AS top_token_frac,
+  ROUND(CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+    list_max(list_transform(list_distinct(bg),
+                            x -> len(list_filter(bg, y -> y = x))))
+      / len(bg) END, 6) AS top_bigram_frac,
+  ROUND(CASE WHEN len(tok) = 0 THEN 0.0 ELSE
+    (len(tok) - len(list_filter(list_distinct(tok),
+                                x -> len(list_filter(tok, y -> y = x)) = 1)))
+      / len(tok) END, 6) AS dup_token_frac
+FROM big
+"""
+
+
+# --------------------------------------------------------------------------
+# Q64 — int8 embedding quantization (operators.similarity.quantize_int8):
+# per-vector symmetric scale, half-up integer codes, reconstruction
+# MSE. The code array is emitted as a CSV string so the gate
+# hash-compares every code value exactly across engines (list
+# stringification differs between numpy and DuckDB); integer checksums
+# ride along.
+# --------------------------------------------------------------------------
+
+def q64_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, id_col="vec_id", vec_col="embedding")
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("code", lambda x: x.cast("string")))
+         .alias("code_csv"),
+        "scale", "code_sum", "code_l1", "mse")
+
+
+Q64_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) AS amax
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, v, amax,
+         CASE WHEN amax = 0.0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5)
+                                               AS BIGINT)) END AS code
+  FROM v
+)
+SELECT vec_id,
+  list_aggregate(list_transform(code, x -> CAST(x AS VARCHAR)),
+                 'string_agg', ',') AS code_csv,
+  ROUND(amax / 127.0, 6) AS scale,
+  CAST(list_sum(code) AS BIGINT) AS code_sum,
+  CAST(list_sum(list_transform(code, x -> abs(x))) AS BIGINT) AS code_l1,
+  ROUND(CASE WHEN len(v) = 0 THEN 0.0 ELSE
+    list_sum(list_transform(range(1, len(v) + 1),
+             i -> (code[i] * (amax / 127.0) - v[i])
+                  * (code[i] * (amax / 127.0) - v[i]))) / len(v) END, 6) AS mse
+FROM coded
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -1055,4 +1165,10 @@ SPECS = [
     QuerySpec("q62_mixture_sample", q62_mixture_sample, Q62_SQL,
               "deterministic corpus-mixture rebalancing (per-stratum "
               "hash rates, every decision oracle-recomputed)"),
+    QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
+              "Gopher-style repetition signals (top token/bigram "
+              "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q64_embed_quantize", q64_embed_quantize, Q64_SQL,
+              "int8 embedding quantization (symmetric scale, half-up "
+              "codes, reconstruction MSE; every code value gate-checked)"),
 ]

@@ -72,3 +72,36 @@ def test_bpe_ish_tokens_matches_re2_extraction(spark):
             r"SELECT len(regexp_extract_all(?, '\w+|[^\w\s]'))",
             params=[c]).fetchone()[0]
         assert spark_counts[i] == want, (c, spark_counts[i], want)
+
+
+def test_repetition_signals(spark):
+    from elt_gluepipeline_spark.operators.textstats import (bigrams,
+                                                            singleton_count,
+                                                            top_count,
+                                                            tokens)
+    tok = tokens(F.col("text"))
+    assert _one(spark, top_count(tok), "a b a c a b") == 3
+    assert _one(spark, top_count(tok), "   ") == 0
+    assert _one(spark, singleton_count(tok), "a b a c a b") == 1
+    assert _one(spark, bigrams(tok), "a b c") == ["a b", "b c"]
+    assert _one(spark, bigrams(tok), "solo") == []
+    assert _one(spark, bigrams(tok), "") == []
+
+
+def test_quantize_int8_roundtrip(spark):
+    import math
+
+    from elt_gluepipeline_spark.operators.similarity import quantize_int8
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.25, 0.0, 0.75]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    r1 = rows[1]
+    # max|v| maps to ±127; everything else scales linearly, half-up
+    assert r1.code == [51, -127, 0, 76]
+    assert math.isclose(r1.scale, 1.25 / 127.0, rel_tol=0, abs_tol=5e-7)
+    assert r1.code_sum == 0 and r1.code_l1 == 254
+    # reconstruction error bounded by half a quantization step
+    assert 0.0 <= r1.mse <= (r1.scale / 2) ** 2
+    r2 = rows[2]  # all-zero vector: scale-0 guard
+    assert r2.code == [0, 0, 0, 0] and r2.scale == 0.0 and r2.mse == 0.0
