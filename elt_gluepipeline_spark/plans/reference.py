@@ -992,6 +992,47 @@ def q54_stream_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q65 — foreachBatch CDC upsert (streaming.upsert): the change feed is
+# split into multiple files and drained with maxFilesPerTrigger=1, so
+# the merge-into-snapshot really runs ONCE PER MICRO-BATCH — each batch
+# unions the prior published snapshot with the delta and keeps the
+# latest row per key, committing a batch_id-versioned snapshot behind
+# a pointer file (idempotent under replay). The final snapshot must
+# equal batch q12's whole-history keep-latest — same oracle. This is
+# the sink-side MERGE twin of q54's state-store keep-latest: state
+# lives in the (bucketable, restart-safe) snapshot table instead of
+# the state store.
+# --------------------------------------------------------------------------
+
+def q65_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.upsert import foreach_batch_upsert, read_snapshot
+    ev = read_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q65_upsert_")
+    src_dir = os.path.join(work, "src")
+    # 4 files → 4 micro-batches: the cross-batch merge path is what
+    # this query certifies (row placement is arbitrary; keep-latest
+    # under a deterministic total order is merge-order-independent)
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    src = (spark.readStream
+                .schema(spark.read.parquet(src_dir).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir))
+    snap_dir = os.path.join(work, "snap")
+    foreach_batch_upsert(src,
+                         primary_keys=["user_id", "event_type"],
+                         order_by=[F.col("ts").desc()],
+                         tiebreak=[F.col("event_id").desc()],
+                         snapshot_dir=snap_dir,
+                         checkpoint_path=os.path.join(work, "ckpt"))
+    snap = read_snapshot(spark, snap_dir)
+    return snap.select("user_id", "event_type", "event_id",
+                       F.date_format("ts", TS_FMT).alias("ts"), "value")
+
+
+# --------------------------------------------------------------------------
 # Q55 — skew-proof exact distinct count (operators.skew). The salt is
 # derived from the COUNTED VALUE, so shards partition the value space:
 # per-shard exact counts sum to the exact total. The oracle is a plain
@@ -1373,4 +1414,7 @@ SPECS = [
     QuerySpec("q55_salted_distinct", q55_salted_distinct, Q55_SQL,
               "skew-proof exact COUNT(DISTINCT) via value-space salting "
               "(hash-match vs plain oracle proves exactness)"),
+    QuerySpec("q65_stream_upsert", q65_stream_upsert, Q12_SQL,
+              "foreachBatch CDC upsert: per-micro-batch merge into a "
+              "versioned keyed snapshot, same oracle as batch q12"),
 ]

@@ -256,3 +256,51 @@ def test_timeout_sessions_across_micro_batches(spark, tmp_path):
     assert (2, 1, 1, 0) in got           # u2 idle session flushed
     assert (1, 1, 1, 0) in got and (1, 2, 1, 0) in got
     assert got <= {(2, 1, 1, 0), (1, 1, 1, 0), (1, 2, 1, 0), (1, 3, 1, 0)}
+
+
+def test_foreach_batch_upsert_multi_batch(spark, tmp_path):
+    # the foreachBatch merge must fold three micro-batches into the
+    # same keep-latest result a single batch pass computes, with later
+    # batches overwriting earlier keys and ties broken by event_id
+    import datetime as dt
+    from elt_gluepipeline_spark.streaming.upsert import (
+        foreach_batch_upsert, read_snapshot)
+    src_dir = str(tmp_path / "chg")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "k long, event_id long, ts timestamp, v string"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src_dir)
+
+    h = dt.timedelta(hours=1)
+    write_file([(1, 1, base, "a"), (2, 2, base, "b")])
+    write_file([(1, 3, base + h, "a2"),          # newer → wins
+                (2, 4, base - h, "stale"),       # older → loses
+                (3, 5, base, "c")])
+    write_file([(3, 6, base, "c2")])             # same ts: event_id wins
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    snap_dir = str(tmp_path / "snap")
+    foreach_batch_upsert(stream, primary_keys=["k"],
+                         order_by=[F.col("ts").desc()],
+                         tiebreak=[F.col("event_id").desc()],
+                         snapshot_dir=snap_dir,
+                         checkpoint_path=str(tmp_path / "ckpt"))
+    got = {r.k: (r.event_id, r.v)
+           for r in read_snapshot(spark, snap_dir).collect()}
+    assert got == {1: (3, "a2"), 2: (2, "b"), 3: (6, "c2")}
+
+    # replayed batch (same batch_id) rewrites the same version — the
+    # pointer and result don't change: exactly-once state under
+    # at-least-once delivery
+    merged_before = read_snapshot(spark, snap_dir).count()
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    foreach_batch_upsert(stream2, primary_keys=["k"],
+                         order_by=[F.col("ts").desc()],
+                         tiebreak=[F.col("event_id").desc()],
+                         snapshot_dir=snap_dir,
+                         checkpoint_path=str(tmp_path / "ckpt"))
+    assert read_snapshot(spark, snap_dir).count() == merged_before
