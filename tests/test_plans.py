@@ -179,3 +179,42 @@ def test_q58_contamination_no_cartesian(spark):
     # corpus x bench
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    # At 100 TB a selective dim-side filter should cut the fact-side
+    # shuffle via Spark's runtime bloom filter (InjectRuntimeFilter).
+    # The injection is governed by size thresholds tuned for clusters
+    # (application side ≥ 10 GB scan), so at test scale we lower the
+    # threshold to prove the SHAPE: probe-side scan gains a
+    # might_contain(bloom_filter_agg(...)) semi-filter, so filtered-out
+    # fact rows never reach the exchange. With default thresholds on a
+    # production-size scan, the same plans get this for free — this
+    # test pins that our join shapes remain eligible (equi-join keys,
+    # shuffle join, selective creation side).
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.sources.readers import read_table
+    saved = {k: spark.conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold",
+              "spark.sql.optimizer.runtime.bloomFilter."
+              "applicationSideScanSizeThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", "0")
+        orders = read_table(spark, SF, "orders") \
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        li = read_table(spark, SF, "lineitem")
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
