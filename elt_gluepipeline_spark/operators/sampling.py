@@ -79,6 +79,33 @@ def stratified_sample(df: DataFrame, key_col: str,
     return df.filter(bucket < rate)
 
 
+def weighted_sample(df: DataFrame, key_col: str, weight: Column, *,
+                    k: int, seed: int = 7,
+                    key_out: str = "es_key") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows:
+    Efraimidis–Spirakis A-ES. Each row gets the key u^(1/w) for a
+    uniform u — the k largest keys are a weighted sample where
+    inclusion probability tracks weight. Ranking ln(u)/w descending is
+    the same order in a numerically safe form (ln u < 0, w > 0).
+
+    u derives from the row's OWN key (md5 → 60-bit → (0,1]), same
+    discipline as assign_split: no RNG state, stable under corpus
+    growth/partitioning/retries, re-derivable by any engine with md5.
+    Rows with weight <= 0 are excluded (A-ES precondition).
+
+    Plan: one codegen'd projection + TakeOrderedAndProject (per-
+    partition k-row heaps, driver merges k, never a global sort) — the
+    scale shape for "sample 10k docs from 100 TB by quality weight".
+    """
+    from .windows import top_n_global
+    h = portable_hash60(F.concat_ws("#", F.col(key_col).cast("string"),
+                                    F.lit(str(seed))))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    w = weight.cast("double")
+    scored = df.withColumn(key_out, F.log(u) / w).filter(w > 0)
+    return top_n_global(scored, [F.col(key_out).desc(), F.col(key_col)], k)
+
+
 def token_budget_shards(df: DataFrame, id_col: str, tokens_col: Column, *,
                         budget: int, shard_col: str = "shard",
                         n_partitions: int | None = None) -> DataFrame:

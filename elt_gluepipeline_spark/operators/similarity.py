@@ -294,6 +294,84 @@ def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
     return top.select("query_id", "neighbor_id", "cosine")
 
 
+def kmeans_lloyd(df: DataFrame, *, k: int = 8, n_iter: int = 2,
+                 seed: int = 7, id_col: str = "vec_id",
+                 vec_col: str = "embedding", grid: int = 1_000_000,
+                 round_to: int = 6) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    trained coarse quantizer ``ivf_ann`` leaves as a slot-in (its
+    centroid list is a deterministic SAMPLE; this refines one).
+
+    Engine-portable and partition-order-independent by construction:
+
+    - INIT: the k seed centroids are the vectors with the smallest
+      md5-derived hash of ``id#seed`` (same discipline as ``ivf_ann``
+      — any engine with md5 re-derives the exact same seeds; no RNG).
+    - ASSIGN (per iteration): squared-Euclidean argmin over the k
+      centroids, evaluated as codegen'd higher-order array expressions
+      (map-only over the corpus; centroids ride along as literals, so
+      there is no join and nothing shuffles). Exact distance ties
+      resolve to the lowest cell index.
+    - UPDATE: the new centroid is the mean of the assigned vectors on
+      a fixed 1/grid grid: each coordinate quantizes to
+      ``floor(x*grid + 0.5)`` (half-up, a LONG) and the mean is the
+      exact integer sum divided by ``grid * count`` in double.
+      Float-double summation is order-dependent — the same mean would
+      hash differently run-to-run — while long sums are associative,
+      so the update is bit-identical for ANY partitioning and any
+      engine. The 1e-6 grid error is far below float32 input noise.
+      One groupBy(cell) aggregation per iteration with k*dim bounded
+      output (the per-iteration centroid collect is model state, the
+      same bounded driver scalar distributed Lloyd always pays —
+      Spark MLlib's KMeans collects exactly this).
+
+    Output: final assignment (id, cell, dist) — ``dist`` is the
+    squared Euclidean distance to the final centroid, rounded.
+    """
+    from .dedup import portable_hash60  # noqa: PLC0415 (cycle-free late import)
+
+    v = df.select(F.col(id_col).alias("_id"),
+                  _as_double(F.col(vec_col)).alias("_v"))
+    sample_h = portable_hash60(
+        F.concat_ws("#", F.col("_id").cast("string"), F.lit(str(seed))))
+    seeds = (v.withColumn("_h", sample_h)
+              .orderBy("_h", "_id").limit(k).select("_v").collect())
+    cents: list[list[float]] = [list(r["_v"]) for r in seeds]
+    if not cents:
+        return (v.limit(0).select(F.col("_id").alias(id_col))
+                 .withColumn("cell", F.lit(0))
+                 .withColumn("dist", F.lit(0.0)))
+
+    def _sqdist(c: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(F.zip_with("_v", lit_c, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, e: acc + e)
+
+    def _assign(cs: list[list[float]]) -> DataFrame:
+        d_arr = F.array(*[_sqdist(c) for c in cs])
+        return v.select(
+            "_id", "_v", d_arr.alias("_d"),
+            (F.array_position(d_arr, F.array_min(d_arr)) - 1)
+            .cast("int").alias("cell"))
+
+    dim = len(cents[0])
+    for _ in range(max(0, n_iter - 1)):
+        g = F.lit(float(grid))
+        qsum = [F.sum(F.floor(F.col("_v")[i] * g + F.lit(0.5))).alias(f"s{i}")
+                for i in range(dim)]
+        rows = (_assign(cents).groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"), *qsum).collect())
+        by_cell = {r["cell"]: r for r in rows}
+        cents = [
+            [by_cell[j][f"s{i}"] / (float(grid) * by_cell[j]["n"])
+             for i in range(dim)] if j in by_cell else cents[j]
+            for j in range(len(cents))]
+    out = _assign(cents)
+    return out.select(
+        F.col("_id").alias(id_col), "cell",
+        F.round(F.element_at("_d", F.col("cell") + 1), round_to).alias("dist"))
+
+
 def quantize_int8(df: DataFrame, *, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the storage

@@ -139,6 +139,50 @@ def bigrams(tok: Column) -> Column:
                    lambda a, b: F.concat(a, F.lit(" "), b)))
 
 
+def tfidf_top_terms(df, id_col: str, text_col: str, *, k: int = 5,
+                    round_to: int = 6):
+    """Top-k TF-IDF terms per document — the classic keyword/topic
+    signal a corpus curation pipeline derives before clustering or
+    relevance filtering.
+
+    tfidf = tf * ln((N + 1) / (df + 1)) with tf the in-document term
+    count, df the number of documents containing the term, N the corpus
+    size (add-one smoothed so unseen/ubiquitous terms stay finite).
+
+    Plan shape (three shuffles, each on a different key, all with
+    map-side partial aggregation):
+      1. explode tokens → groupBy(doc, term) count   (tf),
+      2. window count over term                      (df — the tf table
+         is already one row per (doc, term), so a partition count IS
+         the document frequency; no second aggregate, no join back),
+      3. top-k per doc (rank window partitioned by doc).
+    N rides in as a broadcast 1-row aggregate (scalar-subquery shape,
+    no driver collect). Scores are rounded BEFORE ranking so ordering
+    reproduces across engines; ties break on the term string.
+
+    Output: (id, token, tf, tfidf), ≤ k rows per document.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .windows import top_n_per_key
+
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    doc_f = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    scored = (tf.crossJoin(F.broadcast(n_docs))
+                .select(id_col, "token", "tf",
+                        F.round(F.col("tf")
+                                * F.log((F.col("_n") + F.lit(1.0))
+                                        / (doc_f + F.lit(1.0))),
+                                round_to).alias("tfidf")))
+    top = top_n_per_key(scored, [id_col],
+                        [F.col("tfidf").desc(), F.col("token")], k)
+    return top.select(id_col, "token", "tf", "tfidf")
+
+
 def chunk_documents(df, id_col: str, text_col: str, *, size: int,
                     overlap: int = 0):
     """Split each document into token-window chunks of ``size`` tokens

@@ -65,6 +65,45 @@ def ranked(df: DataFrame, order_by: Sequence[Column], rank_col: str = "rank") ->
     return df.withColumn(rank_col, F.row_number().over(w))
 
 
+def scd2_history(df: DataFrame, keys: Sequence[str],
+                 order_by: Sequence[Column], state_cols: Sequence[str], *,
+                 ts_col: str, collapse: bool = True) -> DataFrame:
+    """Build a slowly-changing-dimension (type 2) history from a change
+    feed: one validity interval per observed state, per key — the
+    warehouse-side shape the reference's CDC ingest feeds
+    (go-incremental-ingest-elt.py:200-213 lands the latest row; SCD2
+    keeps every version with [valid_from, valid_to) bounds).
+
+    With ``collapse=True`` consecutive rows whose ``state_cols`` are
+    unchanged merge into one interval (a feed that re-emits identical
+    state doesn't mint phantom versions). NULL-safe comparison via
+    eqNullSafe, so NULL→NULL is "unchanged" while NULL→value versions.
+
+    Plan: two windows over the SAME (keys, order) spec — Catalyst
+    reuses the first exchange+sort for the second window, so the whole
+    history costs ONE shuffle by key. ``order_by`` must be a total
+    order within key (pass a unique tiebreaker); ``ts_col`` supplies
+    valid_from and the lead-derived valid_to (NULL = current row).
+
+    Output: key cols + state cols + (version, valid_from, valid_to,
+    is_current).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order_by)
+    changed = F.lit(False)
+    for c in state_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    first = F.row_number().over(w) == 1
+    d = df
+    if collapse:
+        d = (df.withColumn("_keep", first | changed)
+               .filter(F.col("_keep")).drop("_keep"))
+    w2 = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order_by)
+    return (d.withColumn("version", F.row_number().over(w2))
+             .withColumn("valid_from", F.col(ts_col))
+             .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+             .withColumn("is_current", F.col("valid_to").isNull()))
+
+
 def lag_features(df: DataFrame, keys: Sequence[str], order_col: str,
                  lag_cols: dict[str, str]) -> DataFrame:
     """W2/W3: per-entity lag columns (reference: go-metric-elt.py:132-139

@@ -69,6 +69,16 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q65_stream_upsert",   # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q66_tfidf",           # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q67_kmeans",          # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q68_scd2",            # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q69_stream_sliding",  # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q70_weighted_sample",  # head full at 50: oracle-checked via
+                            # tools/check_correctness instead
 )
 
 

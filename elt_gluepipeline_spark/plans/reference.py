@@ -1332,6 +1332,84 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+# --------------------------------------------------------------------------
+# Q68 — SCD type-2 history from the change feed
+# (operators.windows.scd2_history): the warehouse-side versioned
+# dimension the reference's CDC ingest feeds
+# (go-incremental-ingest-elt.py:200-213 keeps only the latest row;
+# SCD2 keeps every state change as a [valid_from, valid_to) interval).
+# Collapse-on-unchanged + lead-derived bounds; both windows share one
+# exchange (same key, same order).
+# --------------------------------------------------------------------------
+
+def q68_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import scd2_history
+    ev = read_table(spark, sf_dir, "events")
+    h = scd2_history(ev, ["user_id"], [F.col("ts"), F.col("event_id")],
+                     ["event_type"], ts_col="ts", collapse=True)
+    return h.select("user_id", "version", "event_type",
+                    ntz_micros("valid_from").alias("valid_from_us"),
+                    ntz_micros("valid_to").alias("valid_to_us"),
+                    "is_current")
+
+
+Q68_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM e WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM kept
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q69 — SLIDING-window streaming rollup (q29 is the tumbling form):
+# window("ts", "2 hours", "1 hour") through the streaming runtime —
+# each event feeds exactly two hour-aligned overlapping buckets. The
+# oracle replays the window algebra: bucket starts are
+# date_trunc('hour', ts) - {0,1} hours.
+# --------------------------------------------------------------------------
+
+def q69_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import run_rollup_available_now
+    src = read_table_stream(spark, sf_dir, "events")
+    agg = (src.groupBy(F.window("ts", "2 hours", "1 hour").alias("bucket"),
+                       F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   dsum("value").alias("total_value"))
+              .select(F.date_format("bucket.start", TS_FMT).alias("bucket_start"),
+                      "event_type", "n_events", "total_value"))
+    return run_rollup_available_now(agg, state_partitions=8)
+
+
+Q69_SQL = f"""
+WITH offs AS (SELECT unnest([0, 1]) AS o),
+w AS (
+  SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP))
+           - o * (INTERVAL 1 HOUR) AS ws,
+         e.event_type, e.value
+  FROM events e CROSS JOIN offs
+)
+SELECT strftime(ws, '{SQL_TS_FMT}') AS bucket_start, event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM w
+GROUP BY ws, event_type
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -1417,4 +1495,10 @@ SPECS = [
     QuerySpec("q65_stream_upsert", q65_stream_upsert, Q12_SQL,
               "foreachBatch CDC upsert: per-micro-batch merge into a "
               "versioned keyed snapshot, same oracle as batch q12"),
+    QuerySpec("q68_scd2", q68_scd2, Q68_SQL,
+              "SCD type-2 history from the change feed (collapse-on-"
+              "unchanged, lead-derived validity, one exchange)"),
+    QuerySpec("q69_stream_sliding", q69_stream_sliding, Q69_SQL,
+              "sliding-window streaming rollup (2h window / 1h slide; "
+              "oracle replays the two-bucket window algebra)"),
 ]

@@ -1102,6 +1102,141 @@ FROM coded
 """
 
 
+# --------------------------------------------------------------------------
+# Q66 — top-k TF-IDF terms per document (operators.textstats
+# .tfidf_top_terms): keyword extraction before clustering/relevance
+# filtering. tf from explode+groupBy, df as a window count over the
+# (doc, term)-distinct tf table, N as a broadcast scalar subquery.
+# --------------------------------------------------------------------------
+
+def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import tfidf_top_terms
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+Q66_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(tok) AS token FROM toks
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT doc_id, token, tf,
+         ROUND(tf * ln((n_docs + 1.0)
+                       / (COUNT(*) OVER (PARTITION BY token) + 1.0)),
+               6) AS tfidf
+  FROM tf, n
+)
+SELECT doc_id, token, tf, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM sc)
+WHERE rn <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q67 — Lloyd's k-means over embeddings (operators.similarity
+# .kmeans_lloyd): md5-seeded init, one grid-exact centroid update, final
+# assignment. The oracle re-derives the seeds, replays the identical
+# update (long sums on a 1e-6 grid → order-independent means), and
+# re-assigns — every cell id and distance hash-checked cross-engine.
+# --------------------------------------------------------------------------
+
+def q67_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, n_iter=2, seed=7)
+
+
+Q67_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v AS cv,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(('0x' || substr(md5(vec_id || '#7'), 1, 15)) AS BIGINT),
+                    vec_id) - 1 AS cell
+  FROM e
+  QUALIFY cell < 8
+),
+d1 AS (
+  SELECT e.vec_id, e.v, s.cell,
+         list_sum(list_transform(list_zip(e.v, s.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, v, cell
+  FROM (SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1)
+  WHERE rn = 1
+),
+u AS (
+  SELECT a.cell, generate_subscripts(a.v, 1) AS i, unnest(a.v) AS x
+  FROM a1 a
+),
+upd AS (
+  SELECT cell, i,
+         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM u GROUP BY cell, i
+),
+cent2 AS (
+  SELECT sd.cell,
+         COALESCE(list(up.s / (1000000.0 * up.n) ORDER BY up.i)
+                    FILTER (WHERE up.i IS NOT NULL),
+                  sd.cv) AS cv
+  FROM seeds sd LEFT JOIN upd up ON sd.cell = up.cell
+  GROUP BY sd.cell, sd.cv
+),
+d2 AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(list_zip(e.v, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM e CROSS JOIN cent2 c
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, ROUND(dist, 6) AS dist
+FROM (SELECT vec_id, cell, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      FROM d2)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q70 — deterministic weighted sampling without replacement
+# (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES keyed
+# by the row's own md5 hash): "sample 100 documents by length" with
+# every inclusion decision re-derivable by the oracle.
+# --------------------------------------------------------------------------
+
+def q70_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+    docs = read_table(spark, sf_dir, "documents")
+    s = weighted_sample(docs, "doc_id", F.col("n_chars"), k=100, seed=7)
+    return s.select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+
+
+Q70_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(doc_id || '#7'), 1, 15)) AS BIGINT) + 1.0)
+            / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, ROUND(es_key, 6) AS es_key
+FROM s ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -1171,4 +1306,13 @@ SPECS = [
     QuerySpec("q64_embed_quantize", q64_embed_quantize, Q64_SQL,
               "int8 embedding quantization (symmetric scale, half-up "
               "codes, reconstruction MSE; every code value gate-checked)"),
+    QuerySpec("q66_tfidf", q66_tfidf, Q66_SQL,
+              "top-5 TF-IDF terms per document (window df, broadcast "
+              "N, rank-before-round discipline)"),
+    QuerySpec("q67_kmeans", q67_kmeans, Q67_SQL,
+              "Lloyd k-means: md5-seeded init + grid-exact centroid "
+              "update; cells and distances oracle-reproduced"),
+    QuerySpec("q70_weighted_sample", q70_weighted_sample, Q70_SQL,
+              "Efraimidis-Spirakis weighted sample (hash-derived "
+              "uniforms; every inclusion oracle-re-derived)"),
 ]

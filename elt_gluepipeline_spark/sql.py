@@ -8,11 +8,12 @@ construction only, and nothing executes until a view is selected
 from. Two classes of query EXECUTE work at build time and are
 therefore opt-in:
 
-- streaming drains (q29/q35/q48/q50/q53/q54) run their bounded
-  AvailableNow drain when built;
-- driver-loop/collect builds (q25 auto-sizes blocks with a count,
-  q31 collects centroids, q56/q59 iterate connected components, q60
-  collects per-partition offsets) run real Spark jobs when built.
+- streaming drains (STREAMING_QUERIES) run their bounded
+  AvailableNow/foreachBatch drain when built;
+- driver-loop/collect builds (EAGER_QUERIES: q25 auto-sizes blocks
+  with a count, q31/q67 collect centroids, q56/q59 iterate connected
+  components, q60 collects per-partition offsets) run real Spark jobs
+  when built.
 """
 
 from __future__ import annotations
@@ -26,13 +27,14 @@ from .sources.readers import load_tables
 STREAMING_QUERIES = frozenset({
     "q29_stream_hourly", "q35_stream_sessions", "q48_stream_attribution",
     "q50_stream_enrich", "q53_stream_dedupe", "q54_stream_keep_latest",
+    "q65_stream_upsert", "q69_stream_sliding",
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative
 # driver loops) — registering them is running them
 EAGER_QUERIES = frozenset({
     "q25_embedding_neardup", "q31_ivf_ann", "q56_neardup_groups",
-    "q59_dedupe_corpus", "q60_token_shards",
+    "q59_dedupe_corpus", "q60_token_shards", "q67_kmeans",
 })
 
 

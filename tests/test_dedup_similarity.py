@@ -193,3 +193,35 @@ def test_minhash_portable_finds_near_dups(spark):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == 1.0
+
+
+def test_kmeans_lloyd_assigns_nearest_and_converges(spark):
+    from elt_gluepipeline_spark.operators.similarity import kmeans_lloyd
+    # two tight planted clusters far apart -> k=2 must separate them
+    rows = ([(i, [10.0 + 0.01 * i, 10.0]) for i in range(6)]
+            + [(100 + i, [-10.0 - 0.01 * i, -10.0]) for i in range(6)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=2, n_iter=3, seed=7).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, set()).add(r.vec_id)
+    assert len(by_cell) == 2
+    clusters = sorted(by_cell.values(), key=min)
+    assert clusters[0] == {0, 1, 2, 3, 4, 5}
+    assert clusters[1] == {100 + i for i in range(6)}
+    # converged assignment: every dist is within the tight cluster radius
+    assert all(r.dist < 1.0 for r in out)
+
+
+def test_kmeans_lloyd_deterministic_under_repartition(spark, sf_dir):
+    from elt_gluepipeline_spark.operators.similarity import kmeans_lloyd
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_lloyd(emb, k=4, n_iter=2, seed=7).collect()
+    b = kmeans_lloyd(emb.repartition(7), k=4, n_iter=2, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_lloyd_empty_input(spark):
+    from elt_gluepipeline_spark.operators.similarity import kmeans_lloyd
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans_lloyd(df, k=3, n_iter=2).count() == 0

@@ -181,3 +181,26 @@ def test_chunk_documents_windows_and_overlap(spark):
     covered = set(" ".join(t for t, _ in
                            [got[(1, i)] for i in range(3)]).split())
     assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from elt_gluepipeline_spark.operators.sampling import weighted_sample
+    rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "doc_id", F.col("w"), k=40, seed=7)
+    ids = {r.doc_id for r in out.collect()}
+    assert len(ids) == 40
+    # heavy keys (1000x weight, 5% of rows) must dominate the sample
+    assert sum(1 for i in ids if i < 50) >= 30
+    # determinism under repartition: identical sample, identical keys
+    again = weighted_sample(df.repartition(13), "doc_id", F.col("w"),
+                            k=40, seed=7)
+    assert {r.doc_id for r in again.collect()} == ids
+
+
+def test_weighted_sample_excludes_nonpositive_and_small_input(spark):
+    from elt_gluepipeline_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame([(1, 5), (2, 0), (3, -2)],
+                               "doc_id long, w long")
+    out = weighted_sample(df, "doc_id", F.col("w"), k=10, seed=7)
+    assert [r.doc_id for r in out.collect()] == [1]

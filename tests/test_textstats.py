@@ -105,3 +105,25 @@ def test_quantize_int8_roundtrip(spark):
     assert 0.0 <= r1.mse <= (r1.scale / 2) ** 2
     r2 = rows[2]  # all-zero vector: scale-0 guard
     assert r2.code == [0, 0, 0, 0] and r2.scale == 0.0 and r2.mse == 0.0
+
+
+def test_tfidf_top_terms_scores_and_ranking(spark):
+    import math
+
+    from elt_gluepipeline_spark.operators.textstats import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"),   # apple tf=2 rare-ish
+         (2, "banana cherry"),
+         (3, "banana banana banana"),  # banana in every doc -> low idf
+         (4, "")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    got = {(r.doc_id, r.token): (r.tf, r.tfidf) for r in out.collect()}
+    # N=4; apple df=1 -> idf=ln(5/2); banana df=3 -> idf=ln(5/4)
+    assert got[(1, "apple")] == (2, round(2 * math.log(5 / 2), 6))
+    assert got[(3, "banana")] == (3, round(3 * math.log(5 / 4), 6))
+    # k=2 cap per doc, empty doc contributes nothing
+    assert len([k for k in got if k[0] == 1]) == 2
+    assert not [k for k in got if k[0] == 4]
+    # per-doc ranking: apple (rarer) outranks banana in doc 1
+    assert got[(1, "apple")][1] > got[(1, "banana")][1]

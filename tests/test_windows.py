@@ -56,3 +56,42 @@ def test_lag_features(spark):
     out = lag_features(df, ["user"], "ts", {"prev_v": "v"})
     rows = {r.ts: r.prev_v for r in out.collect()}
     assert rows == {1: None, 2: 10.0, 3: 20.0}
+
+
+def test_scd2_history_collapse_and_bounds(spark):
+    from elt_gluepipeline_spark.operators.windows import scd2_history
+    rows = [  # user 1: A,A,B,A -> 3 versions; user 2: single row
+        (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"),
+        (2, 5, "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, state string")
+    h = scd2_history(df, ["user_id"], [F.col("seq")], ["state"],
+                     ts_col="seq", collapse=True)
+    got = {(r.user_id, r.version): (r.state, r.valid_from, r.valid_to,
+                                    r.is_current)
+           for r in h.collect()}
+    assert got[(1, 1)] == ("A", 1, 3, False)   # A,A collapsed into one
+    assert got[(1, 2)] == ("B", 3, 4, False)
+    assert got[(1, 3)] == ("A", 4, None, True)  # A re-opens a NEW version
+    assert got[(2, 1)] == ("X", 5, None, True)
+    assert len(got) == 4
+
+
+def test_scd2_history_no_collapse_keeps_every_row(spark):
+    from elt_gluepipeline_spark.operators.windows import scd2_history
+    rows = [(1, 1, "A"), (1, 2, "A")]
+    df = spark.createDataFrame(rows, "user_id long, seq long, state string")
+    h = scd2_history(df, ["user_id"], [F.col("seq")], ["state"],
+                     ts_col="seq", collapse=False)
+    assert h.count() == 2
+
+
+def test_scd2_history_null_state_transitions(spark):
+    from elt_gluepipeline_spark.operators.windows import scd2_history
+    rows = [(1, 1, None), (1, 2, None), (1, 3, "A")]
+    df = spark.createDataFrame(rows, "user_id long, seq long, state string")
+    h = scd2_history(df, ["user_id"], [F.col("seq")], ["state"],
+                     ts_col="seq", collapse=True)
+    vs = sorted((r.version, r.state) for r in h.collect())
+    # NULL==NULL collapses (eqNullSafe); NULL->A versions
+    assert vs == [(1, None), (2, "A")]
