@@ -108,3 +108,49 @@ def time_rollup(df: DataFrame, ts_col: str, grain: str, keys: Sequence[str],
     """
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_start")
     return df.groupBy(bucket, *[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_agg_states(agg_old: DataFrame, agg_delta: DataFrame,
+                     keys: Sequence[str], *, count_col: str,
+                     sum_cols: Sequence[str]) -> DataFrame:
+    """Incremental view maintenance for count/sum aggregates: merge an
+    additive per-key delta into an existing aggregate state instead of
+    rescanning the fact table. new_state = old_state ⊎ delta — counts
+    add, sums add, keys whose merged count reaches 0 drop out (their
+    rows were all deleted).
+
+    Sums MUST be exact types (DECIMAL / integer): decimal addition is
+    associative, so old + delta is bit-identical to a full recompute
+    for any partitioning — the property that lets an oracle verify
+    IVM == rescan. (A double sum would drift from the recomputed
+    value.) AVG derives as sum/count downstream; MIN/MAX are NOT
+    incrementally maintainable under deletes — rescan those.
+
+    Plan: one full-outer join keyed on the group key — the aggregate
+    states are orders of magnitude smaller than the facts, and at
+    100 TB both states live bucketed by the key so the merge is
+    exchange-free. This is the batch analog of streaming state-store
+    updates: the whole point is that cost tracks the CHANGE volume,
+    never the corpus.
+    """
+    ks = list(keys)
+    o = agg_old.select(*[F.col(k).alias(f"_ok_{k}") for k in ks],
+                       F.col(count_col).alias("_o_n"),
+                       *[F.col(s).alias(f"_o_{s}") for s in sum_cols])
+    d = agg_delta.select(*[F.col(k).alias(f"_dk_{k}") for k in ks],
+                         F.col(count_col).alias("_d_n"),
+                         *[F.col(s).alias(f"_d_{s}") for s in sum_cols])
+    cond = None
+    for k in ks:
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_dk_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(d, cond, "full_outer")
+    n = (F.coalesce(F.col("_o_n"), F.lit(0))
+         + F.coalesce(F.col("_d_n"), F.lit(0)))
+    out_keys = [F.coalesce(F.col(f"_dk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                for k in ks]
+    out_sums = [(F.coalesce(F.col(f"_o_{s}"), F.lit(0))
+                 + F.coalesce(F.col(f"_d_{s}"), F.lit(0))).alias(s)
+                for s in sum_cols]
+    return (j.select(*out_keys, n.alias(count_col), *out_sums)
+             .filter(F.col(count_col) != 0))

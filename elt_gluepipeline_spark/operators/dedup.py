@@ -539,3 +539,84 @@ def connected_components_star(pairs: DataFrame, *, id_a: str = "id_a",
     labels = _min_nbr(_sym(e))
     return labels.select(F.col("a").alias("id"),
                          F.col("m").alias(component_col))
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,
+                        max_dist: int = 2, q: int = 2,
+                        lowercase: bool = True) -> DataFrame:
+    """Exact edit-distance near-dup pairs: every (id_a < id_b) with
+    levenshtein(s_a, s_b) <= max_dist — the fuzzy string matching the
+    reference's item-name cleanup implies (clean_item_name fixes typos
+    ONE regex at a time, U4; this finds ALL typo-distance neighbors).
+
+    Filter-verify, never all-pairs:
+      1. length band: |len_a - len_b| <= max_dist (cheap necessary
+         condition, applied inside the candidate join);
+      2. q-gram filter: strings with >= q + max_dist*q chars within
+         edit distance d share at least one exact q-gram (each edit
+         destroys at most q grams, so common grams >=
+         len - q + 1 - d*q >= 1) — candidates come from an
+         inverted-index join on DISTINCT grams, so candidate volume
+         tracks real gram overlap, not n²;
+      3. strings too short for the guarantee (< q + max_dist*q chars,
+         a bounded-alphabet set) pair within a single broadcast block;
+      4. verify with the thresholded levenshtein (early-exits above
+         max_dist).
+
+    Run it on the DISTINCT-string domain (names dictionary), not the
+    fact table: the dictionary is orders of magnitude smaller and the
+    verdicts join back by equality. Intended for short strings
+    (names, titles); for document-length text use the token/shingle
+    family (blocked_jaccard_pairs / minhash_lsh_pairs).
+    """
+    d = max_dist
+    s = F.lower(F.trim(F.col(str_col))) if lowercase \
+        else F.trim(F.col(str_col))
+    base = df.select(F.col(id_col).alias("_id"), s.alias("_s")) \
+             .withColumn("_len", F.length("_s"))
+    min_long = q + d * q
+    longs = base.filter(F.col("_len") >= min_long)
+    shorts = base.filter(F.col("_len") < min_long)
+
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.col("_len") - q + 1),
+        lambda i: F.col("_s").substr(i, F.lit(q))))
+    g = longs.select("_id", "_s", "_len", F.explode(grams).alias("_g"))
+    ga = g.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"),
+                  F.col("_len").alias("_la"), F.col("_g").alias("_gram"))
+    gb = g.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"),
+                  F.col("_len").alias("_lb"), F.col("_g").alias("_gram"))
+    long_cands = (ga.join(gb, ["_gram"])
+                    .filter((F.col("id_a") < F.col("id_b"))
+                            & (F.abs(F.col("_la") - F.col("_lb")) <= d))
+                    .select("id_a", "id_b", "_sa", "_sb"))
+
+    # a short string within d edits of ANY string keeps its partner
+    # under min_long + d chars: pair the short dictionary against the
+    # banded-in side via broadcast (the short set is alphabet-bounded,
+    # never corpus-sized). Pairs are normalized least/greatest then
+    # distinct'd, so both-short duplicates and short<->long pairs in
+    # either id order come out exactly once (levenshtein is symmetric,
+    # so the string order behind the normalized ids is irrelevant).
+    sa = shorts.select(F.col("_id").alias("_idx"), F.col("_s").alias("_sx"),
+                       F.col("_len").alias("_lx"))
+    near_short = base.filter(F.col("_len") < min_long + d) \
+                     .select(F.col("_id").alias("_idy"),
+                             F.col("_s").alias("_sy"),
+                             F.col("_len").alias("_ly"))
+    short_cands = (sa.join(F.broadcast(near_short),
+                           (F.col("_idx") != F.col("_idy"))
+                           & (F.abs(F.col("_lx") - F.col("_ly")) <= d))
+                     .select(F.least("_idx", "_idy").alias("id_a"),
+                             F.greatest("_idx", "_idy").alias("id_b"),
+                             F.col("_sx").alias("_sa"),
+                             F.col("_sy").alias("_sb")))
+
+    # one verify per unordered pair: grams/band can propose the same
+    # pair many times; dist is symmetric so either string order works
+    cands = (long_cands.unionByName(short_cands)
+                       .dropDuplicates(["id_a", "id_b"]))
+    dist = F.levenshtein("_sa", "_sb", d)
+    return (cands.withColumn("dist", dist)
+                 .filter(F.col("dist") >= 0)
+                 .select("id_a", "id_b", "dist"))

@@ -173,3 +173,75 @@ def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
                 + [f"{prefix}{right_ts}"]
                 + [f"{prefix}{c}" for c in right_payload])
     return l.join(r, cond, "inner").select(*out_cols)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  compare_cols: Sequence[str], *, op_col: str = "op",
+                  changed_col: str = "changed_cols",
+                  carry_cols: Sequence[str] = (),
+                  include_old: bool = False) -> DataFrame:
+    """Diff two keyed snapshots into the change feed that replays
+    old → new: 'I' (key only in new), 'D' (key only in old), 'U' (key
+    in both with any compared column differing, null-safely). Rows
+    whose compared columns are unchanged are dropped — the output IS
+    the minimal CDC stream, the inverse of the reference's
+    apply-changes ingest (go-incremental-ingest-elt.py:200-213
+    consumes such a feed; this produces one from table states).
+
+    Output: key cols, new-side compare values (old-side for deletes),
+    ``op``, and ``changed_cols`` — a comma-joined, fixed-order list of
+    the compared columns that actually changed ('' for I/D).
+    ``carry_cols`` are uncompared attributes riding along (new side
+    when present, old side for deletes — e.g. the group key a
+    downstream incremental aggregate needs). ``include_old=True``
+    additionally emits ``old_<col>`` for every compared column (NULL
+    for inserts) — what delta-based consumers need to SUBTRACT the
+    replaced contribution.
+
+    Plan: ONE full-outer shuffle join on the key (both sides project
+    only keys + compared columns before the join, so shuffle bytes
+    track the compared width, not the table width). At 100 TB both
+    sides pre-partition/bucket by the same key to make this
+    exchange-free.
+    """
+    ks = list(keys)
+    cs = list(compare_cols)
+    carry = list(carry_cols)
+    o = old.select(*[F.col(k).alias(f"_ok_{k}") for k in ks],
+                   *[F.col(c).alias(f"_o_{c}") for c in cs + carry],
+                   F.lit(1).alias("_o_present"))
+    n = new.select(*[F.col(k).alias(f"_nk_{k}") for k in ks],
+                   *[F.col(c).alias(f"_n_{c}") for c in cs + carry],
+                   F.lit(1).alias("_n_present"))
+    cond = None
+    for k in ks:
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
+    diffs = [~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in cs]
+    any_diff = F.lit(False)
+    for dd in diffs:
+        any_diff = any_diff | dd
+    op = (F.when(~in_old, F.lit("I"))
+           .when(~in_new, F.lit("D"))
+           .when(any_diff, F.lit("U")))
+    changed = F.when(
+        in_old & in_new,
+        F.concat_ws(",", *[F.when(dd, F.lit(c))
+                           for c, dd in zip(cs, diffs)])
+    ).otherwise(F.lit(""))
+    out_keys = [F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                for k in ks]
+    # new-side values when the key exists in new (a U that sets a col
+    # to NULL must emit NULL, so no coalesce); old-side for deletes
+    out_vals = [F.when(in_new, F.col(f"_n_{c}"))
+                 .otherwise(F.col(f"_o_{c}")).alias(c)
+                for c in cs + carry]
+    out_old = ([F.col(f"_o_{c}").alias(f"old_{c}") for c in cs]
+               if include_old else [])
+    return (j.withColumn(op_col, op)
+             .filter(F.col(op_col).isNotNull())
+             .select(*out_keys, *out_vals, *out_old,
+                     op_col, changed.alias(changed_col)))

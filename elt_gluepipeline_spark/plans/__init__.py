@@ -79,6 +79,12 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q70_weighted_sample",  # head full at 50: oracle-checked via
                             # tools/check_correctness instead
+    "q71_name_editdist",   # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q72_snapshot_diff",   # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q73_incremental_agg",  # head full at 50: oracle-checked via
+                            # tools/check_correctness instead
 )
 
 

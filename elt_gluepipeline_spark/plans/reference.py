@@ -1410,6 +1410,123 @@ GROUP BY ws, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Q72 — snapshot diff / CDC generation (operators.joins.snapshot_diff):
+# the inverse of the reference's apply-changes ingest — given two keyed
+# table states, emit the minimal I/U/D feed that replays old → new.
+# Old/new are derived deterministically from orders (dropped keys,
+# price bumps, status flips), so the oracle reconstructs both sides.
+# --------------------------------------------------------------------------
+
+def _snapshot_states(spark: SparkSession,
+                     sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic old/new order-table states for the CDC queries:
+    old drops every 7th key, new drops every 5th, bumps price on every
+    3rd (+10.0 — double addition is IEEE-identical across engines;
+    round-on-double is not) and flips status on every 11th."""
+    o = read_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 7 != 0)
+             .select("o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderstatus"))
+    new = (o.filter(F.col("o_orderkey") % 5 != 0)
+             .select(
+                 "o_orderkey", "o_custkey",
+                 F.when(F.col("o_orderkey") % 3 == 0,
+                        F.col("o_totalprice") + F.lit(10.0))
+                  .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+                 F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+                  .otherwise(F.col("o_orderstatus")).alias("o_orderstatus")))
+    return old, new
+
+
+def q72_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import snapshot_diff
+    old, new = _snapshot_states(spark, sf_dir)
+    return snapshot_diff(old.drop("o_custkey"), new.drop("o_custkey"),
+                         ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+Q72_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 5 <> 0
+), j AS (
+  SELECT old.o_orderkey AS ok, new.o_orderkey AS nk,
+         old.o_totalprice AS op_, old.o_orderstatus AS os_,
+         new.o_totalprice AS np_, new.o_orderstatus AS ns_
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+), c AS (
+  SELECT COALESCE(nk, ok) AS o_orderkey,
+         CASE WHEN nk IS NOT NULL THEN np_ ELSE op_ END AS o_totalprice,
+         CASE WHEN nk IS NOT NULL THEN ns_ ELSE os_ END AS o_orderstatus,
+         CASE WHEN ok IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+              WHEN op_ IS DISTINCT FROM np_
+                OR os_ IS DISTINCT FROM ns_ THEN 'U' END AS op,
+         CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+                concat_ws(',',
+                  CASE WHEN op_ IS DISTINCT FROM np_
+                       THEN 'o_totalprice' END,
+                  CASE WHEN os_ IS DISTINCT FROM ns_
+                       THEN 'o_orderstatus' END)
+              ELSE '' END AS changed_cols
+  FROM j
+)
+SELECT * FROM c WHERE op IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Q73 — incremental aggregate maintenance (IVM): per-customer
+# count/revenue kept current by MERGING the q72 change feed into the
+# old aggregate state (operators.aggregates.merge_agg_states) — never
+# rescanning the fact table. The oracle recomputes the aggregate from
+# the new state directly, so the hash match PROVES delta-maintenance
+# == full recompute (exact decimal sums make them bit-identical).
+# --------------------------------------------------------------------------
+
+def q73_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import merge_agg_states
+    from ..operators.joins import snapshot_diff
+    old, new = _snapshot_states(spark, sf_dir)
+    agg_old = (old.groupBy("o_custkey")
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(dec("o_totalprice")).alias("_rev")))
+    feed = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"],
+                         carry_cols=["o_custkey"], include_old=True)
+    is_i, is_d = F.col("op") == "I", F.col("op") == "D"
+    n_delta = F.when(is_i, 1).when(is_d, -1).otherwise(0)
+    rev_delta = (F.when(is_i, dec("o_totalprice"))
+                  .when(is_d, -dec("old_o_totalprice"))
+                  .otherwise(dec("o_totalprice") - dec("old_o_totalprice")))
+    agg_delta = (feed.groupBy("o_custkey")
+                     .agg(F.sum(n_delta).alias("n_orders"),
+                          F.sum(rev_delta).alias("_rev")))
+    merged = merge_agg_states(agg_old, agg_delta, ["o_custkey"],
+                              count_col="n_orders", sum_cols=["_rev"])
+    return merged.select("o_custkey", "n_orders",
+                         F.col("_rev").cast("double").alias("revenue"))
+
+
+Q73_SQL = f"""
+WITH new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT o_custkey, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM new GROUP BY o_custkey
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -1501,4 +1618,10 @@ SPECS = [
     QuerySpec("q69_stream_sliding", q69_stream_sliding, Q69_SQL,
               "sliding-window streaming rollup (2h window / 1h slide; "
               "oracle replays the two-bucket window algebra)"),
+    QuerySpec("q72_snapshot_diff", q72_snapshot_diff, Q72_SQL,
+              "snapshot diff / CDC generation: minimal I/U/D feed from "
+              "two keyed table states (one full-outer key shuffle)"),
+    QuerySpec("q73_incremental_agg", q73_incremental_agg, Q73_SQL,
+              "incremental view maintenance: CDC deltas merged into the "
+              "aggregate state; hash-match proves IVM == full recompute"),
 ]

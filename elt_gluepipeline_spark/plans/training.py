@@ -1211,6 +1211,34 @@ WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# Q71 — exact edit-distance near-dup pairs over the item-name
+# dictionary (operators.dedup.edit_distance_pairs): the fuzzy matching
+# the reference's one-regex-at-a-time clean_item_name implies (U4,
+# go-transform-elt.py). Filter-verify: distinct-gram inverted index +
+# length band, thresholded levenshtein verify; run on the DISTINCT
+# name domain, never the fact rows.
+# --------------------------------------------------------------------------
+
+def q71_name_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import edit_distance_pairs
+    part = read_table(spark, sf_dir, "part")
+    names = part.select(F.lower(F.trim("p_name")).alias("nm")).distinct()
+    pairs = edit_distance_pairs(names, "nm", "nm", max_dist=2, q=2)
+    return pairs.select(F.col("id_a").alias("name_a"),
+                        F.col("id_b").alias("name_b"), "dist")
+
+
+Q71_SQL = """
+WITH n AS (SELECT DISTINCT lower(trim(p_name)) AS nm FROM part)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+FROM n a JOIN n b
+  ON a.nm < b.nm AND abs(length(a.nm) - length(b.nm)) <= 2
+WHERE levenshtein(a.nm, b.nm) <= 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Q70 — deterministic weighted sampling without replacement
 # (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES keyed
 # by the row's own md5 hash): "sample 100 documents by length" with
@@ -1315,4 +1343,7 @@ SPECS = [
     QuerySpec("q70_weighted_sample", q70_weighted_sample, Q70_SQL,
               "Efraimidis-Spirakis weighted sample (hash-derived "
               "uniforms; every inclusion oracle-re-derived)"),
+    QuerySpec("q71_name_editdist", q71_name_editdist, Q71_SQL,
+              "exact edit-distance near-dup pairs (q-gram inverted "
+              "index + length band, thresholded levenshtein verify)"),
 ]

@@ -64,3 +64,30 @@ def test_deterministic_sum_matches_plain_sum(spark):
     df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)], "v double")
     got = df.agg(dsum("v").alias("s"), davg("v").alias("a")).collect()[0]
     assert got.s == 0.6 and abs(got.a - 0.2) < 1e-12
+
+
+def test_merge_agg_states_ivm_equals_recompute(spark):
+    from elt_gluepipeline_spark.functions.deterministic import dec
+    from elt_gluepipeline_spark.operators.aggregates import merge_agg_states
+    old_facts = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0)], "k long, v double")
+    new_facts = spark.createDataFrame(  # k=3 fully deleted, k=1 updated,
+        [(1, 10.0), (1, 25.0), (2, 5.0), (4, 9.0)], "k long, v double")
+
+    def agg(df):
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum(dec("v")).alias("s"))
+
+    delta = spark.createDataFrame(
+        [(1, 0, 5.0),    # update: +5 revenue, count unchanged
+         (3, -1, -7.0),  # delete the only row -> key must vanish
+         (4, 1, 9.0)],   # insert new key
+        "k long, n long, sv double") \
+        .select("k", "n", dec("sv").alias("s")) \
+        .groupBy("k").agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    merged = merge_agg_states(agg(old_facts), delta, ["k"],
+                              count_col="n", sum_cols=["s"])
+    want = {r.k: (r.n, float(r.s)) for r in agg(new_facts).collect()}
+    got = {r.k: (r.n, float(r.s)) for r in merged.collect()}
+    assert got == want
+    assert 3 not in got and 4 in got

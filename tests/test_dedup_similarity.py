@@ -225,3 +225,41 @@ def test_kmeans_lloyd_empty_input(spark):
     from elt_gluepipeline_spark.operators.similarity import kmeans_lloyd
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kmeans_lloyd(df, k=3, n_iter=2).count() == 0
+
+
+def test_edit_distance_pairs_exact_recall_vs_bruteforce(spark):
+    import itertools
+
+    from elt_gluepipeline_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    names = ["red widget", "red widgit", "red widgets", "blue bolt",
+             "blue belt", "bolt", "bot", "xx", "x", "green ring",
+             "green rings", "greem ring", "completely different"]
+    df = spark.createDataFrame([(n,) for n in names], "nm string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in edit_distance_pairs(df, "nm", "nm", max_dist=2).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(names), 2):
+        d = lev(a, b)
+        if d <= 2:
+            want[(a, b)] = d
+    # exact recall AND precision, including short strings (x, xx, bot)
+    assert got == want
+    assert got[("bolt", "bot")] == 1   # short <-> long branch pair
+    assert ("x", "xx") in got          # both-short branch pair
+
+
+def test_edit_distance_pairs_no_self_or_dup_pairs(spark):
+    from elt_gluepipeline_spark.operators.dedup import edit_distance_pairs
+    df = spark.createDataFrame([("aaaa bbbb",), ("aaaa bbbc",)], "nm string")
+    rows = edit_distance_pairs(df, "nm", "nm", max_dist=2).collect()
+    assert len(rows) == 1 and rows[0].dist == 1

@@ -183,3 +183,26 @@ def test_range_join_forward_band_small_bucket(spark):
     out = range_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
                      lower_s=0, upper_s=60, bucket_s=7)
     assert {r.r_rid for r in out.collect()} == {1}
+
+
+def test_snapshot_diff_classifies_iud_and_null_transitions(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from elt_gluepipeline_spark.operators.joins import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+        "k long, price double, status string")
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged -> dropped
+         (2, 25.0, "B"),          # price update
+         (4, None, None),         # D -> NULL: status update, price same
+         (5, 50.0, "E")],         # insert
+        "k long, price double, status string")
+    out = {r.k: (r.op, r.changed_cols, r.price, r.status)
+           for r in snapshot_diff(old, new, ["k"],
+                                  ["price", "status"]).collect()}
+    assert out[2] == ("U", "price", 25.0, "B")
+    assert out[3][0] == "D" and out[3][2] == 30.0          # old values kept
+    assert out[4] == ("U", "status", None, None)           # NULL emitted, not coalesced
+    assert out[5] == ("I", "", 50.0, "E")
+    assert 1 not in out                                    # minimal feed

@@ -218,3 +218,45 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q66_tfidf_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "q66_tfidf")
+    # per-doc top-k must prune inside the window operator, not rank
+    # everything and filter; N rides in as a broadcast, never a UDF
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q68_scd2_windows_share_one_exchange(spark):
+    plan = _plan(spark, "q68_scd2")
+    # collapse + version/lead windows: same key+order -> ONE shuffle
+    assert plan.count("Exchange (") <= 1, plan
+
+
+def test_q70_weighted_sample_zero_shuffle_take_ordered(spark):
+    plan = _plan(spark, "q70_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange (" not in plan  # pure projection + per-partition heaps
+
+
+def test_q71_editdist_gram_join_is_equi_join(spark):
+    plan = _plan(spark, "q71_name_editdist")
+    # long-string candidates come from an EQUI-join on the gram (hash
+    # or sort-merge — a cartesian here would be the n^2 disaster); the
+    # only nested-loop is the alphabet-bounded broadcast short block
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+    assert "BatchEvalPython" not in plan
+
+
+def test_q72_q73_diff_projects_before_full_outer(spark):
+    plan = _plan(spark, "q72_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    plan73 = _plan(spark, "q73_incremental_agg")
+    # IVM merge: agg states full-outer-join; partial aggregation still
+    # runs map-side before each exchange
+    assert "FullOuter" in plan73
+    assert "partial_count" in plan73 or "partial_sum" in plan73
