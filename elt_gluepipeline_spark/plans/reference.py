@@ -1527,6 +1527,56 @@ FROM new GROUP BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q74 — STREAMING incremental view maintenance (q73's streaming twin):
+# per-user count/value kept current by merging each micro-batch's
+# delta into a versioned aggregate snapshot
+# (streaming.upsert.foreach_batch_incremental_agg). Exactly-once by
+# construction: each version derives from the newest version strictly
+# below its batch_id, so a replayed batch never double-counts. The
+# oracle aggregates the whole history at once — the hash match proves
+# 4 incremental merges == one full aggregation.
+# --------------------------------------------------------------------------
+
+def q74_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.upsert import (foreach_batch_incremental_agg,
+                                    read_snapshot)
+    ev = read_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q74_ivm_")
+    src_dir = os.path.join(work, "src")
+    # 4 files → 4 micro-batches: certifies the cross-batch merge path
+    # (additive merges are order-insensitive, so placement is free)
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    src = (spark.readStream
+                .schema(spark.read.parquet(src_dir).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir))
+
+    def delta_fn(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("_val"))
+
+    snap_dir = os.path.join(work, "snap")
+    foreach_batch_incremental_agg(
+        src, delta_fn=delta_fn, keys=["user_id"], count_col="n_events",
+        sum_cols=["_val"], snapshot_dir=snap_dir,
+        checkpoint_path=os.path.join(work, "ckpt"))
+    snap = read_snapshot(spark, snap_dir)
+    return snap.select("user_id", "n_events",
+                       F.col("_val").cast("double").alias("total_value"))
+
+
+Q74_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -1624,4 +1674,9 @@ SPECS = [
     QuerySpec("q73_incremental_agg", q73_incremental_agg, Q73_SQL,
               "incremental view maintenance: CDC deltas merged into the "
               "aggregate state; hash-match proves IVM == full recompute"),
+    QuerySpec("q74_stream_incremental_agg", q74_stream_incremental_agg,
+              Q74_SQL,
+              "streaming IVM via foreachBatch: per-batch deltas merged "
+              "into a versioned aggregate snapshot, exactly-once under "
+              "replay; 4 merges hash-match one full aggregation"),
 ]

@@ -27,7 +27,7 @@ from .sources.readers import load_tables
 STREAMING_QUERIES = frozenset({
     "q29_stream_hourly", "q35_stream_sessions", "q48_stream_attribution",
     "q50_stream_enrich", "q53_stream_dedupe", "q54_stream_keep_latest",
-    "q65_stream_upsert", "q69_stream_sliding",
+    "q65_stream_upsert", "q69_stream_sliding", "q74_stream_incremental_agg",
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative

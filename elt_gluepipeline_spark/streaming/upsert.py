@@ -91,3 +91,82 @@ def foreach_batch_upsert(
                .trigger(availableNow=True)
                .start())
     q.awaitTermination()
+
+
+def _latest_version_before(snapshot_dir: str, batch_id: int) -> str | None:
+    """Newest committed version directory with id STRICTLY below
+    ``batch_id`` (None before the first)."""
+    import re
+    best = -1
+    for d in os.listdir(snapshot_dir):
+        m = re.fullmatch(r"v(\d+)", d)
+        if m and int(m.group(1)) < batch_id:
+            best = max(best, int(m.group(1)))
+    return None if best < 0 else f"v{best}"
+
+
+def foreach_batch_incremental_agg(
+    source: DataFrame,
+    *,
+    delta_fn,
+    keys: Sequence[str],
+    count_col: str,
+    sum_cols: Sequence[str],
+    snapshot_dir: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming incremental view maintenance: per micro-batch,
+    ``delta_fn(batch)`` aggregates the batch into a keyed
+    (count + exact-sum) delta, which MERGEs into the published
+    aggregate state via operators.aggregates.merge_agg_states — the
+    aggregate stays current at cost ∝ batch volume, and the state
+    lives in a bucketable snapshot table instead of the state store
+    (no state-store sizing, queryable between batches, survives
+    checkpoint loss).
+
+    Exactly-once under replay: additive merges are NOT idempotent, so
+    unlike the keep-latest upsert the previous state resolves to the
+    newest version STRICTLY BELOW this batch_id — never the pointer.
+    A replayed batch recomputes ``v{id}`` from the same predecessor it
+    used the first time instead of double-counting itself; the pointer
+    (written last) only ever advances over fully-written versions.
+
+    ``delta_fn`` must emit keys + ``count_col`` + ``sum_cols`` with
+    sums in an EXACT type (decimal/integer — see merge_agg_states);
+    merged sums are cast back to the delta's dtype so the state schema
+    is stable no matter how many merges compound (ANSI mode turns a
+    true overflow into an error, never silent corruption).
+    """
+    spark = source.sparkSession
+    os.makedirs(snapshot_dir, exist_ok=True)
+
+    from ..operators.aggregates import merge_agg_states
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        delta = delta_fn(batch)
+        dtypes = dict(delta.dtypes)
+        prev_v = _latest_version_before(snapshot_dir, batch_id)
+        if prev_v is None:
+            merged = delta
+        else:
+            prev = spark.read.parquet(os.path.join(snapshot_dir, prev_v))
+            merged = merge_agg_states(prev, delta, list(keys),
+                                      count_col=count_col,
+                                      sum_cols=list(sum_cols))
+        from pyspark.sql import functions as F
+        merged = merged.select(
+            *keys, count_col,
+            *[F.col(s).cast(dtypes[s]).alias(s) for s in sum_cols])
+        out = os.path.join(snapshot_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(snapshot_dir, f"._ptr_{batch_id}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, os.path.join(snapshot_dir, _POINTER))
+
+    q = (source.writeStream
+               .foreachBatch(merge)
+               .option("checkpointLocation", checkpoint_path)
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
