@@ -217,3 +217,52 @@ def chunk_documents(df, id_col: str, text_col: str, *, size: int,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"))
+
+
+def hashing_trick_vectors(df, id_col: str, text_col: str, *, dim: int = 64,
+                          seed: int = 7):
+    """Feature-hashing ("hashing trick") text vectorizer: token counts
+    folded into a fixed ``dim``-length signed-count vector — the
+    trainless, vocabulary-free way to embed a corpus in-engine (Weinberger
+    et al. 2009): bucket = hash(token) mod dim, sign = one more hash
+    bit (unbiases collisions in expectation), value_i = Σ sign over
+    tokens hashing to bucket i.
+
+    Engine-portable and map-only: the bucket/sign hash is the md5-derived
+    portable_hash60 of ``token#seed`` (any engine re-derives every
+    component), evaluated ONCE per token into a (bucket, sign) struct
+    array, then folded per dimension — O(tokens) hash work plus
+    O(dim·tokens) codegen'd integer compares per row, ZERO shuffle: at
+    corpus scale this is a pure scan-transform like quantization (q64).
+    Values stay exact integers — downstream L2-normalize in double if
+    cosine geometry is needed (knn_bruteforce/lsh_ann accept the output
+    as `array<double>` after a cast).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import portable_hash60
+
+    tok = tokens(F.col(text_col))
+    h = lambda t: portable_hash60(F.concat_ws("#", t, F.lit(str(seed))))  # noqa: E731
+    # sign bit = the next base-dim digit of the hash (pmod against
+    # 2*dim, compared to dim) — stays in exact LONG arithmetic; a
+    # floor(h / dim) would round-trip the 60-bit hash through a double
+    # and corrupt the bit above 2^53
+    bs = F.transform(
+        tok,
+        lambda t: F.struct(
+            F.pmod(h(t), F.lit(dim)).cast("int").alias("b"),
+            F.when(F.pmod(h(t), F.lit(2 * dim)) < F.lit(dim),
+                   F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("s")))
+    base = df.select(F.col(id_col), bs.alias("_bs"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.filter("_bs", lambda x: x["b"] == i),
+            F.lit(0).cast("long"), lambda acc, x: acc + x["s"]))
+    out = base.select(id_col, vec.alias("vec"))
+    sq = F.aggregate("vec", F.lit(0).cast("long"), lambda a, v: a + v * v)
+    return out.select(id_col, "vec",
+                      sq.alias("sq_norm"),
+                      F.aggregate("vec", F.lit(0).cast("long"),
+                                  lambda a, v: a + F.abs(v)).alias("l1_norm"))

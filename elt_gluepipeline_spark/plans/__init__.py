@@ -87,6 +87,8 @@ _DEPRIORITIZED = (
                             # tools/check_correctness instead
     "q74_stream_incremental_agg",  # head full at 50: oracle-checked via
                                    # tools/check_correctness instead
+    "q75_hashing_vectors",  # head full at 50: oracle-checked via
+                            # tools/check_correctness instead
 )
 
 

@@ -1239,6 +1239,57 @@ WHERE levenshtein(a.nm, b.nm) <= 2
 
 
 # --------------------------------------------------------------------------
+# Q75 — feature-hashing text vectorizer (operators.textstats
+# .hashing_trick_vectors): vocabulary-free signed-count embedding,
+# bucket/sign from the md5-derived portable hash so the oracle
+# re-derives every vector component. Map-only scan-transform (zero
+# shuffle); vec emitted as CSV so every integer component is
+# hash-compared exactly.
+# --------------------------------------------------------------------------
+
+def q75_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import hashing_trick_vectors
+    docs = read_table(spark, sf_dir, "documents")
+    v = hashing_trick_vectors(docs, "doc_id", "text", dim=64, seed=7)
+    return v.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("vec", lambda x: x.cast("string")))
+         .alias("vec_csv"),
+        "sq_norm", "l1_norm")
+
+
+Q75_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(tok) AS tk FROM toks
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tk || '#7'), 1, 15)) AS BIGINT) % 64 AS b,
+         CASE WHEN CAST(('0x' || substr(md5(tk || '#7'), 1, 15)) AS BIGINT)
+                   % 128 < 64 THEN 1 ELSE -1 END AS sgn
+  FROM t
+), agg AS (
+  SELECT doc_id, b, CAST(SUM(sgn) AS BIGINT) AS v
+  FROM h GROUP BY doc_id, b
+), dense AS (
+  SELECT d.doc_id, r.i, COALESCE(a.v, 0) AS v
+  FROM (SELECT DISTINCT doc_id FROM toks) d
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = r.i
+)
+SELECT doc_id,
+       string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS vec_csv,
+       CAST(SUM(v * v) AS BIGINT) AS sq_norm,
+       CAST(SUM(abs(v)) AS BIGINT) AS l1_norm
+FROM dense GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Q70 — deterministic weighted sampling without replacement
 # (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES keyed
 # by the row's own md5 hash): "sample 100 documents by length" with
@@ -1346,4 +1397,8 @@ SPECS = [
     QuerySpec("q71_name_editdist", q71_name_editdist, Q71_SQL,
               "exact edit-distance near-dup pairs (q-gram inverted "
               "index + length band, thresholded levenshtein verify)"),
+    QuerySpec("q75_hashing_vectors", q75_hashing_vectors, Q75_SQL,
+              "feature-hashing text vectorizer (signed counts, "
+              "portable bucket/sign hash, map-only; every component "
+              "gate-checked)"),
 ]

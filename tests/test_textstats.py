@@ -127,3 +127,29 @@ def test_tfidf_top_terms_scores_and_ranking(spark):
     assert not [k for k in got if k[0] == 4]
     # per-doc ranking: apple (rarer) outranks banana in doc 1
     assert got[(1, "apple")][1] > got[(1, "banana")][1]
+
+
+def test_hashing_trick_vectors_portable_and_exact(spark):
+    import hashlib
+
+    from elt_gluepipeline_spark.operators.textstats import \
+        hashing_trick_vectors
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "alpha")],
+        "doc_id long, text string")
+    out = {r.doc_id: (list(r.vec), r.sq_norm, r.l1_norm)
+           for r in hashing_trick_vectors(docs, "doc_id", "text",
+                                          dim=16, seed=7).collect()}
+
+    def ref_vec(toks):
+        v = [0] * 16
+        for t in toks:
+            h = int(hashlib.md5(f"{t}#7".encode()).hexdigest()[:15], 16)
+            v[h % 16] += 1 if h % 32 < 16 else -1
+        return v
+    assert out[1][0] == ref_vec(["alpha", "beta", "alpha"])
+    assert out[2] == ([0] * 16, 0, 0)              # empty doc -> zero vector
+    assert out[3][0] == ref_vec(["alpha"])
+    vec1 = out[1][0]
+    assert out[1][1] == sum(x * x for x in vec1)   # norms audit the vector
+    assert out[1][2] == sum(abs(x) for x in vec1) == 3  # no collisions here
