@@ -415,3 +415,118 @@ def quantize_int8(df: DataFrame, *, id_col: str = "vec_id",
         F.aggregate("_code", F.lit(0).cast("long"),
                     lambda a, e: a + F.abs(e)).alias("code_l1"),
         F.round(mse, 6).alias("mse"))
+
+
+def product_quantize(df: DataFrame, *, m: int = 4, k: int = 16,
+                     n_iter: int = 2, seed: int = 7,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     grid: int = 1_000_000, round_to: int = 6) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` contiguous subspaces and vector-quantize each against its own
+    ``k``-centroid codebook — the memory layout ANN serving uses at
+    corpus scale (m log2(k) bits per vector instead of 4·dim bytes;
+    here 4 subspaces × 16 cells = 2 bytes for a 64-dim float vector,
+    128× smaller than float64).
+
+    Codebooks follow exactly ``kmeans_lloyd``'s recipe per subspace —
+    md5-seeded init, grid-exact centroid update (long sums → order-
+    independent means), lowest-cell tie-break — so every code and every
+    subspace distortion is engine-reproducible. All m subspaces share
+    the seed ordering (the same sample rows seed every subspace,
+    sliced), which lets one SQL oracle replay all subspaces with a
+    subspace dimension instead of m query copies.
+
+    FUSED plan — job count is independent of m:
+      1. ONE seeds collect (k rows, sliced into m codebooks driver-side);
+      2. per Lloyd update, ONE aggregation: the scan projects every
+         subspace's argmin cell, explodes m (s, cell, subvector) structs
+         per row, and groupBy(s, cell) sums the grid-quantized
+         coordinates — a single shuffle of m small structs per vector,
+         k·m·w bounded output;
+      3. ONE final projection emits all codes + distortions (no join).
+    m assignments are map-only expressions over one scan; memory is the
+    m codebooks as literals.
+
+    Output: (id, codes array<int> length m, dist — summed subspace
+    squared distortion, each subspace rounded then the sum rounded,
+    matching the per-subspace kmeans_lloyd contract).
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).head(1)
+    if not dim_row:
+        return (df.select(F.col(id_col)).limit(0)
+                  .withColumn("codes", F.array().cast("array<int>"))
+                  .withColumn("dist", F.lit(0.0)))
+    dim = dim_row[0]["d"]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    w = dim // m
+
+    from .dedup import portable_hash60  # noqa: PLC0415 (cycle-free late import)
+
+    v = df.select(F.col(id_col).alias("_id"),
+                  _as_double(F.col(vec_col)).alias("_v"))
+    sample_h = portable_hash60(
+        F.concat_ws("#", F.col("_id").cast("string"), F.lit(str(seed))))
+    seed_rows = (v.withColumn("_h", sample_h)
+                  .orderBy("_h", "_id").limit(k).select("_v").collect())
+    if not seed_rows:
+        return (v.limit(0).select(F.col("_id").alias(id_col))
+                 .withColumn("codes", F.array().cast("array<int>"))
+                 .withColumn("dist", F.lit(0.0)))
+    books = [[list(r["_v"])[s * w:(s + 1) * w] for r in seed_rows]
+             for s in range(m)]
+
+    def subvec(s: int) -> Column:
+        return F.slice("_v", s * w + 1, w)
+
+    def sqd(sv: Column, c: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(F.zip_with(sv, lit_c, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, e: acc + e)
+
+    def dists(s: int) -> Column:
+        return F.array(*[sqd(subvec(s), c) for c in books[s]])
+
+    def argmin(d: Column) -> Column:
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    g = float(grid)
+    for _ in range(max(0, n_iter - 1)):
+        # stage the distance arrays as named columns first: argmin(X)
+        # references X twice (array_position + array_min) and HOFs are
+        # interpreted, so an inline X would evaluate every fold twice
+        staged_u = v.select(
+            "_id", "_v", *[dists(s).alias(f"_ud{s}") for s in range(m)])
+        structs = F.array(*[
+            F.struct(F.lit(s).alias("_s"),
+                     argmin(F.col(f"_ud{s}")).alias("_c"),
+                     subvec(s).alias("_sv"))
+            for s in range(m)])
+        expl = staged_u.select(F.explode(structs).alias("_e")) \
+                       .select(F.col("_e._s").alias("_s"),
+                               F.col("_e._c").alias("_c"),
+                               F.col("_e._sv").alias("_sv"))
+        qsum = [F.sum(F.floor(F.col("_sv")[i] * F.lit(g) + F.lit(0.5)))
+                .alias(f"s{i}") for i in range(w)]
+        rows = (expl.groupBy("_s", "_c")
+                    .agg(F.count(F.lit(1)).alias("n"), *qsum).collect())
+        by_key = {(r["_s"], r["_c"]): r for r in rows}
+        books = [
+            [[by_key[(s, j)][f"s{i}"] / (g * by_key[(s, j)]["n"])
+              for i in range(w)] if (s, j) in by_key else books[s][j]
+             for j in range(k)]
+            for s in range(m)]
+
+    # project each distance array ONCE and derive cells/distortions from
+    # the named columns — CollapseProject won't inline the non-cheap
+    # fold expressions, so nothing re-evaluates (q14's single-
+    # tokenization discipline)
+    staged = v.select("_id", *[dists(s).alias(f"_d{s}") for s in range(m)])
+    cells = [argmin(F.col(f"_d{s}")) for s in range(m)]
+    sub_dists = [
+        F.round(F.element_at(f"_d{s}", cells[s] + 1), round_to)
+        for s in range(m)]
+    total = F.round(sum(sub_dists[1:], sub_dists[0]), round_to)
+    return staged.select(
+        F.col("_id").alias(id_col),
+        F.array(*cells).alias("codes"),
+        total.alias("dist"))

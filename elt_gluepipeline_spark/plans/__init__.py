@@ -89,6 +89,8 @@ _DEPRIORITIZED = (
                                    # tools/check_correctness instead
     "q75_hashing_vectors",  # head full at 50: oracle-checked via
                             # tools/check_correctness instead
+    "q76_product_quantize",  # head full at 50: oracle-checked via
+                             # tools/check_correctness instead
 )
 
 

@@ -1290,6 +1290,97 @@ FROM dense GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Q76 — product quantization (operators.similarity.product_quantize):
+# 4 subspaces × 16 cells over the embeddings — 2 bytes per 64-dim
+# vector. Every subspace replays q67's kmeans recipe (md5-seeded init,
+# one grid-exact update, final assign); the oracle runs ALL subspaces
+# in one SQL by adding a subspace dimension to the q67 chain. Codes as
+# CSV + per-vector summed distortion, all hash-checked.
+# --------------------------------------------------------------------------
+
+def q76_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import product_quantize
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = product_quantize(emb, m=4, k=16, n_iter=2, seed=7)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("codes", lambda x: x.cast("string")))
+         .alias("codes_csv"),
+        "dist")
+
+
+Q76_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT len(v) // 4 AS w FROM e LIMIT 1),
+subs AS (SELECT unnest(range(0, 4)) AS s),
+se AS (
+  SELECT e.vec_id, subs.s,
+         e.v[subs.s * dims.w + 1 : (subs.s + 1) * dims.w] AS v
+  FROM e, dims, subs
+),
+seeds AS (
+  SELECT s, v AS cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY s
+           ORDER BY CAST(('0x' || substr(md5(vec_id || '#7'), 1, 15)) AS BIGINT),
+                    vec_id) - 1 AS cell
+  FROM se
+  QUALIFY cell < 16
+),
+d1 AS (
+  SELECT se.vec_id, se.s, se.v, sd.cell,
+         list_sum(list_transform(list_zip(se.v, sd.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM se JOIN seeds sd ON se.s = sd.s
+),
+a1 AS (
+  SELECT vec_id, s, v, cell
+  FROM (SELECT vec_id, s, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cell) AS rn
+        FROM d1)
+  WHERE rn = 1
+),
+u AS (
+  SELECT a.s, a.cell, generate_subscripts(a.v, 1) AS i, unnest(a.v) AS x
+  FROM a1 a
+),
+upd AS (
+  SELECT s, cell, i,
+         SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS su,
+         COUNT(*) AS n
+  FROM u GROUP BY s, cell, i
+),
+cent2 AS (
+  SELECT sd.s, sd.cell,
+         COALESCE(list(up.su / (1000000.0 * up.n) ORDER BY up.i)
+                    FILTER (WHERE up.i IS NOT NULL),
+                  sd.cv) AS cv
+  FROM seeds sd LEFT JOIN upd up ON sd.s = up.s AND sd.cell = up.cell
+  GROUP BY sd.s, sd.cell, sd.cv
+),
+d2 AS (
+  SELECT se.vec_id, se.s, c.cell,
+         list_sum(list_transform(list_zip(se.v, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM se JOIN cent2 c ON se.s = c.s
+),
+a2 AS (
+  SELECT vec_id, s, cell, ROUND(dist, 6) AS dist
+  FROM (SELECT vec_id, s, cell, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cell) AS rn
+        FROM d2)
+  WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes_csv,
+       ROUND(SUM(dist), 6) AS dist
+FROM a2 GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Q70 — deterministic weighted sampling without replacement
 # (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES keyed
 # by the row's own md5 hash): "sample 100 documents by length" with
@@ -1401,4 +1492,7 @@ SPECS = [
               "feature-hashing text vectorizer (signed counts, "
               "portable bucket/sign hash, map-only; every component "
               "gate-checked)"),
+    QuerySpec("q76_product_quantize", q76_product_quantize, Q76_SQL,
+              "product quantization: per-subspace kmeans codebooks "
+              "(4x16), every code and distortion oracle-reproduced"),
 ]

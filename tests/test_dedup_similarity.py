@@ -263,3 +263,29 @@ def test_edit_distance_pairs_no_self_or_dup_pairs(spark):
     df = spark.createDataFrame([("aaaa bbbb",), ("aaaa bbbc",)], "nm string")
     rows = edit_distance_pairs(df, "nm", "nm", max_dist=2).collect()
     assert len(rows) == 1 and rows[0].dist == 1
+
+
+def test_product_quantize_exact_when_k_covers_corpus(spark):
+    from elt_gluepipeline_spark.operators.similarity import product_quantize
+    rows = [(i, [float(i), float(-i), float(2 * i), float(i * i)])
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = product_quantize(df, m=2, k=6, n_iter=2, seed=7).collect()
+    # every vector is a seed -> its own codeword -> zero distortion
+    assert len(out) == 6
+    assert all(r.dist == 0.0 for r in out)
+    assert all(len(r.codes) == 2 for r in out)
+    assert all(0 <= c < 6 for r in out for c in r.codes)
+
+
+def test_product_quantize_deterministic_and_groups_duplicates(spark):
+    from elt_gluepipeline_spark.operators.similarity import product_quantize
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = product_quantize(emb, m=4, k=8, n_iter=2, seed=7).collect()
+    b = product_quantize(emb.repartition(7), m=4, k=8,
+                         n_iter=2, seed=7).collect()
+    assert sorted((r.vec_id, tuple(r.codes), r.dist) for r in a) \
+        == sorted((r.vec_id, tuple(r.codes), r.dist) for r in b)
+    # distortion bounded: dist is the summed subspace squared error and
+    # must be finite and non-negative everywhere
+    assert all(r.dist >= 0.0 for r in a)
