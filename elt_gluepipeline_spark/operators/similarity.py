@@ -417,6 +417,75 @@ def quantize_int8(df: DataFrame, *, id_col: str = "vec_id",
         F.round(mse, 6).alias("mse"))
 
 
+def _pq_subvec(s: int, w: int) -> Column:
+    return F.slice("_v", s * w + 1, w)
+
+
+def _pq_sqd(sv: Column, c: list[float]) -> Column:
+    """Squared Euclidean distance of a subvector to a literal centroid
+    (sequential left-to-right fold — the order the SQL oracle mirrors)."""
+    lit_c = F.array(*[F.lit(x) for x in c])
+    return F.aggregate(F.zip_with(sv, lit_c, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, e: acc + e)
+
+
+def _pq_dists(s: int, w: int, book: list[list[float]]) -> Column:
+    return F.array(*[_pq_sqd(_pq_subvec(s, w), c) for c in book])
+
+
+def _pq_argmin(d: Column) -> Column:
+    """First index of the minimum — exact-tie resolution to the lowest
+    cell, same as ORDER BY dist, cell."""
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def _pq_fit(v: DataFrame, *, m: int, k: int, n_iter: int, seed: int,
+            grid: int, w: int) -> list[list[list[float]]] | None:
+    """Train m per-subspace codebooks over a (_id, _v) frame: md5-seeded
+    init (one collect), then per Lloyd update ONE exploded (s, cell)
+    aggregation of grid-quantized coordinate sums — the engine-portable,
+    partition-order-independent recipe kmeans_lloyd documents, fused
+    across subspaces. Returns books[s][cell] or None on empty input."""
+    from .dedup import portable_hash60  # noqa: PLC0415 (cycle-free late import)
+
+    sample_h = portable_hash60(
+        F.concat_ws("#", F.col("_id").cast("string"), F.lit(str(seed))))
+    seed_rows = (v.withColumn("_h", sample_h)
+                  .orderBy("_h", "_id").limit(k).select("_v").collect())
+    if not seed_rows:
+        return None
+    books = [[list(r["_v"])[s * w:(s + 1) * w] for r in seed_rows]
+             for s in range(m)]
+    g = float(grid)
+    for _ in range(max(0, n_iter - 1)):
+        # stage the distance arrays as named columns first: argmin(X)
+        # references X twice (array_position + array_min) and HOFs are
+        # interpreted, so an inline X would evaluate every fold twice
+        staged_u = v.select(
+            "_id", "_v",
+            *[_pq_dists(s, w, books[s]).alias(f"_ud{s}") for s in range(m)])
+        structs = F.array(*[
+            F.struct(F.lit(s).alias("_s"),
+                     _pq_argmin(F.col(f"_ud{s}")).alias("_c"),
+                     _pq_subvec(s, w).alias("_sv"))
+            for s in range(m)])
+        expl = staged_u.select(F.explode(structs).alias("_e")) \
+                       .select(F.col("_e._s").alias("_s"),
+                               F.col("_e._c").alias("_c"),
+                               F.col("_e._sv").alias("_sv"))
+        qsum = [F.sum(F.floor(F.col("_sv")[i] * F.lit(g) + F.lit(0.5)))
+                .alias(f"s{i}") for i in range(w)]
+        rows = (expl.groupBy("_s", "_c")
+                    .agg(F.count(F.lit(1)).alias("n"), *qsum).collect())
+        by_key = {(r["_s"], r["_c"]): r for r in rows}
+        books = [
+            [[by_key[(s, j)][f"s{i}"] / (g * by_key[(s, j)]["n"])
+              for i in range(w)] if (s, j) in by_key else books[s][j]
+             for j in range(k)]
+            for s in range(m)]
+    return books
+
+
 def product_quantize(df: DataFrame, *, m: int = 4, k: int = 16,
                      n_iter: int = 2, seed: int = 7,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -460,61 +529,17 @@ def product_quantize(df: DataFrame, *, m: int = 4, k: int = 16,
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     w = dim // m
 
-    from .dedup import portable_hash60  # noqa: PLC0415 (cycle-free late import)
-
     v = df.select(F.col(id_col).alias("_id"),
                   _as_double(F.col(vec_col)).alias("_v"))
-    sample_h = portable_hash60(
-        F.concat_ws("#", F.col("_id").cast("string"), F.lit(str(seed))))
-    seed_rows = (v.withColumn("_h", sample_h)
-                  .orderBy("_h", "_id").limit(k).select("_v").collect())
-    if not seed_rows:
+    books = _pq_fit(v, m=m, k=k, n_iter=n_iter, seed=seed, grid=grid, w=w)
+    if books is None:
         return (v.limit(0).select(F.col("_id").alias(id_col))
                  .withColumn("codes", F.array().cast("array<int>"))
                  .withColumn("dist", F.lit(0.0)))
-    books = [[list(r["_v"])[s * w:(s + 1) * w] for r in seed_rows]
-             for s in range(m)]
-
-    def subvec(s: int) -> Column:
-        return F.slice("_v", s * w + 1, w)
-
-    def sqd(sv: Column, c: list[float]) -> Column:
-        lit_c = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(F.zip_with(sv, lit_c, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, e: acc + e)
 
     def dists(s: int) -> Column:
-        return F.array(*[sqd(subvec(s), c) for c in books[s]])
-
-    def argmin(d: Column) -> Column:
-        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
-
-    g = float(grid)
-    for _ in range(max(0, n_iter - 1)):
-        # stage the distance arrays as named columns first: argmin(X)
-        # references X twice (array_position + array_min) and HOFs are
-        # interpreted, so an inline X would evaluate every fold twice
-        staged_u = v.select(
-            "_id", "_v", *[dists(s).alias(f"_ud{s}") for s in range(m)])
-        structs = F.array(*[
-            F.struct(F.lit(s).alias("_s"),
-                     argmin(F.col(f"_ud{s}")).alias("_c"),
-                     subvec(s).alias("_sv"))
-            for s in range(m)])
-        expl = staged_u.select(F.explode(structs).alias("_e")) \
-                       .select(F.col("_e._s").alias("_s"),
-                               F.col("_e._c").alias("_c"),
-                               F.col("_e._sv").alias("_sv"))
-        qsum = [F.sum(F.floor(F.col("_sv")[i] * F.lit(g) + F.lit(0.5)))
-                .alias(f"s{i}") for i in range(w)]
-        rows = (expl.groupBy("_s", "_c")
-                    .agg(F.count(F.lit(1)).alias("n"), *qsum).collect())
-        by_key = {(r["_s"], r["_c"]): r for r in rows}
-        books = [
-            [[by_key[(s, j)][f"s{i}"] / (g * by_key[(s, j)]["n"])
-              for i in range(w)] if (s, j) in by_key else books[s][j]
-             for j in range(k)]
-            for s in range(m)]
+        return _pq_dists(s, w, books[s])
+    argmin = _pq_argmin
 
     # project each distance array ONCE and derive cells/distortions from
     # the named columns — CollapseProject won't inline the non-cheap
@@ -530,3 +555,66 @@ def product_quantize(df: DataFrame, *, m: int = 4, k: int = 16,
         F.col("_id").alias(id_col),
         F.array(*cells).alias("codes"),
         total.alias("dist"))
+
+
+def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
+                *, m: int = 4, k: int = 16, n_iter: int = 2, seed: int = 7,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                grid: int = 1_000_000, round_to: int = 6) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC) — the
+    serving pattern product quantization exists for: candidates are
+    stored ONLY as m-byte codes; per query, an m×k lookup table of
+    exact subspace distances to every centroid is built once, and each
+    candidate's approximate distance is m table lookups + adds. At
+    corpus scale the scan reads 2-byte codes instead of 256-byte
+    vectors (the 128× I/O reduction IS the algorithm).
+
+    Plan: codebooks via ``_pq_fit`` (same engine-portable recipe as
+    ``product_quantize``); candidates' codes are a map-only projection;
+    queries project their m lookup-table arrays once and BROADCAST into
+    the scoring join (the code scan never shuffles); per-query top-k
+    via ranked window. Approximate by construction (quantization error),
+    asymmetric (query side stays exact) — rerank survivors with
+    ``knn_bruteforce`` when exactness matters.
+
+    Output: (query_id, neighbor_id, adc_dist) — summed table lookups,
+    rounded BEFORE ranking; ties break on neighbor_id.
+    """
+    dim_row = candidates.select(F.size(vec_col).alias("d")).head(1)
+    if not dim_row:
+        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
+                       .withColumn("neighbor_id", F.col("query_id"))
+                       .withColumn("adc_dist", F.lit(0.0)))
+    dim = dim_row[0]["d"]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    w = dim // m
+
+    c = candidates.select(F.col(id_col).alias("_id"),
+                          _as_double(F.col(vec_col)).alias("_v"))
+    books = _pq_fit(c, m=m, k=k, n_iter=n_iter, seed=seed, grid=grid, w=w)
+    if books is None:
+        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
+                       .withColumn("neighbor_id", F.col("query_id"))
+                       .withColumn("adc_dist", F.lit(0.0)))
+
+    c_staged = c.select(
+        "_id", *[_pq_dists(s, w, books[s]).alias(f"_d{s}") for s in range(m)])
+    codes = c_staged.select(
+        F.col("_id").alias("neighbor_id"),
+        *[_pq_argmin(F.col(f"_d{s}")).alias(f"_c{s}") for s in range(m)])
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    qtabs = q.select(
+        "query_id",
+        *[_pq_dists(s, w, books[s]).alias(f"_t{s}") for s in range(m)])
+
+    scored = (codes.crossJoin(F.broadcast(qtabs))
+                   .filter(F.col("neighbor_id") != F.col("query_id")))
+    lookups = [F.element_at(f"_t{s}", F.col(f"_c{s}") + 1) for s in range(m)]
+    scored = scored.withColumn(
+        "adc_dist", F.round(sum(lookups[1:], lookups[0]), round_to))
+    top = top_n_per_key(scored, ["query_id"],
+                        [F.col("adc_dist").asc(), F.col("neighbor_id")],
+                        k_neighbors)
+    return top.select("query_id", "neighbor_id", "adc_dist")

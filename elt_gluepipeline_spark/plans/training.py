@@ -1309,7 +1309,9 @@ def q76_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist")
 
 
-Q76_SQL = """
+# Shared PQ oracle chain (through per-vector codes in a2) — Q76 reads
+# the codes directly; Q77 extends it with ADC lookup-table scoring.
+_PQ_CHAIN = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 dims AS (SELECT len(v) // 4 AS w FROM e LIMIT 1),
 subs AS (SELECT unnest(range(0, 4)) AS s),
@@ -1372,11 +1374,51 @@ a2 AS (
                                   ORDER BY dist, cell) AS rn
         FROM d2)
   WHERE rn = 1
-)
+)"""
+
+Q76_SQL = _PQ_CHAIN + """
 SELECT vec_id,
        string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes_csv,
        ROUND(SUM(dist), 6) AS dist
 FROM a2 GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q77 — PQ search with asymmetric distance computation (operators
+# .similarity.pq_adc_topk): candidates scored from their 2-byte codes
+# via per-query lookup tables — the serving pattern PQ exists for. The
+# oracle extends the Q76 chain: per-(query, subspace, cell) exact
+# distances joined to the codes, summed, ranked.
+# --------------------------------------------------------------------------
+
+def q77_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_topk
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(q, emb, 5, m=4, k=16, n_iter=2, seed=7)
+
+
+Q77_SQL = _PQ_CHAIN + """,
+q AS (SELECT vec_id AS query_id, s, v AS qv FROM se WHERE vec_id < 8),
+qd AS (
+  SELECT q.query_id, c.s, c.cell,
+         list_sum(list_transform(list_zip(q.qv, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q JOIN cent2 c ON q.s = c.s
+),
+adc AS (
+  SELECT qd.query_id, a.vec_id AS neighbor_id,
+         ROUND(SUM(qd.d), 6) AS adc_dist
+  FROM a2 a JOIN qd ON a.s = qd.s AND a.cell = qd.cell
+  WHERE a.vec_id <> qd.query_id
+  GROUP BY qd.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc)
+WHERE rn <= 5
 """
 
 
@@ -1495,4 +1537,7 @@ SPECS = [
     QuerySpec("q76_product_quantize", q76_product_quantize, Q76_SQL,
               "product quantization: per-subspace kmeans codebooks "
               "(4x16), every code and distortion oracle-reproduced"),
+    QuerySpec("q77_pq_adc", q77_pq_adc, Q77_SQL,
+              "PQ asymmetric-distance top-k search (per-query lookup "
+              "tables over 2-byte codes; oracle replays the tables)"),
 ]

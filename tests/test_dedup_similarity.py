@@ -289,3 +289,24 @@ def test_product_quantize_deterministic_and_groups_duplicates(spark):
     # distortion bounded: dist is the summed subspace squared error and
     # must be finite and non-negative everywhere
     assert all(r.dist >= 0.0 for r in a)
+
+
+def test_pq_adc_exact_when_k_covers_corpus(spark):
+    from elt_gluepipeline_spark.operators.similarity import pq_adc_topk
+    rows = [(i, [float(i), float(3 - i), float(i * i % 5), 1.0])
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    got = {}
+    for r in pq_adc_topk(q, df, 2, m=2, k=6, n_iter=2, seed=7).collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.adc_dist))
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+    vecs = dict(rows)
+    for qid in (0, 1):
+        want = sorted(((j, round(l2(vecs[qid], vecs[j]), 6))
+                       for j in vecs if j != qid),
+                      key=lambda t: (t[1], t[0]))[:2]
+        # every vector is its own codeword -> ADC distance IS exact L2
+        assert sorted(got[qid], key=lambda t: (t[1], t[0])) == want
