@@ -266,3 +266,60 @@ def hashing_trick_vectors(df, id_col: str, text_col: str, *, dim: int = 64,
                       sq.alias("sq_norm"),
                       F.aggregate("vec", F.lit(0).cast("long"),
                                   lambda a, v: a + F.abs(v)).alias("l1_norm"))
+
+
+def bigram_perplexity(df, id_col: str, text_col: str):
+    """In-corpus bigram language-model perplexity per document — the
+    CCNet-style quality signal: documents whose token transitions are
+    improbable under the corpus's own bigram statistics (gibberish,
+    boilerplate, wrong-language) score high and get filtered.
+
+    Model: p(w2|w1) = (C(w1,w2) + 1) / (C(w1·) + V), add-one smoothed,
+    V = distinct prefix vocabulary; per-doc NLL is the mean -ln p over
+    its bigram occurrences, perplexity = exp(NLL). The model IS the
+    corpus: both counts come from window aggregations over the exploded
+    bigram-occurrence table (the q66 trick — the occurrence table
+    partition-counted by (w1,w2) and by (w1) is exactly the bigram and
+    prefix frequency), V rides in as a broadcast scalar aggregate.
+
+    Determinism discipline: a double Σln across rows is accumulation-
+    order-dependent, so each -ln p term is rounded to 12 decimals and
+    summed as exact DECIMAL — bit-identical for any partitioning and
+    any engine (the dsum() discipline applied to log space; 1e-12
+    per-term error is ~1e-9 relative on real documents, far below any
+    filtering threshold).
+
+    Plan: explode → window(w1,w2) → window(w1) → groupBy(doc) — three
+    shuffles over the token stream, the honest cost of training on the
+    full corpus. At 100 TB train the model on a deterministic_sample
+    and broadcast it instead; the scoring join shape is unchanged.
+
+    Output: (id, n_bigrams, nll, ppl) for documents with ≥1 bigram.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = tokens(F.lower(F.col(text_col)))
+    big = df.select(F.col(id_col), F.explode(bigrams(t)).alias("_bg"))
+    big = big.select(
+        id_col,
+        F.split("_bg", " ")[0].alias("_w1"),
+        F.col("_bg").alias("_bg"))
+    c_bg = F.count(F.lit(1)).over(Window.partitionBy("_bg"))
+    c_w1 = F.count(F.lit(1)).over(Window.partitionBy("_w1"))
+    vocab = big.groupBy().agg(
+        F.countDistinct("_w1").cast("long").alias("_V"))
+    scored = (big.crossJoin(F.broadcast(vocab))
+                 .select(id_col,
+                         c_bg.alias("_cbg"), c_w1.alias("_cw1"), "_V"))
+    nl = -F.log((F.col("_cbg") + F.lit(1.0))
+                / (F.col("_cw1") + F.col("_V")))
+    term = F.round(nl, 12).cast("decimal(28,12)")
+    agg = (scored.select(id_col, term.alias("_t"))
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                      F.sum("_t").alias("_s")))
+    nll = F.col("_s").cast("double") / F.col("n_bigrams")
+    return agg.select(id_col, "n_bigrams",
+                      F.round(nll, 6).alias("nll"),
+                      F.round(F.exp(nll), 6).alias("ppl"))

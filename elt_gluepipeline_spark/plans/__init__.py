@@ -93,6 +93,8 @@ _DEPRIORITIZED = (
                              # tools/check_correctness instead
     "q77_pq_adc",          # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q78_perplexity",      # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -1423,6 +1423,58 @@ WHERE rn <= 5
 
 
 # --------------------------------------------------------------------------
+# Q78 — in-corpus bigram-LM perplexity per document (operators
+# .textstats.bigram_perplexity): the CCNet-style quality filter. Counts
+# come from window aggregations over the exploded bigram table; each
+# -ln p term rounds to 12 decimals and sums as exact DECIMAL so the
+# result is partitioning- and engine-independent.
+# --------------------------------------------------------------------------
+
+def q78_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import bigram_perplexity
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_perplexity(docs, "doc_id", "text")
+
+
+Q78_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, unnest(bg) AS bg
+  FROM (SELECT doc_id,
+               CASE WHEN len(tok) < 2 THEN []::VARCHAR[]
+                    ELSE list_transform(
+                           list_zip(tok[1:len(tok)-1], tok[2:len(tok)]),
+                           p -> p[1] || ' ' || p[2]) END AS bg
+        FROM toks)
+), o AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b
+), cnt AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY bg) AS cbg,
+         COUNT(*) OVER (PARTITION BY w1) AS cw1
+  FROM o
+), v AS (SELECT COUNT(DISTINCT w1) AS vsz FROM o),
+terms AS (
+  SELECT doc_id,
+         CAST(ROUND(-ln((cbg + 1.0) / (cw1 + vsz)), 12)
+              AS DECIMAL(28,12)) AS t
+  FROM cnt, v
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(t) AS s
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS nll,
+       ROUND(exp(CAST(s AS DOUBLE) / n_bigrams), 6) AS ppl
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Q70 — deterministic weighted sampling without replacement
 # (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES keyed
 # by the row's own md5 hash): "sample 100 documents by length" with
@@ -1540,4 +1592,7 @@ SPECS = [
     QuerySpec("q77_pq_adc", q77_pq_adc, Q77_SQL,
               "PQ asymmetric-distance top-k search (per-query lookup "
               "tables over 2-byte codes; oracle replays the tables)"),
+    QuerySpec("q78_perplexity", q78_perplexity, Q78_SQL,
+              "in-corpus bigram-LM perplexity (CCNet-style quality "
+              "filter; decimal-exact log-space sums)"),
 ]

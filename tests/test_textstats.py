@@ -153,3 +153,26 @@ def test_hashing_trick_vectors_portable_and_exact(spark):
     vec1 = out[1][0]
     assert out[1][1] == sum(x * x for x in vec1)   # norms audit the vector
     assert out[1][2] == sum(abs(x) for x in vec1) == 3  # no collisions here
+
+
+def test_bigram_perplexity_orders_quality_and_is_deterministic(spark):
+    from elt_gluepipeline_spark.operators.textstats import bigram_perplexity
+    common = "the cat sat on the mat " * 10
+    docs = spark.createDataFrame(
+        [(1, common.strip()),                    # high-probability transitions
+         (2, (common + "the cat sat on the mat").strip()),
+         (3, "zq xv jk wp qn rr ty ui op as"),   # every bigram unseen elsewhere
+         (4, "single"),                          # no bigram -> excluded
+         (5, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.nll, r.ppl)
+           for r in bigram_perplexity(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}                 # 4, 5 have no bigrams
+    # the repetitive docs' transitions dominate the corpus model ->
+    # far lower perplexity than the gibberish doc
+    assert out[1][2] < out[3][2] and out[2][2] < out[3][2]
+    assert all(v[2] >= 1.0 for v in out.values())  # ppl = exp(mean -ln p) >= 1
+    again = {r.doc_id: (r.n_bigrams, r.nll, r.ppl)
+             for r in bigram_perplexity(docs.repartition(7),
+                                        "doc_id", "text").collect()}
+    assert again == out                          # decimal log-sum: exact
