@@ -247,12 +247,14 @@ def hashing_trick_vectors(df, id_col: str, text_col: str, *, dim: int = 64,
     # sign bit = the next base-dim digit of the hash (pmod against
     # 2*dim, compared to dim) — stays in exact LONG arithmetic; a
     # floor(h / dim) would round-trip the 60-bit hash through a double
-    # and corrupt the bit above 2^53
+    # and corrupt the bit above 2^53. Hash ONCE per token (inner
+    # transform), then derive bucket and sign from the long — md5 is
+    # the expensive term and HOFs evaluate each field reference anew
     bs = F.transform(
-        tok,
-        lambda t: F.struct(
-            F.pmod(h(t), F.lit(dim)).cast("int").alias("b"),
-            F.when(F.pmod(h(t), F.lit(2 * dim)) < F.lit(dim),
+        F.transform(tok, h),
+        lambda hv: F.struct(
+            F.pmod(hv, F.lit(dim)).cast("int").alias("b"),
+            F.when(F.pmod(hv, F.lit(2 * dim)) < F.lit(dim),
                    F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("s")))
     base = df.select(F.col(id_col), bs.alias("_bs"))
     vec = F.transform(

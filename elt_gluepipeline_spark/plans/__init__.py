@@ -95,6 +95,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q78_perplexity",      # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q79_trailing_features",  # head full at 50: oracle-checked via
+                              # tools/check_correctness instead
 )
 
 

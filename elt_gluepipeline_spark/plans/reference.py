@@ -1577,6 +1577,40 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Q79 — trailing event-time window features (W2-W4 extension: RANGE
+# frame over event time): per event, the count/sum of the same user's
+# events in the preceding hour — the feature-engineering shape behind
+# rate limits, fraud velocity checks, and session intensity. A RANGE
+# frame on epoch-micros order bounds the frame by TIME, not row count
+# (a rowsBetween frame would be wrong under bursts); peers with equal
+# timestamps are in-frame in both engines by SQL-standard RANGE
+# semantics. One shuffle on user_id; decimal window sums keep the
+# result order-independent.
+# --------------------------------------------------------------------------
+
+def q79_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    us = ntz_micros("ts")
+    base = ev.select("event_id", "user_id", us.alias("ts_us"), "value")
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+               .rangeBetween(-3_600_000_000, 0))
+    return base.select(
+        "event_id", "user_id", "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_1h"))
+
+
+Q79_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -1679,4 +1713,7 @@ SPECS = [
               "streaming IVM via foreachBatch: per-batch deltas merged "
               "into a versioned aggregate snapshot, exactly-once under "
               "replay; 4 merges hash-match one full aggregation"),
+    QuerySpec("q79_trailing_features", q79_trailing_features, Q79_SQL,
+              "trailing 1h event-time features via RANGE window frame "
+              "(time-bounded, burst-safe; decimal window sums)"),
 ]

@@ -260,3 +260,11 @@ def test_q72_q73_diff_projects_before_full_outer(spark):
     # runs map-side before each exchange
     assert "FullOuter" in plan73
     assert "partial_count" in plan73 or "partial_sum" in plan73
+
+
+def test_q79_range_window_is_keyed_single_exchange(spark):
+    plan = _plan(spark, "q79_trailing_features")
+    # time-bounded RANGE frame partitioned by user: one keyed shuffle,
+    # never a single-partition global window
+    assert plan.count("Exchange (") <= 1, plan
+    assert "SinglePartition" not in plan
