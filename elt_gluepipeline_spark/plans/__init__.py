@@ -97,6 +97,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q79_trailing_features",  # head full at 50: oracle-checked via
                               # tools/check_correctness instead
+    "q80_split_drift",     # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -1475,6 +1475,64 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Q80 — split drift audit: per-token KL(test ‖ train) contributions
+# over the q57 hash split. The leak/shift check a curated corpus runs
+# before training: a large positive contribution = the token is
+# over-represented in test relative to train (smoothed, so union-vocab
+# tokens absent from one side still score). One flag-split aggregation
+# (A7 idiom) + broadcast scalar totals; every probability and log term
+# re-derived by the oracle.
+# --------------------------------------------------------------------------
+
+def q80_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import assign_split
+    from ..operators.textstats import tokens as _tok
+    docs = assign_split(read_table(spark, sf_dir, "documents"), "doc_id")
+    t = docs.select("split",
+                    F.explode(_tok(F.lower(F.col("text")))).alias("token"))
+    is_test = F.col("split") == "test"
+    cnt = t.groupBy("token").agg(
+        F.sum(F.when(~is_test, 1).otherwise(0)).alias("c_train"),
+        F.sum(F.when(is_test, 1).otherwise(0)).alias("c_test"))
+    tot = cnt.groupBy().agg(F.count(F.lit(1)).alias("_V"),
+                            F.sum("c_train").alias("_Nt"),
+                            F.sum("c_test").alias("_Ns"))
+    p = (F.col("c_test") + F.lit(1.0)) / (F.col("_Ns") + F.col("_V"))
+    q = (F.col("c_train") + F.lit(1.0)) / (F.col("_Nt") + F.col("_V"))
+    return (cnt.crossJoin(F.broadcast(tot))
+               .select("token", "c_train", "c_test",
+                       F.round(p * F.log(p / q), 9).alias("kl_term")))
+
+
+Q80_SQL = """
+WITH toks AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'),
+                        1, 15)) AS BIGINT) % 1000 < 100
+              THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tok
+  FROM documents
+), t AS (
+  SELECT split, unnest(tok) AS token FROM toks
+), cnt AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_train,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_test
+  FROM t GROUP BY token
+), tot AS (
+  SELECT COUNT(*) AS vsz, SUM(c_train) AS nt, SUM(c_test) AS ns FROM cnt
+)
+SELECT token, c_train, c_test,
+       ROUND(((c_test + 1.0) / (ns + vsz))
+             * ln(((c_test + 1.0) / (ns + vsz))
+                  / ((c_train + 1.0) / (nt + vsz))), 9) AS kl_term
+FROM cnt, tot
+"""
+
+
+# --------------------------------------------------------------------------
 # Q70 — deterministic weighted sampling without replacement
 # (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES keyed
 # by the row's own md5 hash): "sample 100 documents by length" with
@@ -1595,4 +1653,7 @@ SPECS = [
     QuerySpec("q78_perplexity", q78_perplexity, Q78_SQL,
               "in-corpus bigram-LM perplexity (CCNet-style quality "
               "filter; decimal-exact log-space sums)"),
+    QuerySpec("q80_split_drift", q80_split_drift, Q80_SQL,
+              "train/test drift audit: per-token smoothed KL "
+              "contributions over the hash split"),
 ]

@@ -204,3 +204,20 @@ def test_weighted_sample_excludes_nonpositive_and_small_input(spark):
                                "doc_id long, w long")
     out = weighted_sample(df, "doc_id", F.col("w"), k=10, seed=7)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_split_drift_flags_test_only_tokens(spark):
+    from elt_gluepipeline_spark.plans.training import q80_split_drift
+    # use the real query over testdata: smoothed KL must be finite
+    # everywhere and ~zero for tokens split proportionally
+    out = q80_split_drift(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    import math
+    for r in out:
+        assert math.isfinite(r.kl_term)
+        assert r.c_train + r.c_test > 0
+    # overall smoothed KL(test||train) over the union vocab is >= ~0
+    # (strictly, KL >= 0 holds for the full normalized distributions;
+    # smoothing keeps each term finite and the sum near-nonnegative)
+    total = sum(r.kl_term for r in out)
+    assert total > -1e-6
