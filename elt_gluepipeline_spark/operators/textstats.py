@@ -228,41 +228,46 @@ def hashing_trick_vectors(df, id_col: str, text_col: str, *, dim: int = 64,
     bit (unbiases collisions in expectation), value_i = Σ sign over
     tokens hashing to bucket i.
 
-    Engine-portable and map-only: the bucket/sign hash is the md5-derived
+    Engine-portable: the bucket/sign hash is the md5-derived
     portable_hash60 of ``token#seed`` (any engine re-derives every
-    component), evaluated ONCE per token into a (bucket, sign) struct
-    array, then folded per dimension — O(tokens) hash work plus
-    O(dim·tokens) codegen'd integer compares per row, ZERO shuffle: at
-    corpus scale this is a pure scan-transform like quantization (q64).
-    Values stay exact integers — downstream L2-normalize in double if
-    cosine geometry is needed (knn_bruteforce/lsh_ann accept the output
-    as `array<double>` after a cast).
+    component); the sign bit is the next base-dim digit of the hash
+    (pmod against 2·dim — exact LONG arithmetic; a floor(h / dim)
+    would round-trip the 60-bit hash through a double and corrupt the
+    bit above 2^53).
+
+    Plan: explode tokens → hash once per occurrence → codegen'd
+    groupBy(id, bucket) hash aggregation (map-side partials cap the
+    shuffle at ≤ dim entries per document per partition) → one
+    map_from_entries assembly per document. Per-token work is O(1); a
+    per-dimension higher-order fold over the token array is O(dim ·
+    tokens) and HOFs are interpreted, which measured 30× slower at
+    dim=64. Empty documents survive via a left join back to the id
+    domain (zero vector). Values stay exact integers — downstream
+    L2-normalize in double if cosine geometry is needed.
     """
     from pyspark.sql import functions as F
 
     from ..operators.dedup import portable_hash60
 
-    tok = tokens(F.col(text_col))
-    h = lambda t: portable_hash60(F.concat_ws("#", t, F.lit(str(seed))))  # noqa: E731
-    # sign bit = the next base-dim digit of the hash (pmod against
-    # 2*dim, compared to dim) — stays in exact LONG arithmetic; a
-    # floor(h / dim) would round-trip the 60-bit hash through a double
-    # and corrupt the bit above 2^53. Hash ONCE per token (inner
-    # transform), then derive bucket and sign from the long — md5 is
-    # the expensive term and HOFs evaluate each field reference anew
-    bs = F.transform(
-        F.transform(tok, h),
-        lambda hv: F.struct(
-            F.pmod(hv, F.lit(dim)).cast("int").alias("b"),
-            F.when(F.pmod(hv, F.lit(2 * dim)) < F.lit(dim),
-                   F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("s")))
-    base = df.select(F.col(id_col), bs.alias("_bs"))
+    ids = df.select(F.col(id_col)).distinct()
+    t = df.select(F.col(id_col),
+                  F.explode(tokens(F.col(text_col))).alias("_tk"))
+    h = portable_hash60(F.concat_ws("#", F.col("_tk"), F.lit(str(seed))))
+    occ = t.select(
+        id_col,
+        F.pmod(h, F.lit(dim)).cast("int").alias("_b"),
+        F.when(F.pmod(h, F.lit(2 * dim)) < F.lit(dim),
+               F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("_s"))
+    ent = (occ.groupBy(id_col, "_b").agg(F.sum("_s").alias("_v"))
+              .groupBy(id_col)
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("_b", "_v"))).alias("_m")))
+    dense = ids.join(ent, id_col, "left")
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.aggregate(
-            F.filter("_bs", lambda x: x["b"] == i),
-            F.lit(0).cast("long"), lambda acc, x: acc + x["s"]))
-    out = base.select(id_col, vec.alias("vec"))
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")),
+                             F.lit(0).cast("long")))
+    out = dense.select(id_col, vec.alias("vec"))
     sq = F.aggregate("vec", F.lit(0).cast("long"), lambda a, v: a + v * v)
     return out.select(id_col, "vec",
                       sq.alias("sq_norm"),
