@@ -21,14 +21,26 @@ TESTDATA_TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(spark: SparkSession, path: str, *,
+                 merge_schema: bool = False) -> DataFrame:
     """S3/S10: parquet scan with native Hive-partition discovery.
 
     Spark discovers ``key=value`` directories and reattaches partition
     columns automatically (the reference hand-rolled this,
     streamlit/go_streamlit.py:21-63 — native discovery replaces it).
+
+    ``merge_schema=True`` unions the footers of every file instead of
+    trusting the first one — the schema-EVOLUTION read: a dataset whose
+    later partitions gained columns comes back with the superset
+    schema, older files NULL-filling the new columns. Off by default
+    because footer-merging costs one extra pass over file metadata
+    (at 100 TB that is many footers) and ingest pipelines that enforce
+    a contract (functions.conform) don't need it.
     """
-    return spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 # Parquet TIMESTAMP(NANOS) columns per table: Spark has no ns timestamp
