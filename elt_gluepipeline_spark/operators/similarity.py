@@ -618,3 +618,84 @@ def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
                         [F.col("adc_dist").asc(), F.col("neighbor_id")],
                         k_neighbors)
     return top.select("query_id", "neighbor_id", "adc_dist")
+
+
+def ivf_pq_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
+                *, n_cells: int = 8, n_probe: int = 2, cell_seed: int = 42,
+                m: int = 4, k: int = 16, n_iter: int = 2, seed: int = 7,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                grid: int = 1_000_000, round_to: int = 6) -> DataFrame:
+    """The production ANN stack end-to-end: IVF coarse cells prune the
+    candidate set, PQ-ADC scores the survivors from their 2-byte codes
+    (Jégou et al. 2011's IVFADC). Per query: probe the ``n_probe``
+    nearest of ``n_cells`` coarse centroids, then rank only same-cell
+    candidates by asymmetric distance — the scoring join is an
+    EQUI-join on the cell id, so work per query is the probed fraction
+    (~n_probe/n_cells of the corpus), not the corpus (q77's exhaustive
+    ADC shape made sub-linear).
+
+    Coarse centroids are an md5-ordered sample (``_pq_fit`` with one
+    full-width subspace and no Lloyd update — a trained quantizer slots
+    in by raising n_iter); PQ codebooks are exactly ``product_quantize``'s.
+    Everything stays engine-reproducible: the oracle replays cells,
+    probes, codes, and lookup tables. Approximate on two axes (cell
+    recall, quantization error); rerank survivors exactly when needed.
+
+    Output: (query_id, neighbor_id, adc_dist), ≤ k_neighbors per query.
+    """
+    dim_row = candidates.select(F.size(vec_col).alias("d")).head(1)
+    if not dim_row:
+        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
+                       .withColumn("neighbor_id", F.col("query_id"))
+                       .withColumn("adc_dist", F.lit(0.0)))
+    dim = dim_row[0]["d"]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    w = dim // m
+
+    c = candidates.select(F.col(id_col).alias("_id"),
+                          _as_double(F.col(vec_col)).alias("_v"))
+    coarse = _pq_fit(c, m=1, k=n_cells, n_iter=1, seed=cell_seed,
+                     grid=grid, w=dim)
+    books = _pq_fit(c, m=m, k=k, n_iter=n_iter, seed=seed, grid=grid, w=w)
+    if coarse is None or books is None:
+        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
+                       .withColumn("neighbor_id", F.col("query_id"))
+                       .withColumn("adc_dist", F.lit(0.0)))
+    icent = coarse[0]
+
+    cell_d = F.array(*[_pq_sqd(F.col("_v"), cv) for cv in icent])
+    c_staged = c.select(
+        "_id", cell_d.alias("_cd"),
+        *[_pq_dists(s, w, books[s]).alias(f"_d{s}") for s in range(m)])
+    codes = c_staged.select(
+        F.col("_id").alias("neighbor_id"),
+        _pq_argmin(F.col("_cd")).alias("cell"),
+        *[_pq_argmin(F.col(f"_d{s}")).alias(f"_c{s}") for s in range(m)])
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    q_staged = q.select(
+        "query_id", cell_d.alias("_cd"),
+        *[_pq_dists(s, w, books[s]).alias(f"_t{s}") for s in range(m)])
+    # probe list: (dist, cell) structs sorted lexicographically — dist
+    # asc then cell asc, the ORDER BY dist, cell tie-break — take n_probe
+    probe_structs = F.array(*[
+        F.struct(F.element_at("_cd", j + 1).alias("d"),
+                 F.lit(j).cast("int").alias("c"))
+        for j in range(len(icent))])
+    q_probes = q_staged.select(
+        "query_id", *[F.col(f"_t{s}") for s in range(m)],
+        F.explode(F.slice(F.array_sort(probe_structs), 1, n_probe))
+         .alias("_p")) \
+        .select("query_id", F.col("_p.c").alias("cell"),
+                *[F.col(f"_t{s}") for s in range(m)])
+
+    scored = (codes.join(F.broadcast(q_probes), "cell")
+                   .filter(F.col("neighbor_id") != F.col("query_id")))
+    lookups = [F.element_at(f"_t{s}", F.col(f"_c{s}") + 1) for s in range(m)]
+    scored = scored.withColumn(
+        "adc_dist", F.round(sum(lookups[1:], lookups[0]), round_to))
+    top = top_n_per_key(scored, ["query_id"],
+                        [F.col("adc_dist").asc(), F.col("neighbor_id")],
+                        k_neighbors)
+    return top.select("query_id", "neighbor_id", "adc_dist")

@@ -99,6 +99,8 @@ _DEPRIORITIZED = (
                               # tools/check_correctness instead
     "q80_split_drift",     # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q81_ivf_pq",          # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

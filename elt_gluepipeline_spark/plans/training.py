@@ -1533,6 +1533,79 @@ FROM cnt, tot
 
 
 # --------------------------------------------------------------------------
+# Q81 — IVFADC: the full production ANN stack (operators.similarity
+# .ivf_pq_topk). IVF cells prune candidates (equi-join on cell id),
+# PQ-ADC lookup tables score the survivors from 2-byte codes. The
+# oracle replays coarse centroids, cell assignment, probes, PQ codes,
+# and the per-query tables — every ranked distance hash-checked.
+# --------------------------------------------------------------------------
+
+def q81_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivf_pq_topk(q, emb, 5, n_cells=8, n_probe=2, cell_seed=42,
+                       m=4, k=16, n_iter=2, seed=7)
+
+
+Q81_SQL = _PQ_CHAIN + """,
+icent AS (
+  SELECT v AS cv,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(('0x' || substr(md5(vec_id || '#42'), 1, 15)) AS BIGINT),
+                    vec_id) - 1 AS cell
+  FROM e
+  QUALIFY cell < 8
+),
+idist AS (
+  SELECT e.vec_id, ic.cell,
+         list_sum(list_transform(list_zip(e.v, ic.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM e CROSS JOIN icent ic
+),
+iassign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM idist)
+  WHERE rn = 1
+),
+iprobe AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM idist WHERE vec_id < 8)
+  WHERE rn <= 2
+),
+q AS (SELECT vec_id AS query_id, s, v AS qv FROM se WHERE vec_id < 8),
+qd AS (
+  SELECT q.query_id, c.s, c.cell,
+         list_sum(list_transform(list_zip(q.qv, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM q JOIN cent2 c ON q.s = c.s
+),
+adc AS (
+  SELECT qd.query_id, a.vec_id AS neighbor_id,
+         ROUND(SUM(qd.d), 6) AS adc_dist
+  FROM a2 a
+  JOIN iassign ia ON ia.vec_id = a.vec_id
+  JOIN iprobe ip ON ip.cell = ia.cell
+  JOIN qd ON a.s = qd.s AND a.cell = qd.cell
+         AND qd.query_id = ip.query_id
+  WHERE a.vec_id <> qd.query_id
+  GROUP BY qd.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc)
+WHERE rn <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Q70 — deterministic weighted sampling without replacement
 # (operators.sampling.weighted_sample, Efraimidis–Spirakis A-ES keyed
 # by the row's own md5 hash): "sample 100 documents by length" with
@@ -1656,4 +1729,7 @@ SPECS = [
     QuerySpec("q80_split_drift", q80_split_drift, Q80_SQL,
               "train/test drift audit: per-token smoothed KL "
               "contributions over the hash split"),
+    QuerySpec("q81_ivf_pq", q81_ivf_pq, Q81_SQL,
+              "IVFADC: IVF cell pruning + PQ-ADC scoring (cells, "
+              "probes, codes, tables all oracle-reproduced)"),
 ]

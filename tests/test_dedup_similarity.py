@@ -310,3 +310,23 @@ def test_pq_adc_exact_when_k_covers_corpus(spark):
                       key=lambda t: (t[1], t[0]))[:2]
         # every vector is its own codeword -> ADC distance IS exact L2
         assert sorted(got[qid], key=lambda t: (t[1], t[0])) == want
+
+
+def test_ivf_pq_full_probe_equals_exhaustive_adc(spark, sf_dir):
+    from elt_gluepipeline_spark.operators.similarity import (ivf_pq_topk,
+                                                             pq_adc_topk)
+    from elt_gluepipeline_spark.sources.readers import read_table
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    # probing EVERY cell removes the IVF approximation: identical to
+    # q77's exhaustive ADC ranking, code for code and distance for
+    # distance
+    full = sorted(map(tuple, ivf_pq_topk(
+        q, emb, 3, n_cells=4, n_probe=4, m=4, k=8, n_iter=2).collect()))
+    adc = sorted(map(tuple, pq_adc_topk(
+        q, emb, 3, m=4, k=8, n_iter=2).collect()))
+    assert full == adc
+    # and a partial probe returns a subset of the exhaustive candidates
+    part = sorted(map(tuple, ivf_pq_topk(
+        q, emb, 3, n_cells=4, n_probe=1, m=4, k=8, n_iter=2).collect()))
+    assert len(part) <= len(full)
