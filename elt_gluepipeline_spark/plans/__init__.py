@@ -101,6 +101,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q81_ivf_pq",          # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q82_rerank",          # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -1548,7 +1548,7 @@ def q81_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                        m=4, k=16, n_iter=2, seed=7)
 
 
-Q81_SQL = _PQ_CHAIN + """,
+_IVFPQ_CHAIN = _PQ_CHAIN + """,
 icent AS (
   SELECT v AS cv,
          ROW_NUMBER() OVER (
@@ -1596,12 +1596,69 @@ adc AS (
          AND qd.query_id = ip.query_id
   WHERE a.vec_id <> qd.query_id
   GROUP BY qd.query_id, a.vec_id
-)
+)"""
+
+Q81_SQL = _IVFPQ_CHAIN + """
 SELECT query_id, neighbor_id, adc_dist
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc_dist, neighbor_id) AS rn
       FROM adc)
 WHERE rn <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Q82 — retrieve-then-rerank: the two-stage serving pipeline the ANN
+# family exists for. Stage 1 (cheap, approximate): IVFADC shortlist of
+# 15 per query from 2-byte codes. Stage 2 (exact, tiny): cosine rerank
+# of the shortlist against the full vectors, top-5. The rerank join
+# touches |shortlist| rows — the corpus is read exactly once by stage
+# 1's code scan. Oracle replays both stages.
+# --------------------------------------------------------------------------
+
+def q82_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (_as_double, cosine, ivf_pq_topk)
+    from ..operators.windows import top_n_per_key
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    short = ivf_pq_topk(q, emb, 15, n_cells=8, n_probe=2, cell_seed=42,
+                        m=4, k=16, n_iter=2, seed=7)
+    qv = emb.select(F.col("vec_id").alias("query_id"),
+                    _as_double(F.col("embedding")).alias("_qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    _as_double(F.col("embedding")).alias("_cv"))
+    scored = (short.select("query_id", "neighbor_id")
+                   .join(F.broadcast(qv), "query_id")
+                   .join(cv, "neighbor_id")
+                   .select("query_id", "neighbor_id",
+                           F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+                            .alias("cos_exact")))
+    top = top_n_per_key(scored, ["query_id"],
+                        [F.col("cos_exact").desc(), F.col("neighbor_id")], 5)
+    return top.select("query_id", "neighbor_id", "cos_exact")
+
+
+Q82_SQL = _IVFPQ_CHAIN + """,
+shortlist AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc)
+  WHERE rn <= 15
+), rerank AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         ROUND(list_dot_product(qe.v, ne.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ne.v, ne.v))), 6) AS cos_exact
+  FROM shortlist sh
+  JOIN e qe ON qe.vec_id = sh.query_id
+  JOIN e ne ON ne.vec_id = sh.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_exact
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_exact DESC, neighbor_id) AS rr
+      FROM rerank)
+WHERE rr <= 5
 """
 
 
@@ -1732,4 +1789,7 @@ SPECS = [
     QuerySpec("q81_ivf_pq", q81_ivf_pq, Q81_SQL,
               "IVFADC: IVF cell pruning + PQ-ADC scoring (cells, "
               "probes, codes, tables all oracle-reproduced)"),
+    QuerySpec("q82_rerank", q82_rerank, Q82_SQL,
+              "retrieve-then-rerank: IVFADC shortlist + exact cosine "
+              "rerank (both stages oracle-replayed)"),
 ]

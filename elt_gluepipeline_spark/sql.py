@@ -35,7 +35,7 @@ STREAMING_QUERIES = frozenset({
 EAGER_QUERIES = frozenset({
     "q25_embedding_neardup", "q31_ivf_ann", "q56_neardup_groups",
     "q59_dedupe_corpus", "q60_token_shards", "q67_kmeans",
-    "q76_product_quantize", "q77_pq_adc", "q81_ivf_pq",
+    "q76_product_quantize", "q77_pq_adc", "q81_ivf_pq", "q82_rerank",
 })
 
 
