@@ -103,6 +103,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q82_rerank",          # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q83_salted_enrich",   # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -1611,6 +1611,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+# --------------------------------------------------------------------------
+# Q83 — salted fact×profile enrichment (operators.skew.salted_join):
+# the hot-key shuffle-join repair AQE can't always make (build side too
+# big to broadcast). The salt subdivides each key's rows across
+# reducers and the build replicates n_salt ways; the PLAIN-join oracle
+# hash-match proves salting changes the shuffle layout and nothing
+# else — the q55 exactness proof, for joins. (At this SF nothing is
+# actually hot; the query certifies SEMANTICS so the operator can be
+# dropped onto a genuinely skewed key unchanged.)
+# --------------------------------------------------------------------------
+
+def q83_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    ev = read_table(spark, sf_dir, "events")
+    profile = (ev.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      dsum("value").alias("user_value")))
+    fact = ev.select("event_id", "user_id", "event_type")
+    j = salted_join(fact, profile, ["user_id"], n_salt=8, how="inner")
+    return j.select("event_id", "user_id", "event_type",
+                    "n_events", "user_value")
+
+
+Q83_SQL = f"""
+WITH profile AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         {dsum_sql('value')} AS user_value
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, p.n_events, p.user_value
+FROM events e JOIN profile p ON e.user_id = p.user_id
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -1716,4 +1750,7 @@ SPECS = [
     QuerySpec("q79_trailing_features", q79_trailing_features, Q79_SQL,
               "trailing 1h event-time features via RANGE window frame "
               "(time-bounded, burst-safe; decimal window sums)"),
+    QuerySpec("q83_salted_enrich", q83_salted_enrich, Q83_SQL,
+              "salted hot-key shuffle join vs plain-join oracle "
+              "(hash-match proves salt-exactness for joins)"),
 ]
