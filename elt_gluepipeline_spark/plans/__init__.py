@@ -105,6 +105,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q83_salted_enrich",   # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q84_anomaly_days",    # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -1612,6 +1612,64 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 
 
 # --------------------------------------------------------------------------
+# Q84 — robust time-series anomaly flagging (A9/A10 on the trend
+# family): median + MAD per priority over the daily revenue rollup,
+# each day scored with a robust z and flagged beyond 3 scaled MADs —
+# the outlier rule that survives the outliers it hunts (mean±2σ, q32's
+# rule, is dragged by the anomaly itself). Same exact-percentile +
+# broadcast-join-back shape as q16; MAD needs the median first, so two
+# tiny aggregate stages over the (small) rollup, never the fact.
+# --------------------------------------------------------------------------
+
+def q84_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.date_format(F.date_trunc("day", F.col("o_orderdate"))
+                           .cast("date"), DATE_FMT).alias("bucket_start")
+    daily = (o.groupBy(bucket, F.col("o_orderpriority"))
+              .agg(dsum("o_totalprice").alias("revenue")))
+    med = (daily.groupBy("o_orderpriority")
+                .agg(F.round(F.expr("percentile(revenue, 0.5)"), 4)
+                      .alias("med")))
+    j = daily.join(F.broadcast(med), "o_orderpriority")
+    mad = (j.groupBy("o_orderpriority")
+            .agg(F.round(F.expr("percentile(abs(revenue - med), 0.5)"), 4)
+                  .alias("mad")))
+    out = j.join(F.broadcast(mad), "o_orderpriority")
+    z = (F.col("revenue") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return out.select(
+        "o_orderpriority", "bucket_start", "revenue",
+        F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
+        (F.abs(F.col("revenue") - F.col("med"))
+         > F.lit(3 * 1.4826) * F.col("mad")).alias("is_anomaly"))
+
+
+Q84_SQL = f"""
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS VARCHAR)
+           AS bucket_start,
+         o_orderpriority,
+         {dsum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY bucket_start, o_orderpriority
+), med AS (
+  SELECT o_orderpriority, ROUND(quantile_cont(revenue, 0.5), 4) AS med
+  FROM daily GROUP BY o_orderpriority
+), j AS (
+  SELECT d.*, m.med FROM daily d JOIN med m USING (o_orderpriority)
+), mad AS (
+  SELECT o_orderpriority,
+         ROUND(quantile_cont(abs(revenue - med), 0.5), 4) AS mad
+  FROM j GROUP BY o_orderpriority
+)
+SELECT j.o_orderpriority, j.bucket_start, j.revenue,
+       CASE WHEN mad.mad > 0
+            THEN ROUND((j.revenue - j.med) / (1.4826 * mad.mad), 6)
+       END AS robust_z,
+       (abs(j.revenue - j.med) > 3 * 1.4826 * mad.mad) AS is_anomaly
+FROM j JOIN mad USING (o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q83 — salted fact×profile enrichment (operators.skew.salted_join):
 # the hot-key shuffle-join repair AQE can't always make (build side too
 # big to broadcast). The salt subdivides each key's rows across
@@ -1753,4 +1811,7 @@ SPECS = [
     QuerySpec("q83_salted_enrich", q83_salted_enrich, Q83_SQL,
               "salted hot-key shuffle join vs plain-join oracle "
               "(hash-match proves salt-exactness for joins)"),
+    QuerySpec("q84_anomaly_days", q84_anomaly_days, Q84_SQL,
+              "robust (median+MAD) daily-revenue anomaly flagging "
+              "per priority (exact percentiles, broadcast join-back)"),
 ]

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 
 def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
                   partition_by: tuple[str, ...] = (), max_files: int | None = None,
+                  sort_by: tuple[str, ...] = (),
                   compression: str = "snappy") -> None:
     """S5/S6/S7: (partitioned) parquet sink.
 
@@ -24,10 +25,19 @@ def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
     go-quality-elt.py:311-312). Applied as a sink-side coalesce so the
     preceding stages keep full parallelism; at 100 TB prefer
     spark.sql.files.maxRecordsPerFile + AQE coalescing instead.
+
+    ``sort_by`` clusters rows WITHIN each output task before writing
+    (sortWithinPartitions — no extra shuffle): parquet row-group
+    min/max statistics on the sort keys become tight and disjoint, so
+    later selective scans skip row groups wholesale. This is the poor
+    man's clustering index — the single cheapest layout lever for a
+    100 TB table that is mostly read through key/time predicates.
     """
     out = df
     if max_files is not None:
         out = out.coalesce(max_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
     writer = out.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -31,3 +31,39 @@ def test_parse_pk_config():
 def test_parse_pk_config_rejects(bad):
     with pytest.raises(ValueError):
         parse_pk_config(bad)
+
+
+def test_write_parquet_sort_by_clusters_row_groups(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from elt_gluepipeline_spark.sources.writers import write_parquet
+    df = spark.range(0, 200_000).selectExpr(
+        "id", "CAST(id % 977 AS LONG) AS k", "id * 2.0 AS v")
+    out = str(tmp_path / "clustered")
+    # small row groups so a single file carries several of them
+    # (parquet.block.size is a HADOOP conf, not a SQL conf)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        write_parquet(df, out, max_files=2, sort_by=("k",))
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+    files = [p for p in (tmp_path / "clustered").iterdir()
+             if p.name.endswith(".parquet")]
+    assert files
+    multi = 0
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = [md.row_group(0).column(j).path_in_schema
+               for j in range(md.num_columns)].index("k")
+        stats = [md.row_group(i).column(idx).statistics
+                 for i in range(md.num_row_groups)]
+        multi += md.num_row_groups > 1
+        # within a file, row groups are disjoint, ascending key ranges
+        for a, b in zip(stats, stats[1:]):
+            assert a.max <= b.min
+    assert multi > 0  # the assertion above actually exercised >1 group
