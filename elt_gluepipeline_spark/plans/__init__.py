@@ -107,6 +107,10 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q84_anomaly_days",    # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q85_funnel",          # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q86_retention",       # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

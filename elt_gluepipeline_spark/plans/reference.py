@@ -1670,6 +1670,109 @@ FROM j JOIN mad USING (o_orderpriority)
 
 
 # --------------------------------------------------------------------------
+# Q85 — ordered conversion funnel (the dashboard staple the serving
+# layer would grow next): per user, the earliest view, the earliest
+# click AFTER that view, the earliest purchase AFTER that click —
+# strictly ordered steps, so a purchase before the first view doesn't
+# count. Three keyed aggregate+join rounds (each over one event type's
+# slice, all on user_id so the exchanges reuse); stage = how deep the
+# user got.
+# --------------------------------------------------------------------------
+
+def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+
+    def step(etype: str, after: DataFrame | None, after_col: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if after is not None:
+            e = (e.join(after, "user_id")
+                  .filter(F.col("ts") > F.col(after_col)))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"_{etype}"))
+
+    s1 = step("view", None, "")
+    s2 = step("click", s1, "_view")
+    s3 = step("purchase", s2, "_click")
+    users = ev.select("user_id").distinct()
+    out = (users.join(s1, "user_id", "left")
+                .join(s2, "user_id", "left")
+                .join(s3, "user_id", "left"))
+    stage = (F.when(F.col("_purchase").isNotNull(), 3)
+              .when(F.col("_click").isNotNull(), 2)
+              .when(F.col("_view").isNotNull(), 1)
+              .otherwise(0))
+    return out.select(
+        "user_id", stage.cast("int").alias("funnel_stage"),
+        ntz_micros("_view").alias("view_us"),
+        ntz_micros("_click").alias("click_us"),
+        ntz_micros("_purchase").alias("purchase_us"))
+
+
+Q85_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_stage,
+       epoch_us(s1.t1) AS view_us,
+       epoch_us(s2.t2) AS click_us,
+       epoch_us(s3.t3) AS purchase_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q86 — retention cohorts (weekly): users grouped by first-seen week,
+# activity matrix of distinct users per (cohort week, activity week) —
+# the other dashboard staple. One min-aggregate for cohorts joined to
+# the distinct (user, week) activity set; weeks via ISO date_trunc
+# (B10-fixed, same as the trend family).
+# --------------------------------------------------------------------------
+
+def q86_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    wk = F.date_format(F.date_trunc("week", F.col("ts")).cast("date"),
+                       DATE_FMT)
+    act = ev.select("user_id", wk.alias("week")).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (act.join(first, "user_id")
+               .groupBy("cohort_week", F.col("week").alias("activity_week"))
+               .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+Q86_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+              AS VARCHAR) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT f.cohort_week, a.week AS activity_week,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY f.cohort_week, a.week
+"""
+
+
+# --------------------------------------------------------------------------
 # Q83 — salted fact×profile enrichment (operators.skew.salted_join):
 # the hot-key shuffle-join repair AQE can't always make (build side too
 # big to broadcast). The salt subdivides each key's rows across
@@ -1814,4 +1917,10 @@ SPECS = [
     QuerySpec("q84_anomaly_days", q84_anomaly_days, Q84_SQL,
               "robust (median+MAD) daily-revenue anomaly flagging "
               "per priority (exact percentiles, broadcast join-back)"),
+    QuerySpec("q85_funnel", q85_funnel, Q85_SQL,
+              "ordered conversion funnel: earliest view -> later click "
+              "-> later purchase per user, stage depth per user"),
+    QuerySpec("q86_retention", q86_retention, Q86_SQL,
+              "weekly retention cohorts: distinct users per (first-seen "
+              "week, activity week)"),
 ]
