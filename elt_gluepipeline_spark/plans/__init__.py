@@ -111,6 +111,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q86_retention",       # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q87_top_paths",       # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

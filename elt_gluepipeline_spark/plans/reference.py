@@ -1773,6 +1773,45 @@ GROUP BY f.cohort_week, a.week
 
 
 # --------------------------------------------------------------------------
+# Q87 — behavior-path analysis: each user's full ordered event-type
+# sequence as a path string, ranked by popularity — the "top user
+# journeys" dashboard query. Per-user collect is bounded by a user's
+# OWN event count (the per-entity bound sessionization also relies
+# on); a 100 TB variant caps the path length with slice() after the
+# sort. Deterministic total order inside each path via (ts, event_id).
+# --------------------------------------------------------------------------
+
+def q87_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import top_n_global
+    ev = read_table(spark, sf_dir, "events")
+    seq = (ev.groupBy("user_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("ts", "event_id", "event_type"))).alias("_s")))
+    path = F.concat_ws(
+        ">", F.transform("_s", lambda x: x["event_type"])).alias("path")
+    counts = (seq.select(path)
+                 .groupBy("path")
+                 .agg(F.count(F.lit(1)).alias("n_users")))
+    return top_n_global(counts,
+                        [F.col("n_users").desc(), F.col("path")], 10)
+
+
+Q87_SQL = """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+), counts AS (
+  SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path
+)
+SELECT path, n_users
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS rn
+      FROM counts)
+WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Q83 — salted fact×profile enrichment (operators.skew.salted_join):
 # the hot-key shuffle-join repair AQE can't always make (build side too
 # big to broadcast). The salt subdivides each key's rows across
@@ -1923,4 +1962,7 @@ SPECS = [
     QuerySpec("q86_retention", q86_retention, Q86_SQL,
               "weekly retention cohorts: distinct users per (first-seen "
               "week, activity week)"),
+    QuerySpec("q87_top_paths", q87_top_paths, Q87_SQL,
+              "behavior-path analysis: top-10 ordered event-type "
+              "journeys by user count"),
 ]
