@@ -113,6 +113,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q87_top_paths",       # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q88_session_window",  # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -1773,6 +1773,52 @@ GROUP BY f.cohort_week, a.week
 
 
 # --------------------------------------------------------------------------
+# Q88 — Spark's NATIVE session_window (q34 hand-builds the same
+# sessions from lag+cumsum; this exercises the built-in operator —
+# dynamic-gap merging in the aggregation itself, the form that also
+# runs under Structured Streaming state). Session end is
+# last-event + gap by definition (half-open window), which the oracle
+# reproduces; a new session starts when the gap is REACHED (>=).
+# --------------------------------------------------------------------------
+
+def q88_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+                       F.col("user_id"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   dsum("value").alias("total_value"))
+              .select("user_id",
+                      F.date_format("sw.start", TS_FMT).alias("session_start"),
+                      F.date_format("sw.end", TS_FMT).alias("session_end"),
+                      "n_events", "total_value"))
+
+
+Q88_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(MIN(ts), '{SQL_TS_FMT}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{SQL_TS_FMT}') AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
 # Q87 — behavior-path analysis: each user's full ordered event-type
 # sequence as a path string, ranked by popularity — the "top user
 # journeys" dashboard query. Per-user collect is bounded by a user's
@@ -1965,4 +2011,7 @@ SPECS = [
     QuerySpec("q87_top_paths", q87_top_paths, Q87_SQL,
               "behavior-path analysis: top-10 ordered event-type "
               "journeys by user count"),
+    QuerySpec("q88_session_window", q88_session_window, Q88_SQL,
+              "native session_window aggregation (dynamic-gap merge in "
+              "the agg; oracle rebuilds sessions from lag+cumsum)"),
 ]

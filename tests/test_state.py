@@ -67,3 +67,22 @@ def test_write_parquet_sort_by_clusters_row_groups(spark, tmp_path):
         for a, b in zip(stats, stats[1:]):
             assert a.max <= b.min
     assert multi > 0  # the assertion above actually exercised >1 group
+
+
+def test_observed_metrics_ride_the_write_action(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.functions.observe import observed
+    from elt_gluepipeline_spark.sources.writers import write_parquet
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "pk long, v double")
+    out, obs = observed(
+        df, "ingest",
+        n=F.count(F.lit(1)),
+        n_null_v=F.sum(F.col("v").isNull().cast("long")),
+        v_total=F.sum("v"))
+    write_parquet(out, str(tmp_path / "audited"))
+    got = obs.get
+    assert got == {"n": 3, "n_null_v": 1, "v_total": 15.0}
+    # and the written data is untouched by the instrumentation
+    assert spark.read.parquet(str(tmp_path / "audited")).count() == 3
