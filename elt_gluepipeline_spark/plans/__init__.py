@@ -115,6 +115,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q88_session_window",  # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q89_median_udaf",     # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

@@ -1819,6 +1819,32 @@ FROM s GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# Q89 — grouped-aggregate pandas UDAF surface (SURVEY §2.9): exact
+# per-priority median via operators.udx.median_udaf — the whole group
+# streams into the UDF as one Arrow batch, np.median sorts so the
+# answer is shuffle-order-independent, and the oracle's
+# quantile_cont(0.5) must agree exactly. (SQL and pandas aggregates
+# can't mix in one agg, so the query is the single UDAF column.)
+# --------------------------------------------------------------------------
+
+def q89_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.udx import median_udaf
+    o = read_table(spark, sf_dir, "orders")
+    med = median_udaf()
+    return (o.groupBy("o_orderpriority")
+             .agg(med("o_totalprice").alias("_m"))
+             .select("o_orderpriority",
+                     F.round("_m", 4).alias("median_total")))
+
+
+Q89_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # Q87 — behavior-path analysis: each user's full ordered event-type
 # sequence as a path string, ranked by popularity — the "top user
 # journeys" dashboard query. Per-user collect is bounded by a user's
@@ -2014,4 +2040,7 @@ SPECS = [
     QuerySpec("q88_session_window", q88_session_window, Q88_SQL,
               "native session_window aggregation (dynamic-gap merge in "
               "the agg; oracle rebuilds sessions from lag+cumsum)"),
+    QuerySpec("q89_median_udaf", q89_median_udaf, Q89_SQL,
+              "grouped-agg pandas UDAF surface: exact median vs "
+              "quantile_cont oracle"),
 ]

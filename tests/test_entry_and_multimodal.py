@@ -69,3 +69,33 @@ def test_sample_frames_fanout_bounds(spark):
     assert counts == {1: 4, 2: 1, 3: 8}                # floor, min-1, capped
     one = frames.filter((F.col("asset_id") == 1) & (F.col("frame_idx") == 0)).collect()[0]
     assert one.frame_payload == b"x" * 64              # windowed slice
+
+
+def test_median_udaf_matches_exact_median_any_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.udx import median_udaf
+    med = median_udaf()
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [5, 1, 9, 3]]
+        + [("b", float(v)) for v in [10, 20, 30]],
+        "k string, v double")
+    for frame in (df, df.repartition(7)):
+        got = {r.k: r.m
+               for r in frame.groupBy("k").agg(med("v").alias("m")).collect()}
+        assert got == {"a": 4.0, "b": 20.0}   # even count interpolates
+
+
+def test_kv_pairs_udtf_lateral_explode(spark):
+    from elt_gluepipeline_spark.operators.udx import kv_pairs_udtf
+    kv = kv_pairs_udtf()
+    spark.udtf.register("kv_pairs", kv)
+    spark.createDataFrame(
+        [(1, "color=red;size=L"), (2, "broken;x=1"), (3, "")],
+        "id long, opts string").createOrReplaceTempView("t_opts")
+    rows = spark.sql("""
+        SELECT t.id, p.key, p.value
+        FROM t_opts t, LATERAL kv_pairs(t.opts) p
+    """).collect()
+    got = {(r.id, r.key): r.value for r in rows}
+    assert got == {(1, "color"): "red", (1, "size"): "L", (2, "x"): "1"}
