@@ -117,6 +117,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q89_median_udaf",     # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q90_fk_audit",        # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

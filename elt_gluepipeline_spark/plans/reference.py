@@ -1819,6 +1819,70 @@ FROM s GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# Q90 — referential-integrity audit across the warehouse: orphan
+# counts and coverage per FK relationship (lineitem→orders,
+# orders→customer, customer→nation) — the cross-TABLE quality gate the
+# reference's per-row rule extracts (P5/P6, q10) never check. Each
+# relationship is one left-anti-shaped aggregate: count rows whose key
+# has no parent; parents aggregate to distinct keys first so the join
+# probes a small build.
+# --------------------------------------------------------------------------
+
+def q90_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+
+    def audit(child: DataFrame, fk: str, parent: DataFrame, pk: str,
+              rel: str) -> DataFrame:
+        parents = parent.select(F.col(pk).alias("_pk")).distinct()
+        orphans = (child.join(parents, child[fk] == F.col("_pk"),
+                              "left_anti")
+                        .groupBy().agg(F.count(F.lit(1)).alias("n_orphans")))
+        total = child.groupBy().agg(F.count(F.lit(1)).alias("n_rows"))
+        return (total.crossJoin(orphans)
+                     .select(F.lit(rel).alias("relationship"),
+                             "n_rows", "n_orphans",
+                             F.round((F.col("n_rows") - F.col("n_orphans"))
+                                     / F.col("n_rows"), 6).alias("coverage")))
+
+    return (audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+            .unionByName(audit(o, "o_custkey", c, "c_custkey",
+                               "orders->customer"))
+            .unionByName(audit(c, "c_nationkey", n, "n_nationkey",
+                               "customer->nation")))
+
+
+Q90_SQL = """
+SELECT 'lineitem->orders' AS relationship,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans,
+       ROUND((COUNT(*) - SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END))
+             / COUNT(*), 6) AS coverage
+FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON li.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       COUNT(*),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND((COUNT(*) - SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END))
+             / COUNT(*), 6)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer->nation',
+       COUNT(*),
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND((COUNT(*) - SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END))
+             / COUNT(*), 6)
+FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+  ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Q89 — grouped-aggregate pandas UDAF surface (SURVEY §2.9): exact
 # per-priority median via operators.udx.median_udaf — the whole group
 # streams into the UDF as one Arrow batch, np.median sorts so the
@@ -2043,4 +2107,7 @@ SPECS = [
     QuerySpec("q89_median_udaf", q89_median_udaf, Q89_SQL,
               "grouped-agg pandas UDAF surface: exact median vs "
               "quantile_cont oracle"),
+    QuerySpec("q90_fk_audit", q90_fk_audit, Q90_SQL,
+              "referential-integrity audit: orphan counts + coverage "
+              "per FK relationship (anti-join per relation)"),
 ]

@@ -268,3 +268,13 @@ def test_q79_range_window_is_keyed_single_exchange(spark):
     # never a single-partition global window
     assert plan.count("Exchange (") <= 1, plan
     assert "SinglePartition" not in plan
+
+
+def test_q90_fk_audit_is_anti_join_with_broadcast_parents(spark):
+    plan = _plan(spark, "q90_fk_audit")
+    # each relationship probes a distinct-key build via LeftAnti; the
+    # key sets are dimension-sized so they broadcast, and the child
+    # table is never shuffled for the audit
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
