@@ -1841,7 +1841,12 @@ def q90_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "left_anti")
                         .groupBy().agg(F.count(F.lit(1)).alias("n_orphans")))
         total = child.groupBy().agg(F.count(F.lit(1)).alias("n_rows"))
+        # A global COUNT over an empty child still yields one row; an
+        # audit of a table with no rows is vacuous, so drop it — this
+        # also keeps the no-rows-from-nothing property every other
+        # query in the registry satisfies.
         return (total.crossJoin(orphans)
+                     .filter(F.col("n_rows") > 0)
                      .select(F.lit(rel).alias("relationship"),
                              "n_rows", "n_orphans",
                              F.round((F.col("n_rows") - F.col("n_orphans"))
@@ -1863,6 +1868,7 @@ SELECT 'lineitem->orders' AS relationship,
              / COUNT(*), 6) AS coverage
 FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
   ON li.l_orderkey = o.o_orderkey
+HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'orders->customer',
        COUNT(*),
@@ -1871,6 +1877,7 @@ SELECT 'orders->customer',
              / COUNT(*), 6)
 FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
   ON o.o_custkey = c.c_custkey
+HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'customer->nation',
        COUNT(*),
@@ -1879,6 +1886,7 @@ SELECT 'customer->nation',
              / COUNT(*), 6)
 FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
   ON c.c_nationkey = n.n_nationkey
+HAVING COUNT(*) > 0
 """
 
 
