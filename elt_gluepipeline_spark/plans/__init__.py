@@ -119,6 +119,14 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q90_fk_audit",        # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q91_gap_fill",        # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q92_measure_profile",  # head full at 50: oracle-checked via
+                            # tools/check_correctness instead
+    "q93_peak_open_orders",  # head full at 50: oracle-checked via
+                             # tools/check_correctness instead
+    "q94_priority_argmax",  # head full at 50: oracle-checked via
+                            # tools/check_correctness instead
 )
 
 

@@ -1989,6 +1989,216 @@ FROM events e JOIN profile p ON e.user_id = p.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Q91 — calendar densification (gap fill + LOCF): per event type, one
+# row per day between that type's first and last activity, with absent
+# days filled as zero counts and the daily mean value carried forward
+# from the last active day. The missing-row problem every reporting
+# layer hits (the reference's Streamlit trends silently skip empty
+# days — streamlit/go_streamlit.py:455-470 plots whatever dates
+# exist). Scale shape: the calendar explode happens AFTER aggregation
+# (5 types × bounded day range, never one row per raw event), and the
+# LOCF window runs over that aggregated frame — both sides are
+# calendar-sized, not data-sized.
+# --------------------------------------------------------------------------
+
+def q91_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    davg("value").alias("avg_value")))
+    spans = (daily.groupBy("event_type")
+                  .agg(F.min("d").alias("d0"), F.max("d").alias("d1")))
+    calendar = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"))
+    w = (Window.partitionBy("event_type").orderBy("d")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (calendar.join(daily, ["event_type", "d"], "left")
+            .select("event_type",
+                    F.col("d").cast("string").alias("day"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.round(F.last("avg_value", ignorenulls=True).over(w), 6)
+                     .alias("avg_value_locf")))
+
+
+Q91_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+         {davg} AS avg_value
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+cal AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY))
+              AS DATE) AS d
+  FROM daily GROUP BY event_type
+)
+SELECT c.event_type, strftime(c.d, '%Y-%m-%d') AS day,
+       COALESCE(dl.n_events, 0) AS n_events,
+       ROUND(last_value(dl.avg_value IGNORE NULLS) OVER (
+         PARTITION BY c.event_type ORDER BY c.d
+         ROWS UNBOUNDED PRECEDING), 6) AS avg_value_locf
+FROM cal c LEFT JOIN daily dl
+  ON c.event_type = dl.event_type AND c.d = dl.d
+""".format(davg=davg_sql("value"))
+
+
+# --------------------------------------------------------------------------
+# Q92 — unpivot/melt (wide→long): lineitem's four numeric measures
+# rotated into (measure, value) rows, then profiled per measure — the
+# inverse of q49's pivot, closing the reshape surface. Spark's native
+# unpivot is a zero-shuffle Expand (4× rows map-side), so the only
+# exchange is the final 4-group aggregate.
+# --------------------------------------------------------------------------
+
+def q92_measure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure", valueColumnName="value")
+    return (long.groupBy("measure")
+                .agg(F.count("value").alias("n"),
+                     dsum("value").alias("total"),
+                     F.round(F.min("value"), 4).alias("min_value"),
+                     F.round(F.max("value"), 4).alias("max_value"))
+                .withColumn("total", F.round("total", 4)))
+
+
+Q92_SQL = f"""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, COUNT(value) AS n,
+       ROUND({dsum_sql('value')}, 4) AS total,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM long GROUP BY measure
+"""
+
+
+# --------------------------------------------------------------------------
+# Q93 — sweep-line interval concurrency: peak number of simultaneously
+# open orders per priority, where an order is open from o_orderdate to
+# the last l_shipdate of its lines. The classic overlap-counting
+# problem solved without ever materializing overlaps: each interval
+# becomes a +1/-1 endpoint delta, deltas aggregate per (priority, day),
+# and a running sum over the aggregated day series yields concurrency.
+# Scale shape: the window runs on the calendar-sized per-day frame
+# (post-aggregation), never the raw fact; no self-join, no explosion.
+# --------------------------------------------------------------------------
+
+def q93_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_d"))
+    spans = (o.join(close, o["o_orderkey"] == close["l_orderkey"], "inner")
+              .select("o_orderpriority",
+                      F.to_date("o_orderdate").alias("open_d"), "close_d")
+              .filter(F.col("close_d") >= F.col("open_d")))
+    deltas = (spans.select("o_orderpriority",
+                           F.col("open_d").alias("d"),
+                           F.lit(1).alias("delta"))
+                   .unionByName(
+                       spans.select("o_orderpriority",
+                                    F.date_add("close_d", 1).alias("d"),
+                                    F.lit(-1).alias("delta")))
+                   .groupBy("o_orderpriority", "d")
+                   .agg(F.sum("delta").alias("net")))
+    w = (Window.partitionBy("o_orderpriority").orderBy("d")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    conc = (deltas.withColumn("open_orders", F.sum("net").over(w))
+                  .withColumn("peak", F.max("open_orders").over(
+                      Window.partitionBy("o_orderpriority"))))
+    return (conc.groupBy("o_orderpriority")
+                .agg(F.max("open_orders").alias("peak_open"),
+                     F.min(F.when(F.col("open_orders") == F.col("peak"),
+                                  F.col("d"))).cast("string")
+                      .alias("first_peak_day")))
+
+
+Q93_SQL = """
+WITH close AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem GROUP BY l_orderkey
+),
+spans AS (
+  SELECT o.o_orderpriority, CAST(o.o_orderdate AS DATE) AS open_d, c.close_d
+  FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+  WHERE c.close_d >= CAST(o.o_orderdate AS DATE)
+),
+deltas AS (
+  SELECT o_orderpriority, d, SUM(delta) AS net FROM (
+    SELECT o_orderpriority, open_d AS d, 1 AS delta FROM spans
+    UNION ALL
+    SELECT o_orderpriority, close_d + INTERVAL 1 DAY, -1 FROM spans
+  ) GROUP BY o_orderpriority, d
+),
+conc AS (
+  SELECT o_orderpriority, d,
+         CAST(SUM(net) OVER (PARTITION BY o_orderpriority ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS open_orders
+  FROM deltas
+)
+SELECT o_orderpriority,
+       MAX(open_orders) AS peak_open,
+       strftime(MIN(CASE WHEN open_orders = peak THEN d END),
+                '%Y-%m-%d') AS first_peak_day
+FROM (SELECT *, MAX(open_orders)
+                OVER (PARTITION BY o_orderpriority) AS peak
+      FROM conc)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q94 — argmax/argmin aggregate surface (max_by/min_by): per order
+# status, the most and least common priority — one pre-count plus one
+# argmax aggregation instead of the rank-and-filter window detour.
+# Ties break deterministically through struct ordering ((count,
+# priority) lexicographic), so the answer is partitioning-independent.
+# --------------------------------------------------------------------------
+
+def q94_priority_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    pair = F.struct(F.col("cnt"), F.col("o_orderpriority"))
+    return (counts.groupBy("o_orderstatus")
+                  .agg(F.max_by("o_orderpriority", pair).alias("top_priority"),
+                       F.max("cnt").alias("top_cnt"),
+                       F.min_by("o_orderpriority", pair).alias("rare_priority"),
+                       F.min("cnt").alias("rare_cnt")))
+
+
+Q94_SQL = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority DESC) AS rhi,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt ASC, o_orderpriority ASC) AS rlo
+  FROM counts
+)
+SELECT o_orderstatus,
+       MAX(CASE WHEN rhi = 1 THEN o_orderpriority END) AS top_priority,
+       MAX(cnt) AS top_cnt,
+       MAX(CASE WHEN rlo = 1 THEN o_orderpriority END) AS rare_priority,
+       MIN(cnt) AS rare_cnt
+FROM ranked GROUP BY o_orderstatus
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -2118,4 +2328,16 @@ SPECS = [
     QuerySpec("q90_fk_audit", q90_fk_audit, Q90_SQL,
               "referential-integrity audit: orphan counts + coverage "
               "per FK relationship (anti-join per relation)"),
+    QuerySpec("q91_gap_fill", q91_gap_fill, Q91_SQL,
+              "calendar densification: gap-filled daily series with "
+              "last-observation-carried-forward (post-agg explode)"),
+    QuerySpec("q92_measure_profile", q92_measure_profile, Q92_SQL,
+              "unpivot/melt reshape surface: wide measures to long, "
+              "profiled per measure"),
+    QuerySpec("q93_peak_open_orders", q93_peak_open_orders, Q93_SQL,
+              "sweep-line interval concurrency: peak open orders per "
+              "priority without overlap materialization"),
+    QuerySpec("q94_priority_argmax", q94_priority_argmax, Q94_SQL,
+              "max_by/min_by argmax aggregates with deterministic "
+              "struct tie-breaks"),
 ]
