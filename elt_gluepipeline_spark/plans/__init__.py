@@ -127,6 +127,10 @@ _DEPRIORITIZED = (
                              # tools/check_correctness instead
     "q94_priority_argmax",  # head full at 50: oracle-checked via
                             # tools/check_correctness instead
+    "q95_rolling_active_users",  # head full at 50: oracle-checked via
+                                 # tools/check_correctness instead
+    "q96_bitmap_distinct",  # head full at 50: oracle-checked via
+                            # tools/check_correctness instead
 )
 
 

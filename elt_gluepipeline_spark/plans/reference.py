@@ -2199,6 +2199,82 @@ FROM ranked GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# Q95 — rolling 7-day distinct users per day (sliding-window COUNT
+# DISTINCT): the one windowed aggregate that does NOT decompose into
+# partial aggregation, so the naive forms (collect_set over a window,
+# or a day×day range self-join) die at scale. The scalable shape:
+# dedupe to user-days first (the only big shuffle), then each user-day
+# contributes to exactly 7 calendar days via a bounded explode, and a
+# second distinct-agg per (day, user) collapses multi-day users.
+# Shuffle volume is 7× user-days — linear, skew-free, exact.
+# --------------------------------------------------------------------------
+
+def q95_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    user_days = (ev.select("user_id", F.to_date("ts").alias("d"))
+                   .distinct())
+    span = user_days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"))
+    return (contrib.join(F.broadcast(span),
+                         (F.col("day") >= F.col("d0"))
+                         & (F.col("day") <= F.col("d1")), "inner")
+                   .groupBy("day")
+                   .agg(F.countDistinct("user_id").alias("active_7d"))
+                   .select(F.col("day").cast("string").alias("day"),
+                           "active_7d"))
+
+
+Q95_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+contrib AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM ud
+)
+SELECT strftime(c.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT c.user_id) AS active_7d
+FROM contrib c, span s
+WHERE c.day BETWEEN s.d0 AND s.d1
+GROUP BY c.day
+"""
+
+
+# --------------------------------------------------------------------------
+# Q96 — exact COUNT(DISTINCT) via bitmap aggregation: users bucket
+# into 32k-bit bitmaps (bitmap_bucket_number / bitmap_bit_position),
+# partial bitmaps OR-merge per group, and popcounts sum. Unlike the
+# COUNT(DISTINCT) Expand (which shuffles every distinct value to one
+# reducer per group), bitmap partials combine map-side and the shuffle
+# carries fixed-size 4 KB pages — the exact-distinct idiom for 100 TB
+# fact tables with dense integer keys. Hash-match vs a plain
+# COUNT(DISTINCT) oracle proves exactness.
+# --------------------------------------------------------------------------
+
+def q96_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pages = (ev.select("event_type", F.col("user_id").alias("u"))
+               .groupBy("event_type",
+                        F.bitmap_bucket_number("u").alias("bucket"))
+               .agg(F.bitmap_construct_agg(F.bitmap_bit_position("u"))
+                     .alias("page")))
+    return (pages.groupBy("event_type")
+                 .agg(F.sum(F.bitmap_count("page")).alias("distinct_users")))
+
+
+Q96_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -2340,4 +2416,11 @@ SPECS = [
     QuerySpec("q94_priority_argmax", q94_priority_argmax, Q94_SQL,
               "max_by/min_by argmax aggregates with deterministic "
               "struct tie-breaks"),
+    QuerySpec("q95_rolling_active_users", q95_rolling_active_users, Q95_SQL,
+              "sliding-window exact distinct (7-day rolling actives) "
+              "via bounded user-day explode - no window collect_set, "
+              "no range self-join"),
+    QuerySpec("q96_bitmap_distinct", q96_bitmap_distinct, Q96_SQL,
+              "exact COUNT(DISTINCT) through bitmap page aggregation "
+              "(map-side OR-merge, fixed-size shuffle pages)"),
 ]
