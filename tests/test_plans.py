@@ -278,3 +278,61 @@ def test_q90_fk_audit_is_anti_join_with_broadcast_parents(spark):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q91_gap_fill_explodes_post_aggregation(spark):
+    plan = _plan(spark, "q91_gap_fill")
+    # the calendar explode (Generate) must consume the aggregated
+    # per-type span frame, not the raw events scan: a Generate feeding
+    # a HashAggregate of raw rows would explode data-sized, not
+    # calendar-sized
+    import re
+    # in the plan tree the Generate's direct child must be the span
+    # aggregate (parent prints first, child indented below)
+    assert re.search(r"Generate \(\d+\)\s*\n\s*:?\s*\+- HashAggregate",
+                     plan), plan
+
+
+def test_q92_unpivot_is_expand_no_extra_exchange(spark):
+    plan = _plan(spark, "q92_measure_profile")
+    # native unpivot lowers to a map-side Expand; the only shuffle is
+    # the final 4-group aggregate
+    assert "Expand" in plan
+    assert plan.count("Exchange (") <= 1, plan
+
+
+def test_q93_sweepline_windows_share_one_sort(spark):
+    plan = _plan(spark, "q93_peak_open_orders")
+    # running-sum and per-key max windows both partition on priority:
+    # they must share one exchange+sort, and the window input is the
+    # aggregated day series (post-HashAggregate), never the raw fact
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan and "SortMergeJoin (" not in plan
+
+
+def test_q94_argmax_is_two_hash_aggs_no_window(spark):
+    plan = _plan(spark, "q94_priority_argmax")
+    # max_by/min_by fold in the aggregate itself - no rank window, no
+    # extra sort pass
+    assert "Window" not in plan
+    assert "max_by" in plan or "maxby" in plan.lower()
+
+
+def test_q95_rolling_distinct_dedupes_before_explode(spark):
+    plan = _plan(spark, "q95_rolling_active_users")
+    # user-day dedupe (HashAggregate) must feed the 7-day Generate so
+    # the explode is bounded by distinct user-days (parent prints
+    # first in the tree; the dedupe agg is the Generate's subtree)
+    import re
+    assert re.search(
+        r"Generate \(\d+\)\s*\n(\s*:?\s*\+- \w+ \(\d+\)\s*\n)*?"
+        r"\s*:?\s*\+- HashAggregate", plan), plan
+
+
+def test_q96_bitmap_distinct_has_no_expand(spark):
+    plan = _plan(spark, "q96_bitmap_distinct")
+    # the whole point: exact distinct WITHOUT the COUNT(DISTINCT)
+    # Expand row-multiplication; partial bitmap pages merge map-side
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan or "bitmap" in plan.lower()
+    assert "partial_" in plan  # map-side partial aggregation present
