@@ -107,3 +107,27 @@ def test_cli_single_stage(spark, sf_dir, tmp_path):
     res = run_pipeline(spark, cfg, stages=("ingest",), run_id="s1")
     assert set(res) == {"run_id", "ingest"}
     assert Path(cfg.path("landing", "lineitem")).exists()
+
+
+def test_multi_table_chain(spark, sf_dir, tmp_path):
+    # two tables, different PKs / watermarks / rule sets, one run
+    cfg = PipelineConfig(
+        source_dir=sf_dir, warehouse=str(tmp_path / "wh"),
+        tables=("lineitem", "orders"),
+        pk_config="lineitem:l_orderkey,l_linenumber|orders:o_orderkey",
+        watermarks={"lineitem": "l_shipdate", "orders": "o_orderdate"},
+        quality_rules={
+            "lineitem": (("price_nonpos", "l_extendedprice <= 0"),),
+            "orders": (("total_nonpos", "o_totalprice <= 0"),),
+        },
+        metric_queries=())
+    res = run_pipeline(spark, cfg,
+                       stages=("ingest", "transform", "quality"),
+                       run_id="m1")
+    for table, key_cols in (("lineitem", ["l_orderkey", "l_linenumber"]),
+                            ("orders", ["o_orderkey"])):
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        n_pk = src.select(*key_cols).distinct().count()
+        assert res["ingest"][table] == n_pk
+        n_clean, n_bad = res["quality"][table]
+        assert n_clean + n_bad == n_pk
