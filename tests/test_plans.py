@@ -68,12 +68,16 @@ def test_q28_asof_is_single_window_no_join(spark):
     assert plan.count("Window") >= 1
 
 
-def test_no_query_uses_python_row_udf(spark):
+def test_no_query_uses_python_row_udf_or_cartesian(spark):
     # BatchEvalPython = row-at-a-time Python UDF (the slow path);
     # ArrowEvalPython/MapInPandas (vectorized) are allowed.
+    # CartesianProduct = unbroadcast all-pairs shuffle join — fatal at
+    # scale; BroadcastNestedLoopJoin against 1-row/driver-bounded
+    # builds (scalar snapshots, spans) is the accepted form.
     for name in registry():
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_q37_calendar_dim_broadcasts(spark):
