@@ -131,6 +131,8 @@ _DEPRIORITIZED = (
                                  # tools/check_correctness instead
     "q96_bitmap_distinct",  # head full at 50: oracle-checked via
                             # tools/check_correctness instead
+    "q97_table_profile",   # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

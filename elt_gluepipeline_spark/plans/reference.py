@@ -2275,6 +2275,40 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Q97 — one-pass table profiling (operators.profile.profile_table):
+# per-column nulls / exact NDV / min-max in a single job, replacing
+# the reference EDA notebook's one-driver-pass-per-column describe()
+# loop. Exact NDV comes from a two-level (column, value) aggregation —
+# no COUNT(DISTINCT) Expand, no per-column job storm.
+# --------------------------------------------------------------------------
+
+def q97_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+    return profile_table(read_table(spark, sf_dir, "orders"))
+
+
+def _profile_col_sql(name: str, canon: str) -> str:
+    return f"""
+SELECT '{name}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({canon}) AS n_nulls,
+       COUNT(DISTINCT {canon}) AS n_distinct,
+       MIN({canon}) AS min_value, MAX({canon}) AS max_value
+FROM orders"""
+
+
+Q97_SQL = "\nUNION ALL".join([
+    _profile_col_sql("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    _profile_col_sql("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    _profile_col_sql("o_orderstatus", "o_orderstatus"),
+    _profile_col_sql("o_totalprice",
+                     "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+    _profile_col_sql("o_orderdate",
+                     "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+    _profile_col_sql("o_orderpriority", "o_orderpriority"),
+])
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -2423,4 +2457,7 @@ SPECS = [
     QuerySpec("q96_bitmap_distinct", q96_bitmap_distinct, Q96_SQL,
               "exact COUNT(DISTINCT) through bitmap page aggregation "
               "(map-side OR-merge, fixed-size shuffle pages)"),
+    QuerySpec("q97_table_profile", q97_table_profile, Q97_SQL,
+              "one-pass table profiling: per-column nulls/exact NDV/"
+              "min-max via two-level (column,value) aggregation"),
 ]

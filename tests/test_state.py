@@ -86,3 +86,25 @@ def test_observed_metrics_ride_the_write_action(spark, tmp_path):
     assert got == {"n": 3, "n_null_v": 1, "v_total": 15.0}
     # and the written data is untouched by the instrumentation
     assert spark.read.parquet(str(tmp_path / "audited")).count() == 3
+
+
+def test_compact_parquet_bounds_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from elt_gluepipeline_spark.sources.writers import compact_parquet
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    target = str(tmp_path / "orders_many")
+    # simulate a year of tiny-append runs: 40 files
+    src.repartition(40).write.parquet(target)
+    n_before = len(list(Path(target).glob("*.parquet")))
+    assert n_before >= 40
+
+    n_rows = compact_parquet(spark, target, target_files=4)
+    files = list(Path(target).glob("*.parquet"))
+    assert len(files) <= 4
+    assert n_rows == src.count()
+    after = spark.read.parquet(target)
+    assert after.count() == src.count()
+    # value-level identity, not just counts
+    assert after.exceptAll(src).count() == 0 and src.exceptAll(after).count() == 0
