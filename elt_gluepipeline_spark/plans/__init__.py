@@ -133,6 +133,10 @@ _DEPRIORITIZED = (
                             # tools/check_correctness instead
     "q97_table_profile",   # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q98_heavy_hitters",   # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
+    "q99_spend_percentiles",  # head full at 50: oracle-checked via
+                              # tools/check_correctness instead
 )
 
 

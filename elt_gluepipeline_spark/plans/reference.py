@@ -2309,6 +2309,113 @@ Q97_SQL = "\nUNION ALL".join([
 ])
 
 
+# --------------------------------------------------------------------------
+# Q98 — heavy-hitter audit: top-3 most frequent values per profiled
+# column with their frequency share — the skew diagnosis a 100 TB
+# operator runs before choosing join/salt strategies (a key taking
+# >20% of a column is a salting candidate). Same two-level
+# (column, value) aggregation as q97; the top-k is a per-column
+# WindowGroupLimit over value counts, never a global sort.
+# --------------------------------------------------------------------------
+
+def q98_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    long = o.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(c).cast("string").alias("v")) for c in cols
+    ])).alias("s")).select("s.column_name", "s.v")
+    counts = (long.groupBy("column_name", "v")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("column_name")
+               .orderBy(F.desc("cnt"), F.asc("v")))
+    totals = (counts.groupBy("column_name")
+                    .agg(F.sum("cnt").alias("total")))
+    return (counts.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= 3)
+                  .join(totals, "column_name")
+                  .select("column_name", F.col("v").alias("value"),
+                          "cnt",
+                          F.round(F.col("cnt") / F.col("total"), 6)
+                           .alias("share"),
+                          "rk"))
+
+
+Q98_SQL = """
+WITH long AS (
+  SELECT 'o_orderstatus' AS column_name,
+         CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+),
+counts AS (
+  SELECT column_name, v, COUNT(*) AS cnt
+  FROM long GROUP BY column_name, v
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY column_name
+                               ORDER BY cnt DESC, v ASC) AS rk,
+         SUM(cnt) OVER (PARTITION BY column_name) AS total
+  FROM counts
+)
+SELECT column_name, v AS value, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q99 — distribution-window surface (percent_rank / cume_dist): where
+# each customer's total spend sits within their nation's distribution,
+# bucketed to a decile summary. Completes the analytic-window family
+# (lag q05, ntile q43, lead/first_value/dense_rank q51, RANGE frames
+# q79): the window partitions on nation (parallel), and the output
+# aggregates to nation×decile so the result is bounded.
+# --------------------------------------------------------------------------
+
+def q99_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = (o.groupBy("o_custkey")
+              .agg(dsum("o_totalprice").alias("spend")))
+    cn = c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("spend", "o_custkey")
+    ranked = (spend.join(cn, "o_custkey")
+                   .select("c_nationkey", "o_custkey", "spend",
+                           F.percent_rank().over(w).alias("pr"),
+                           F.cume_dist().over(w).alias("cd")))
+    return (ranked.groupBy("c_nationkey",
+                           F.least(F.floor(F.col("pr") * 10),
+                                   F.lit(9)).alias("decile"))
+                  .agg(F.count(F.lit(1)).alias("n_customers"),
+                       F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+                       F.round(F.max("spend"), 4).alias("max_spend")))
+
+
+Q99_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, {dsum_sql('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_nationkey, s.o_custkey, s.spend,
+         percent_rank() OVER (PARTITION BY c.c_nationkey
+                              ORDER BY s.spend, s.o_custkey) AS pr,
+         cume_dist() OVER (PARTITION BY c.c_nationkey
+                           ORDER BY s.spend, s.o_custkey) AS cd
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT c_nationkey,
+       LEAST(CAST(floor(pr * 10) AS BIGINT), 9) AS decile,
+       COUNT(*) AS n_customers,
+       ROUND(AVG(cd), 6) AS avg_cume_dist,
+       ROUND(MAX(spend), 4) AS max_spend
+FROM ranked GROUP BY c_nationkey, decile
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -2460,4 +2567,10 @@ SPECS = [
     QuerySpec("q97_table_profile", q97_table_profile, Q97_SQL,
               "one-pass table profiling: per-column nulls/exact NDV/"
               "min-max via two-level (column,value) aggregation"),
+    QuerySpec("q98_heavy_hitters", q98_heavy_hitters, Q98_SQL,
+              "heavy-hitter / skew audit: top-3 values per column with "
+              "frequency share (WindowGroupLimit, no global sort)"),
+    QuerySpec("q99_spend_percentiles", q99_spend_percentiles, Q99_SQL,
+              "percent_rank/cume_dist distribution windows, decile "
+              "summary per nation"),
 ]
