@@ -58,3 +58,19 @@ def davg_sql(expr: str) -> str:
         f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
     )
+
+
+def rnd0(col: Column | str, scale: int) -> Column:
+    """ROUND that canonicalizes negative zero: a value in (-5e-(scale+1), 0)
+    rounds to -0.0, which equals 0.0 as a double but prints as "-0.0" —
+    and the oracle gate hash-compares STRING forms, so one engine
+    emitting -0.0 where the other emits 0.0 is a spurious mismatch.
+    IEEE -0.0 + 0.0 = +0.0 makes the form canonical in every engine.
+    Use for any rounded column whose value can be negative."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, scale) + F.lit(0.0)
+
+
+def rnd0_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of rnd0()."""
+    return f"(ROUND({expr}, {scale}) + 0.0)"

@@ -620,3 +620,91 @@ def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str, *,
     return (cands.withColumn("dist", dist)
                  .filter(F.col("dist") >= 0)
                  .select("id_a", "id_b", "dist"))
+
+
+def incremental_jaccard_dedupe(
+    new_docs: DataFrame, corpus_docs: DataFrame, id_col: str,
+    text_col: str, block_cols: list[Column], *, k: int = 3,
+    threshold: float = 0.4, keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivors of a NEW document batch against an already-deduped
+    corpus — the production shape of continuous dedup: each day's crawl
+    dedupes against the accumulated survivor set without recomputing
+    corpus×corpus pairs (reference analog: the incremental-ingest
+    keep-latest discipline of go-incremental-ingest-elt.py:200-213,
+    lifted from exact-PK identity to near-dup identity).
+
+    Candidate generation reuses the inverted-index SSJoin of
+    ``blocked_jaccard_pairs`` with one asymmetry that IS the scale
+    win: the probe (a) side of the (block, shingle) join is restricted
+    to new docs, so corpus×corpus pairs never materialize and the
+    corpus contributes only its inverted index — per-batch cost is
+    O(new × overlap), independent of corpus². (At 100 TB the corpus
+    index and shingle sizes are write-once artifacts; this function
+    recomputes them for self-containedness — persist `base`/`inv` for
+    the production loop.)
+
+    Semantics (corpus always wins, regardless of id order):
+      - verified pairs (exact Jaccard ≥ threshold, within blocks) form
+        edges among new∪corpus docs, every edge touching ≥1 new doc;
+      - components over those edges; any component containing a corpus
+        doc kills ALL its new members (direct or transitive match);
+      - a corpus-free component keeps only its min-id new doc;
+      - new docs with no verified match survive untouched.
+
+    Returns the surviving rows of ``new_docs`` (``keep_cols`` or all
+    columns). Ids must be unique across new∪corpus (longs).
+    """
+    tagged = (new_docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                              F.col(text_col).alias("_t"),
+                              *[c.alias(f"_b{i}")
+                                for i, c in enumerate(block_cols)],
+                              F.lit(True).alias("_new"))
+              .unionByName(
+                  corpus_docs.select(
+                      F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(text_col).alias("_t"),
+                      *[c.alias(f"_b{i}")
+                        for i, c in enumerate(block_cols)],
+                      F.lit(False).alias("_new"))))
+    base = (ensure_min_partitions(tagged)
+            .select("doc_id", "_new",
+                    *[f"_b{i}" for i in range(len(block_cols))],
+                    word_shingles(F.col("_t"), k).alias("shingles"))
+            .filter(F.size("shingles") > 0))
+    bkeys = [f"_b{i}" for i in range(len(block_cols))]
+    sizes = base.select("doc_id", F.size("shingles").alias("n"))
+    inv = base.select(*bkeys, "doc_id", "_new",
+                      F.explode("shingles").alias("s"))
+    # probe side: NEW docs only — the corpus never self-joins
+    a = (inv.filter("_new")
+            .select(*bkeys, F.col("doc_id").alias("id_a"), "s"))
+    b = inv.select(*bkeys, F.col("doc_id").alias("id_b"),
+                   F.col("_new").alias("_new_b"), "s")
+    # new-new pairs once (id_a < id_b); new-corpus pairs always
+    common = (a.join(b, [*bkeys, "s"])
+                .filter((F.col("id_a") < F.col("id_b")) | ~F.col("_new_b"))
+                .filter(F.col("id_a") != F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("c")))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    edges = (common.join(na, "id_a").join(nb, "id_b")
+                   .withColumn("jaccard",
+                               F.col("c") / (F.col("n_a") + F.col("n_b")
+                                             - F.col("c")))
+                   .filter(F.col("jaccard") >= threshold)
+                   .select("id_a", "id_b"))
+
+    comps = connected_components(edges)
+    corpus_ids = corpus_docs.select(F.col(id_col).cast("long").alias("id"))
+    contaminated = (comps.join(corpus_ids, "id", "left_semi")
+                         .select("component").distinct())
+    losers = (comps.join(corpus_ids, "id", "left_anti")  # new members only
+                   .join(contaminated.withColumn("_dirty", F.lit(True)),
+                         "component", "left")
+                   .filter(F.col("_dirty").isNotNull()
+                           | (F.col("id") != F.col("component")))
+                   .select(F.col("id").alias(id_col)))
+    out = new_docs.join(losers, id_col, "left_anti")
+    return out.select(*(keep_cols or new_docs.columns))

@@ -116,6 +116,20 @@ def _epoch_seconds(col: str, dtype: str) -> F.Column:
     return F.col(col).cast("long")
 
 
+def _epoch_micros(col: str, dtype: str) -> F.Column:
+    """Microseconds since epoch — full timestamp precision. The exact
+    band filter MUST compare at source precision: truncating to whole
+    seconds admits a right row up to 999999 µs outside the band (a
+    click 0.3 s AFTER its purchase "matches" a [-1h, 0] band), which
+    diverges from any engine comparing real timestamps. Numeric inputs
+    are interpreted as seconds and scaled."""
+    if dtype.startswith("timestamp"):
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"cast({col} as timestamp_ntz))")
+    return (F.col(col).cast("long") * F.lit(1_000_000)).cast("long")
+
+
 def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
                left_ts: str, right_ts: str, *,
                lower_s: int, upper_s: int, bucket_s: int | None = None,
@@ -150,25 +164,27 @@ def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         right_payload = [c for c in right.columns
                          if c not in on and c != right_ts]
 
+    bucket_us = bucket_s * 1_000_000
+    lower_us, upper_us = lower_s * 1_000_000, upper_s * 1_000_000
     r = (right.filter(F.col(right_ts).isNotNull())
               .select(*[F.col(k).alias(f"_on_{k}") for k in on],
-                      _epoch_seconds(right_ts, dict(right.dtypes)[right_ts])
+                      _epoch_micros(right_ts, dict(right.dtypes)[right_ts])
                       .alias("_rs"),
                       F.col(right_ts).alias(f"{prefix}{right_ts}"),
                       *[F.col(c).alias(f"{prefix}{c}") for c in right_payload])
-              .withColumn("_b", F.floor(F.col("_rs") / F.lit(bucket_s))))
+              .withColumn("_b", F.floor(F.col("_rs") / F.lit(bucket_us))))
     l = (left.filter(F.col(left_ts).isNotNull())
              .withColumn("_ls",
-                         _epoch_seconds(left_ts, dict(left.dtypes)[left_ts]))
+                         _epoch_micros(left_ts, dict(left.dtypes)[left_ts]))
              .withColumn("_lb", F.explode(F.sequence(
-                 F.floor((F.col("_ls") + F.lit(lower_s)) / F.lit(bucket_s)),
-                 F.floor((F.col("_ls") + F.lit(upper_s)) / F.lit(bucket_s))))))
+                 F.floor((F.col("_ls") + F.lit(lower_us)) / F.lit(bucket_us)),
+                 F.floor((F.col("_ls") + F.lit(upper_us)) / F.lit(bucket_us))))))
 
     cond = (F.col("_lb") == F.col("_b"))
     for k in on:
         cond = cond & (F.col(k) == F.col(f"_on_{k}"))
-    cond = cond & F.col("_rs").between(F.col("_ls") + F.lit(lower_s),
-                                       F.col("_ls") + F.lit(upper_s))
+    cond = cond & F.col("_rs").between(F.col("_ls") + F.lit(lower_us),
+                                       F.col("_ls") + F.lit(upper_us))
     out_cols = (list(left.columns)
                 + [f"{prefix}{right_ts}"]
                 + [f"{prefix}{c}" for c in right_payload])

@@ -68,8 +68,12 @@ def knn_bruteforce(queries: DataFrame, candidates: DataFrame, k: int, *,
                   .withColumn("_cn", l2_norm(F.col("c_vec")))
     scored = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
                .withColumn("cosine",
+                           # +0.0 canonicalizes IEEE -0.0 (Spark's round
+                           # drops the sign of tiny negatives, DuckDB's
+                           # keeps it - the string-hash gate sees both)
                            F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                                   / (F.col("_qn") * F.col("_cn")), round_to)))
+                                   / (F.col("_qn") * F.col("_cn")), round_to)
+                           + F.lit(0.0)))
     top = top_n_per_key(scored, ["query_id"],
                         [F.col("cosine").desc(), F.col("neighbor_id")], k)
     return top.select("query_id", "neighbor_id", "cosine")
@@ -114,8 +118,12 @@ def lsh_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
     scored = (c.join(F.broadcast(q), "sig")
                .filter(F.col("neighbor_id") != F.col("query_id"))
                .withColumn("cosine",
+                           # +0.0 canonicalizes IEEE -0.0 (Spark's round
+                           # drops the sign of tiny negatives, DuckDB's
+                           # keeps it - the string-hash gate sees both)
                            F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                                   / (F.col("_qn") * F.col("_cn")), round_to)))
+                                   / (F.col("_qn") * F.col("_cn")), round_to)
+                           + F.lit(0.0)))
     top = top_n_per_key(scored, ["query_id"],
                         [F.col("cosine").desc(), F.col("neighbor_id")], k)
     return top.select("query_id", "neighbor_id", "cosine")
@@ -200,7 +208,7 @@ def cosine_neardup_pairs(df: DataFrame, *, threshold: float,
         denom = np.outer(norm_a, norm_b)
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom > 0, (mat_a @ mat_b.T) / denom, 0.0)
-        cos = np.round(cos, round_to)
+        cos = np.round(cos, round_to) + 0.0  # canonicalize -0.0
         ii, jj = np.nonzero(cos >= threshold)
         if same:
             keep = ii < jj  # strict upper triangle: each pair once
@@ -287,8 +295,12 @@ def ivf_ann(queries: DataFrame, candidates: DataFrame, k: int, *,
     scored = (c.join(F.broadcast(q), "cell")
                .filter(F.col("neighbor_id") != F.col("query_id"))
                .withColumn("cosine",
+                           # +0.0 canonicalizes IEEE -0.0 (Spark's round
+                           # drops the sign of tiny negatives, DuckDB's
+                           # keeps it - the string-hash gate sees both)
                            F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                                   / (F.col("_qn") * F.col("_cn")), round_to)))
+                                   / (F.col("_qn") * F.col("_cn")), round_to)
+                           + F.lit(0.0)))
     top = top_n_per_key(scored, ["query_id"],
                         [F.col("cosine").desc(), F.col("neighbor_id")], k)
     return top.select("query_id", "neighbor_id", "cosine")

@@ -1638,7 +1638,8 @@ def q84_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("revenue") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
     return out.select(
         "o_orderpriority", "bucket_start", "revenue",
-        F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
+        F.when(F.col("mad") > 0, F.round(z, 6) + F.lit(0.0))
+         .alias("robust_z"),
         (F.abs(F.col("revenue") - F.col("med"))
          > F.lit(3 * 1.4826) * F.col("mad")).alias("is_anomaly"))
 
@@ -1662,7 +1663,7 @@ WITH daily AS (
 )
 SELECT j.o_orderpriority, j.bucket_start, j.revenue,
        CASE WHEN mad.mad > 0
-            THEN ROUND((j.revenue - j.med) / (1.4826 * mad.mad), 6)
+            THEN ROUND((j.revenue - j.med) / (1.4826 * mad.mad), 6) + 0.0
        END AS robust_z,
        (abs(j.revenue - j.med) > 3 * 1.4826 * mad.mad) AS is_anomaly
 FROM j JOIN mad USING (o_orderpriority)

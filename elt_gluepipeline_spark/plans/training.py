@@ -217,7 +217,7 @@ scored AS (
   SELECT q.query_id, c.neighbor_id,
          ROUND(list_dot_product(q.q_vec, c.c_vec)
                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
-                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cosine
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) + 0.0 AS cosine
   FROM q JOIN c ON q.query_id <> c.neighbor_id
 )
 SELECT query_id, neighbor_id, cosine
@@ -288,7 +288,7 @@ scored AS (
   SELECT q.query_id, c.neighbor_id,
          ROUND(list_dot_product(q.q_vec, c.c_vec)
                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
-                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cosine
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) + 0.0 AS cosine
   FROM q JOIN c ON q.sig = c.sig AND q.query_id <> c.neighbor_id
 )
 SELECT query_id, neighbor_id, cosine
@@ -352,7 +352,7 @@ scored AS (
   SELECT p.query_id, a.neighbor_id,
          ROUND(list_dot_product(p.q_vec, a.c_vec)
                / (sqrt(list_dot_product(p.q_vec, p.q_vec))
-                  * sqrt(list_dot_product(a.c_vec, a.c_vec))), 6) AS cosine
+                  * sqrt(list_dot_product(a.c_vec, a.c_vec))), 6) + 0.0 AS cosine
   FROM probe p JOIN assign a
     ON p.cell = a.cell AND p.query_id <> a.neighbor_id
 )
@@ -452,7 +452,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
@@ -1501,7 +1501,8 @@ def q80_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (F.col("c_train") + F.lit(1.0)) / (F.col("_Nt") + F.col("_V"))
     return (cnt.crossJoin(F.broadcast(tot))
                .select("token", "c_train", "c_test",
-                       F.round(p * F.log(p / q), 9).alias("kl_term")))
+                       (F.round(p * F.log(p / q), 9) + F.lit(0.0))
+                        .alias("kl_term")))
 
 
 Q80_SQL = """
@@ -1527,7 +1528,7 @@ WITH toks AS (
 SELECT token, c_train, c_test,
        ROUND(((c_test + 1.0) / (ns + vsz))
              * ln(((c_test + 1.0) / (ns + vsz))
-                  / ((c_train + 1.0) / (nt + vsz))), 9) AS kl_term
+                  / ((c_train + 1.0) / (nt + vsz))), 9) + 0.0 AS kl_term
 FROM cnt, tot
 """
 
@@ -1631,8 +1632,8 @@ def q82_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .join(F.broadcast(qv), "query_id")
                    .join(cv, "neighbor_id")
                    .select("query_id", "neighbor_id",
-                           F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
-                            .alias("cos_exact")))
+                           (F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+                            + F.lit(0.0)).alias("cos_exact")))
     top = top_n_per_key(scored, ["query_id"],
                         [F.col("cos_exact").desc(), F.col("neighbor_id")], 5)
     return top.select("query_id", "neighbor_id", "cos_exact")
@@ -1673,7 +1674,8 @@ def q70_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_sample
     docs = read_table(spark, sf_dir, "documents")
     s = weighted_sample(docs, "doc_id", F.col("n_chars"), k=100, seed=7)
-    return s.select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+    return s.select("doc_id", "n_chars",
+                    (F.round("es_key", 6) + F.lit(0.0)).alias("es_key"))
 
 
 Q70_SQL = """
@@ -1684,7 +1686,7 @@ WITH s AS (
   FROM documents
   WHERE n_chars > 0
 )
-SELECT doc_id, n_chars, ROUND(es_key, 6) AS es_key
+SELECT doc_id, n_chars, ROUND(es_key, 6) + 0.0 AS es_key
 FROM s ORDER BY es_key DESC, doc_id LIMIT 100
 """
 

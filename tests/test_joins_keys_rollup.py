@@ -206,3 +206,26 @@ def test_snapshot_diff_classifies_iud_and_null_transitions(spark):
     assert out[4] == ("U", "status", None, None)           # NULL emitted, not coalesced
     assert out[5] == ("I", "", 50.0, "E")
     assert 1 not in out                                    # minimal feed
+
+
+def test_range_join_band_is_microsecond_precise(spark):
+    # regression (found by the sf0.1 oracle gate): whole-second epoch
+    # truncation admitted right rows up to 999999 us outside the band
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t0)], "id long, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(microseconds=300_000)),   # 0.3s AFTER: out
+         (1, t0 - dt.timedelta(seconds=3600)),           # exactly -1h: in
+         (1, t0 - dt.timedelta(seconds=3600,
+                               microseconds=1)),         # 1us early: out
+         (1, t0)],                                       # exact: in
+        "id long, ts timestamp_ntz")
+    from elt_gluepipeline_spark.operators.joins import range_join
+    out = range_join(left.withColumnRenamed("id", "user_id"),
+                     right.withColumnRenamed("id", "user_id"),
+                     on=["user_id"], left_ts="ts", right_ts="ts",
+                     lower_s=-3600, upper_s=0, prefix="r_")
+    got = sorted(r.r_ts for r in out.collect())
+    assert got == [t0 - dt.timedelta(seconds=3600), t0]
