@@ -137,6 +137,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q99_spend_percentiles",  # head full at 50: oracle-checked via
                               # tools/check_correctness instead
+    "q100_incremental_dedupe",  # head full at 50: oracle-checked via
+                                # tools/check_correctness instead
 )
 
 

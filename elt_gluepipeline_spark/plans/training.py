@@ -1691,6 +1691,106 @@ FROM s ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# Q100 — incremental corpus dedupe (operators.dedup
+# .incremental_jaccard_dedupe): even doc_ids, deduped among
+# themselves, form the accumulated corpus; odd doc_ids are the new
+# crawl batch. Survivors of the batch = odds with no verified match
+# into the corpus and canonical (min-id) within their batch-local
+# component. The production shape of continuous dedup: per-batch cost
+# is O(new × overlap) because the probe side of the inverted-index
+# join is new-docs-only — corpus×corpus pairs never form. The oracle
+# replays both phases with recursive CTEs (q59's chain, split).
+# --------------------------------------------------------------------------
+
+def q100_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (connected_components,
+                                   incremental_jaccard_dedupe,
+                                   keep_canonical)
+    docs = read_table(spark, sf_dir, "documents")
+    blocks = [F.col("lang"),
+              F.floor(n_tokens(F.col("text")) / 10).cast("long")]
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = blocked_jaccard_pairs(evens, "doc_id", "text", blocks,
+                                  k=3, threshold=0.2)
+    corpus = keep_canonical(evens, connected_components(pairs), "doc_id")
+    out = incremental_jaccard_dedupe(odds, corpus, "doc_id", "text",
+                                     blocks, k=3, threshold=0.2)
+    return out.select("doc_id", "lang")
+
+
+Q100_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
+           AS len_bucket,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+),
+jac AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.doc_id % 2 AS odd_a, b.doc_id % 2 AS odd_b
+  FROM base a JOIN base b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+   AND len(a.shingles) > 0 AND len(b.shingles) > 0
+  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0
+             THEN 0.0
+             ELSE len(list_intersect(a.shingles, b.shingles))
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        END >= 0.2
+),
+old_edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE odd_a = 0 AND odd_b = 0
+  UNION
+  SELECT id_b, id_a FROM jac WHERE odd_a = 0 AND odd_b = 0
+),
+old_reach(id, r) AS (
+  SELECT a, a FROM old_edges
+  UNION
+  SELECT e.a, r.r FROM old_edges e JOIN old_reach r ON e.b = r.id
+),
+old_losers AS (
+  SELECT id FROM (SELECT id, MIN(r) AS component FROM old_reach GROUP BY id)
+  WHERE id <> component
+),
+-- phase 2: edges among odds and corpus survivors, >=1 odd endpoint
+p2 AS (
+  SELECT id_a, id_b FROM jac
+  WHERE (odd_a = 1 OR odd_b = 1)
+    AND (odd_a = 1 OR id_a NOT IN (SELECT id FROM old_losers))
+    AND (odd_b = 1 OR id_b NOT IN (SELECT id FROM old_losers))
+),
+edges2 AS (
+  SELECT id_a AS a, id_b AS b FROM p2
+  UNION
+  SELECT id_b, id_a FROM p2
+),
+reach2(id, r) AS (
+  SELECT a, a FROM edges2
+  UNION
+  SELECT e.a, r.r FROM edges2 e JOIN reach2 r ON e.b = r.id
+),
+comp2 AS (SELECT id, MIN(r) AS component FROM reach2 GROUP BY id),
+dirty AS (
+  SELECT DISTINCT component FROM comp2 WHERE id % 2 = 0
+),
+losers2 AS (
+  SELECT id FROM comp2
+  WHERE id % 2 = 1
+    AND (component IN (SELECT component FROM dirty) OR id <> component)
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM losers2)
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -1769,6 +1869,10 @@ SPECS = [
     QuerySpec("q70_weighted_sample", q70_weighted_sample, Q70_SQL,
               "Efraimidis-Spirakis weighted sample (hash-derived "
               "uniforms; every inclusion oracle-re-derived)"),
+    QuerySpec("q100_incremental_dedupe", q100_incremental_dedupe, Q100_SQL,
+              "incremental corpus dedupe: new batch vs accumulated "
+              "survivors, probe-side-only inverted index (no corpus x "
+              "corpus recompute); two-phase recursive-CTE oracle"),
     QuerySpec("q71_name_editdist", q71_name_editdist, Q71_SQL,
               "exact edit-distance near-dup pairs (q-gram inverted "
               "index + length band, thresholded levenshtein verify)"),

@@ -54,3 +54,119 @@ def test_star_contraction_long_chain_few_rounds(spark):
     comp = connected_components_star(pairs, max_iters=8).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 41
+
+
+def _brute_incremental(new_rows, corpus_rows, k, threshold):
+    """Python reference for incremental_jaccard_dedupe's contract."""
+    def shingles(text):
+        tok = text.split()
+        return {" ".join(tok[i:i + k]) for i in range(len(tok) - k + 1)}
+
+    docs = {i: (shingles(t), blk, True) for i, t, blk in new_rows}
+    docs.update({i: (shingles(t), blk, False) for i, t, blk in corpus_rows})
+    ids = sorted(docs)
+    edges = {}
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            sx, bx, nx = docs[x]
+            sy, by, ny = docs[y]
+            if not (nx or ny) or bx != by or not sx or not sy:
+                continue
+            j = len(sx & sy) / len(sx | sy)
+            if j >= threshold:
+                edges.setdefault(x, set()).add(y)
+                edges.setdefault(y, set()).add(x)
+    # components via BFS
+    comp = {}
+    for s in ids:
+        if s in comp or s not in edges:
+            continue
+        stack, members = [s], []
+        seen = {s}
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in edges.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        label = min(members)
+        for m in members:
+            comp.setdefault(m, label)
+    new_ids = {i for i, _, _ in new_rows}
+    corpus_ids = {i for i, _, _ in corpus_rows}
+    dirty = {comp[m] for m in corpus_ids if m in comp}
+    survivors = set()
+    for i in new_ids:
+        if i not in comp:
+            survivors.add(i)
+        elif comp[i] not in dirty and comp[i] == i:
+            survivors.add(i)
+    return survivors
+
+
+def test_incremental_jaccard_dedupe_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import \
+        incremental_jaccard_dedupe
+
+    # corpus ids NOT all smaller than new ids (order independence)
+    corpus = [(2, "the quick brown fox jumps over the lazy dog", 0),
+              (40, "pack my box with five dozen liquor jugs", 0),
+              (41, "a completely different corpus document here now", 0)]
+    new = [(10, "the quick brown fox jumps over the lazy cat", 0),   # ~2
+           (11, "the quick brown fox jumps over the lazy cat", 0),   # dup of 10
+           (12, "sphinx of black quartz judge my vow today", 0),     # clean
+           (13, "sphinx of black quartz judge my vow tonight", 0),   # ~12
+           (14, "totally unrelated text with no matches at all", 0),
+           (15, "pack my box with six dozen liquor jugs", 0)]        # ~40
+    expect = _brute_incremental(new, corpus, 3, 0.3)
+    # sanity on the fixture: corpus-matched docs die, 12 beats 13
+    assert 12 in expect and 13 not in expect and 14 in expect
+    assert 10 not in expect and 11 not in expect and 15 not in expect
+
+    new_df = spark.createDataFrame(new, "doc_id long, text string, blk int")
+    corpus_df = spark.createDataFrame(corpus,
+                                      "doc_id long, text string, blk int")
+    out = incremental_jaccard_dedupe(
+        new_df, corpus_df, "doc_id", "text", [F.col("blk")],
+        k=3, threshold=0.3)
+    assert {r.doc_id for r in out.collect()} == expect
+    assert out.columns == new_df.columns
+
+
+def test_incremental_dedupe_real_docs_vs_bruteforce(spark, sf_dir):
+    """documents split even/odd: evens (pre-deduped) are the corpus,
+    odds the new batch — Spark result == python brute force."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        blocked_jaccard_pairs, connected_components,
+        incremental_jaccard_dedupe, keep_canonical)
+    from elt_gluepipeline_spark.operators.textstats import n_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text").limit(200).cache()
+    blocks = [F.col("lang"),
+              F.floor(n_tokens(F.col("text")) / 10).cast("long")]
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = blocked_jaccard_pairs(evens, "doc_id", "text", blocks,
+                                  k=3, threshold=0.2)
+    corpus = keep_canonical(evens, connected_components(pairs), "doc_id")
+    out = incremental_jaccard_dedupe(odds, corpus, "doc_id", "text",
+                                     blocks, k=3, threshold=0.2)
+
+    def block_of(lang, text):
+        return (lang, len(text.strip().split()) // 10 if text.strip() else 0)
+
+    new_rows = [(r.doc_id, r.text, block_of(r.lang, r.text))
+                for r in odds.collect()]
+    corpus_rows = [(r.doc_id, r.text, block_of(r.lang, r.text))
+                   for r in corpus.collect()]
+    expect = _brute_incremental(new_rows, corpus_rows, 3, 0.2)
+    got = {r.doc_id for r in out.collect()}
+    assert got == expect and len(got) > 0
