@@ -170,3 +170,63 @@ def foreach_batch_incremental_agg(
                .trigger(availableNow=True)
                .start())
     q.awaitTermination()
+
+
+def foreach_batch_incremental_dedupe(
+    source: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_cols_fn,
+    snapshot_dir: str,
+    checkpoint_path: str,
+    k: int = 3,
+    threshold: float = 0.4,
+) -> None:
+    """Continuous corpus dedup: each micro-batch keeps only the docs
+    that survive ``operators.dedup.incremental_jaccard_dedupe`` against
+    the accumulated survivor snapshot, then publishes
+    ``survivors ∪ batch-survivors`` as the next version — the streaming
+    form of the daily-crawl dedup loop, with per-batch cost
+    O(batch × overlap) because the corpus side contributes only its
+    inverted index (never corpus×corpus).
+
+    Replay safety follows the incremental-agg protocol, not the
+    upsert one: survivor accumulation is not idempotent against the
+    pointer (a replayed batch must not dedupe against a snapshot that
+    already contains its own survivors), so the previous state resolves
+    to the newest version STRICTLY BELOW this batch_id.
+
+    ``block_cols_fn()`` returns the blocking Column expressions
+    (unbound, evaluated against both batch and snapshot frames). The
+    snapshot stores full survivor rows, so blocking/text columns stay
+    available to future batches.
+    """
+    spark = source.sparkSession
+    os.makedirs(snapshot_dir, exist_ok=True)
+
+    from ..operators.dedup import incremental_jaccard_dedupe
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        prev_v = _latest_version_before(snapshot_dir, batch_id)
+        corpus = (batch.limit(0) if prev_v is None
+                  else spark.read.parquet(
+                      os.path.join(snapshot_dir, prev_v)))
+        kept = incremental_jaccard_dedupe(
+            batch, corpus, id_col, text_col, block_cols_fn(),
+            k=k, threshold=threshold)
+        merged = corpus.unionByName(kept.select(*corpus.columns)
+                                    if prev_v is not None else kept)
+        out = os.path.join(snapshot_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(snapshot_dir, f"._ptr_{batch_id}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, os.path.join(snapshot_dir, _POINTER))
+
+    q = (source.writeStream
+               .foreachBatch(merge)
+               .option("checkpointLocation", checkpoint_path)
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
