@@ -139,6 +139,10 @@ _DEPRIORITIZED = (
                               # tools/check_correctness instead
     "q100_incremental_dedupe",  # head full at 50: oracle-checked via
                                 # tools/check_correctness instead
+    "q101_price_qty_regression",  # head full at 50: oracle-checked via
+                                  # tools/check_correctness instead
+    "q102_price_histogram",  # head full at 50: oracle-checked via
+                             # tools/check_correctness instead
 )
 
 

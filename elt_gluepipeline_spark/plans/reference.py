@@ -2417,6 +2417,74 @@ FROM ranked GROUP BY c_nationkey, decile
 """
 
 
+# --------------------------------------------------------------------------
+# Q101 — statistical aggregate surface (corr / covar / OLS regression):
+# per return-flag, how line price moves with quantity — Pearson
+# correlation, sample covariance, and the least-squares fit
+# (slope/intercept/R²) in ONE aggregation pass. Spark's regr_* /
+# corr aggregates are distributed co-moment merges (partial-aggregable,
+# one shuffle of 6 moments per group — never a collect or a second
+# pass); rnd0 canonicalizes the float forms for the cross-engine gate.
+# --------------------------------------------------------------------------
+
+def q101_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import rnd0
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return (li.groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   rnd0(F.corr(x, y), 6).alias("corr_qty_price"),
+                   rnd0(F.covar_samp(x, y) / 1000.0, 4).alias("covar_k"),
+                   rnd0(F.regr_slope(y, x), 4).alias("slope"),
+                   rnd0(F.regr_intercept(y, x), 4).alias("intercept"),
+                   rnd0(F.regr_r2(y, x), 6).alias("r2")))
+
+
+Q101_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice) / 1000.0, 4) + 0.0
+         AS covar_k,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
+         AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q102 — fixed-width histogram: order-value distribution per order
+# status, 20 bins of 25k. One aggregation over a computed bin key —
+# the at-scale histogram shape (bin count bounded, no sort, no
+# per-bin scan); clamp keeps outliers in the top bin so bins partition
+# the data exactly.
+# --------------------------------------------------------------------------
+
+def q102_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    binw, nbins = 25_000.0, 20
+    bin_ = F.least(F.floor(F.col("o_totalprice") / binw),
+                   F.lit(nbins - 1)).cast("long")
+    return (o.groupBy("o_orderstatus", bin_.alias("bin"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  dsum("o_totalprice").alias("bin_total"))
+             .select("o_orderstatus", "bin",
+                     (F.col("bin") * binw).alias("bin_lo"),
+                     "n_orders", F.round("bin_total", 4).alias("bin_total")))
+
+
+Q102_SQL = f"""
+SELECT o_orderstatus,
+       LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bin,
+       LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) * 25000.0
+         AS bin_lo,
+       COUNT(*) AS n_orders,
+       ROUND({dsum_sql('o_totalprice')}, 4) AS bin_total
+FROM orders GROUP BY o_orderstatus, bin
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -2574,4 +2642,11 @@ SPECS = [
     QuerySpec("q99_spend_percentiles", q99_spend_percentiles, Q99_SQL,
               "percent_rank/cume_dist distribution windows, decile "
               "summary per nation"),
+    QuerySpec("q101_price_qty_regression", q101_price_qty_regression,
+              Q101_SQL,
+              "statistical aggregates: corr/covar/OLS regression per "
+              "group in one co-moment pass"),
+    QuerySpec("q102_price_histogram", q102_price_histogram, Q102_SQL,
+              "fixed-width histogram via computed bin key (bounded "
+              "bins, no sort)"),
 ]
