@@ -166,3 +166,95 @@ def sample_frames(assets: DataFrame, *, every_n_bytes: int = 1024,
                                 "frame_payload": frames})
 
     return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# RAW-RASTER path: REAL computation, no codec required. Training
+# pipelines routinely store preprocessed uncompressed tensors (raw
+# uint8 rasters) precisely so downstream stages don't pay a decode;
+# for that format the math below is the production math, not a stub —
+# only codec formats (jpeg/mp3/mp4) keep the stubbed decode above.
+# --------------------------------------------------------------------
+
+RASTER_STATS_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("mean_lum", StringType(), True),    # fixed 4-dp string:
+    StructField("std_lum", StringType(), True),     # engine-stable form
+    StructField("edge_energy", StringType(), True),
+])
+
+
+def raster_stats(assets: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Real per-image statistics over raw uint8 rasters: mean/σ of
+    luminance and mean absolute horizontal gradient (edge energy — the
+    cheap blur/blank-image quality signal). Vectorized numpy over
+    Arrow batches, map-only; payloads shorter than width*height are
+    zero-padded (truncated tail = black), longer ones truncated.
+    Stats are emitted as fixed 4-decimal strings so results are
+    bit-stable across engines and partitionings.
+    """
+    import numpy as np
+
+    n = width * height
+    assets = ensure_min_partitions(assets)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means, stds, edges = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                buf = np.frombuffer(bytes(p[:n]).ljust(n, b"\0"),
+                                    dtype=np.uint8)
+                img = buf.reshape(height, width).astype(np.float64)
+                ids.append(aid)
+                means.append(f"{img.mean():.4f}")
+                stds.append(f"{img.std():.4f}")
+                edges.append(f"{np.abs(np.diff(img, axis=1)).mean():.4f}")
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "width": width, "height": height,
+                "mean_lum": means, "std_lum": stds, "edge_energy": edges})
+
+    return assets.mapInPandas(_stats, schema=RASTER_STATS_SCHEMA)
+
+
+def downsample_raster(assets: DataFrame, *, width: int, height: int,
+                      factor: int) -> DataFrame:
+    """Real raster downsampling: factor×factor block mean (area
+    interpolation) over raw uint8 rasters — the actual resize math for
+    uncompressed images, vectorized numpy, map-only, zero shuffle.
+    Output payload is the (width//factor)×(height//factor) raster.
+    """
+    import numpy as np
+
+    if width % factor or height % factor:
+        raise ValueError(f"factor {factor} must divide {width}x{height}")
+    n = width * height
+    ow, oh = width // factor, height // factor
+    assets = ensure_min_partitions(assets)
+
+    def _down(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mods, payloads = [], [], []
+            for aid, mod, p in zip(pdf["asset_id"], pdf["modality"],
+                                   pdf["payload"]):
+                if p is None:
+                    continue
+                buf = np.frombuffer(bytes(p[:n]).ljust(n, b"\0"),
+                                    dtype=np.uint8)
+                img = buf.reshape(height, width).astype(np.float64)
+                small = img.reshape(oh, factor, ow, factor).mean(axis=(1, 3))
+                ids.append(aid)
+                mods.append(mod)
+                payloads.append(np.round(small).clip(0, 255)
+                                  .astype(np.uint8).tobytes())
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "modality": mods, "payload": payloads,
+                "media_format": "raw-raster",
+                "width": ow, "height": oh})
+
+    return assets.mapInPandas(_down, schema=RESIZED_SCHEMA)
