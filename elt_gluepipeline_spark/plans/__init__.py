@@ -143,6 +143,8 @@ _DEPRIORITIZED = (
                                   # tools/check_correctness instead
     "q102_price_histogram",  # head full at 50: oracle-checked via
                              # tools/check_correctness instead
+    "q103_corpus_pipeline",  # head full at 50: oracle-checked via
+                             # tools/check_correctness instead
 )
 
 

@@ -1692,6 +1692,156 @@ FROM s ORDER BY es_key DESC, doc_id LIMIT 100
 
 
 # --------------------------------------------------------------------------
+# Q103 — the END-TO-END corpus curation pipeline, one declarative
+# plan: language filter → quality filter → exact dedup → near-dup
+# dedup → PII scrub → token-budget sharding. This is the composition
+# the engine exists for — each stage is an already-verified operator
+# (q15, q14, q13, q59, the scrub_pii cross-engine test, q60), chained
+# so Catalyst sees ONE plan: filters fuse into the scan, the only
+# shuffles are the dedup aggregations and the pair join, and sharding
+# is the distributed prefix sum. The oracle replays every stage in
+# SQL (recursive CTE for the near-dup components).
+# --------------------------------------------------------------------------
+
+def q103_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import scrub_pii
+    from ..functions.deterministic import rnd0
+    from ..operators.dedup import connected_components, keep_canonical
+    from ..operators.sampling import token_budget_shards
+    from ..operators.windows import dedupe_keep_latest
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = docs.select("doc_id", "text",
+                       tokens(t).alias("_tok"),
+                       tokens(F.lower(t)).alias("_ltok"))
+    nt = F.size("_tok")
+    uniq = F.when(nt == 0, F.lit(0.0)) \
+            .otherwise(F.size(F.array_distinct("_tok")) / nt)
+    n_stop = F.size(F.filter("_ltok", lambda x: x.isin(*EN_STOPWORDS)))
+    stop = F.when(F.size("_ltok") == 0, F.lit(0.0)) \
+            .otherwise(n_stop / F.size("_ltok"))
+    length_ok = F.when((nt >= 10) & (nt <= 10_000), F.lit(1.0)) \
+                 .otherwise(F.lit(0.0))
+    staged = base.select(
+        "doc_id", "text", nt.cast("long").alias("n_tokens"),
+        stop.alias("stop_ratio"),
+        (F.lit(0.5) * uniq + F.lit(0.2) * (F.lit(1.0) - stop)
+         + F.lit(0.3) * length_ok).alias("quality"))
+
+    good = staged.filter((F.col("stop_ratio") >= 0.12)
+                         & (F.col("quality") >= 0.5))
+    # exact dedup: keep the smallest doc_id per content hash.
+    # localCheckpoint: four downstream consumers (pair join a/b sides,
+    # size table, canonical anti-join, scrub projection) would each
+    # recompute the tokenization-heavy filter chain — materialize the
+    # curated set once (bounded: it's the post-filter survivor set)
+    exact = dedupe_keep_latest(
+        good.withColumn("_h", F.md5(F.encode("text", "UTF-8"))),
+        ["_h"], [F.col("doc_id").asc()]).drop("_h").localCheckpoint(eager=False)
+    # near-dup dedup among exact survivors (length-bucket blocking)
+    pairs = blocked_jaccard_pairs(
+        exact, "doc_id", "text",
+        [F.floor(F.col("n_tokens") / 10).cast("long")],
+        k=3, threshold=0.2)
+    surv = keep_canonical(exact, connected_components(pairs), "doc_id")
+    scrubbed = surv.select("doc_id", "n_tokens", "quality",
+                           scrub_pii(F.col("text")).alias("_clean"))
+    shards = token_budget_shards(scrubbed, "doc_id", F.col("n_tokens"),
+                                 budget=5_000)
+    return (scrubbed.join(shards, "doc_id")
+            .select("doc_id", "n_tokens",
+                    rnd0("quality", 6).alias("quality"), "shard",
+                    F.md5(F.encode("_clean", "UTF-8")).alias("text_sig")))
+
+
+def _pii_scrub_sql(expr: str) -> str:
+    from ..functions.cleaning import PII_PATTERNS
+    for name, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    return expr
+
+
+Q103_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, tok,
+         CAST(len(tok) AS BIGINT) AS n_tokens,
+         CASE WHEN len(ltok) = 0 THEN 0.0
+              ELSE len(list_filter(ltok, x -> x IN ({_STOP_SQL}))) / len(ltok)
+         END AS stop_ratio,
+         CASE WHEN len(tok) = 0 THEN 0.0
+              ELSE len(list_distinct(tok)) / len(tok) END AS uniq_ratio
+  FROM toks
+),
+staged AS (
+  SELECT doc_id, text, tok, n_tokens, stop_ratio,
+         0.5 * uniq_ratio + 0.2 * (1.0 - stop_ratio)
+           + 0.3 * (CASE WHEN n_tokens BETWEEN 10 AND 10000
+                         THEN 1.0 ELSE 0.0 END) AS quality
+  FROM m
+),
+good AS (
+  SELECT * FROM staged WHERE stop_ratio >= 0.12 AND quality >= 0.5
+),
+ex AS (
+  SELECT g.* FROM good g
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS kid
+        FROM good GROUP BY md5(text)) c
+    ON g.doc_id = c.kid
+),
+base AS (
+  SELECT doc_id, n_tokens // 10 AS len_bucket,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM ex
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b
+    ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0
+             THEN 0.0
+             ELSE len(list_intersect(a.shingles, b.shingles))
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        END >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+losers AS (
+  SELECT id FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+  WHERE id <> component
+),
+surv AS (
+  SELECT doc_id, n_tokens, quality,
+         {_pii_scrub_sql('text')} AS clean
+  FROM ex WHERE doc_id NOT IN (SELECT id FROM losers)
+)
+SELECT doc_id, n_tokens, ROUND(quality, 6) + 0.0 AS quality,
+       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / 5000) AS BIGINT) AS shard,
+       md5(clean) AS text_sig
+FROM surv
+"""
+
+
+# --------------------------------------------------------------------------
 # Q100 — incremental corpus dedupe (operators.dedup
 # .incremental_jaccard_dedupe): even doc_ids, deduped among
 # themselves, form the accumulated corpus; odd doc_ids are the new
@@ -1869,6 +2019,11 @@ SPECS = [
     QuerySpec("q70_weighted_sample", q70_weighted_sample, Q70_SQL,
               "Efraimidis-Spirakis weighted sample (hash-derived "
               "uniforms; every inclusion oracle-re-derived)"),
+    QuerySpec("q103_corpus_pipeline", q103_corpus_pipeline, Q103_SQL,
+              "end-to-end corpus curation: lang filter -> quality "
+              "filter -> exact dedup -> near-dup dedup -> PII scrub -> "
+              "token shards, ONE declarative plan; every stage "
+              "oracle-replayed"),
     QuerySpec("q100_incremental_dedupe", q100_incremental_dedupe, Q100_SQL,
               "incremental corpus dedupe: new batch vs accumulated "
               "survivors, probe-side-only inverted index (no corpus x "
