@@ -1864,7 +1864,11 @@ def q100_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds = docs.filter(F.col("doc_id") % 2 == 1)
     pairs = blocked_jaccard_pairs(evens, "doc_id", "text", blocks,
                                   k=3, threshold=0.2)
-    corpus = keep_canonical(evens, connected_components(pairs), "doc_id")
+    # incremental_jaccard_dedupe consumes the corpus several times
+    # (inverted index, sizes, id set) — materialize phase 1 once
+    # instead of recomputing pairs+components per consumer
+    corpus = keep_canonical(evens, connected_components(pairs), "doc_id") \
+        .localCheckpoint(eager=False)
     out = incremental_jaccard_dedupe(odds, corpus, "doc_id", "text",
                                      blocks, k=3, threshold=0.2)
     return out.select("doc_id", "lang")
