@@ -1,0 +1,50 @@
+"""Compare two bench.py outputs: per-query deltas, regressions first.
+
+Usage:
+  python tools/bench_diff.py OLD.json NEW.json [min_delta_sec]
+
+Each file is a bench.py JSON line ({"value": total, "queries": {...}}).
+Prints queries whose |delta| >= min_delta_sec (default 0.25), newly
+added/removed queries, and the total delta — the quick "did this round
+regress anything" check against the previous BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    def load(path):
+        d = json.load(open(path))
+        # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
+        return d.get("parsed", d)
+
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
+    qo, qn = old["queries"], new["queries"]
+
+    added = sorted(set(qn) - set(qo))
+    removed = sorted(set(qo) - set(qn))
+    common = set(qo) & set(qn)
+    deltas = sorted(((qn[k] - qo[k], k) for k in common), reverse=True)
+
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+          f"({new['value'] - old['value']:+.1f}s); "
+          f"{len(common)} common, {len(added)} added, {len(removed)} removed")
+    for d, k in deltas:
+        if abs(d) >= thr:
+            print(f"  {d:+6.2f}s  {k}  ({qo[k]:.2f} -> {qn[k]:.2f})")
+    for k in added:
+        print(f"  [new]    {k}  ({qn[k]:.2f}s)")
+    for k in removed:
+        print(f"  [gone]   {k}  (was {qo[k]:.2f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
