@@ -145,6 +145,10 @@ _DEPRIORITIZED = (
                              # tools/check_correctness instead
     "q103_corpus_pipeline",  # head full at 50: oracle-checked via
                              # tools/check_correctness instead
+    "q104_event_cooccurrence",  # head full at 50: oracle-checked via
+                                # tools/check_correctness instead
+    "q105_transition_matrix",  # head full at 50: oracle-checked via
+                               # tools/check_correctness instead
 )
 
 

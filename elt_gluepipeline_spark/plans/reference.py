@@ -2485,6 +2485,105 @@ FROM orders GROUP BY o_orderstatus, bin
 """
 
 
+# --------------------------------------------------------------------------
+# Q104 — co-occurrence / association lift between event types: for
+# each unordered pair, how much more often do both appear for the same
+# user than independence predicts. The market-basket shape: dedupe to
+# (user, type) first — the only corpus-sized shuffle — then the pair
+# self-join runs on the deduped table with type-diverse keys, and the
+# pair space is |types|², not users². Lift from broadcast scalar
+# totals, no second scan.
+# --------------------------------------------------------------------------
+
+def q104_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (a.join(b, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    na = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n").alias("n_b"))
+    return (both.join(F.broadcast(na), "type_a")
+                .join(F.broadcast(nb), "type_b")
+                .crossJoin(F.broadcast(tot))   # 1-row scalar, q04 idiom
+                .select("type_a", "type_b", "n_both",
+                        F.round(F.col("n_both")
+                                * F.col("n_users").cast("double")
+                                / (F.col("n_a") * F.col("n_b")), 6)
+                         .alias("lift")))
+
+
+Q104_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+per_type AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+pair_n AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_both,
+       ROUND(n_both * CAST(t.n_users AS DOUBLE) / (na.n * nb.n), 6) AS lift
+FROM pair_n
+JOIN per_type na ON pair_n.type_a = na.event_type
+JOIN per_type nb ON pair_n.type_b = nb.event_type
+CROSS JOIN tot t
+"""
+
+
+# --------------------------------------------------------------------------
+# Q105 — behavior transition matrix (first-order Markov): counts and
+# row-normalized probabilities of consecutive event-type transitions
+# per user stream. One lag window partitioned by user (parallel,
+# entity-keyed — never a global sort) feeds one aggregation; the
+# normalizing row totals come from a window over the |types|²-bounded
+# aggregate, not the fact.
+# --------------------------------------------------------------------------
+
+def q105_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (ev.select("user_id", "event_id", "ts", "event_type")
+               .withColumn("prev_type", F.lag("event_type").over(w))
+               .filter(F.col("prev_type").isNotNull()))
+    counts = (steps.groupBy(F.col("prev_type").alias("from_type"),
+                            F.col("event_type").alias("to_type"))
+                   .agg(F.count(F.lit(1)).alias("n")))
+    row_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("p"))
+
+
+Q105_SQL = """
+WITH steps AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+"""
+
+
 SPECS = [
     QuerySpec("q01_line_revenue", q01_line_revenue, Q01_SQL,
               "F6 revenue projection"),
@@ -2649,4 +2748,10 @@ SPECS = [
     QuerySpec("q102_price_histogram", q102_price_histogram, Q102_SQL,
               "fixed-width histogram via computed bin key (bounded "
               "bins, no sort)"),
+    QuerySpec("q104_event_cooccurrence", q104_event_cooccurrence, Q104_SQL,
+              "market-basket co-occurrence lift between event types "
+              "(dedupe-first pair join, |types|^2 output)"),
+    QuerySpec("q105_transition_matrix", q105_transition_matrix, Q105_SQL,
+              "first-order Markov transition matrix over per-user "
+              "event streams (entity-keyed lag window)"),
 ]
