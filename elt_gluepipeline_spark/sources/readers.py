@@ -152,6 +152,39 @@ def read_csv(spark: SparkSession, path: str, *, infer: bool = False,
     return reader.csv(path)
 
 
+def read_csv_tolerant(spark: SparkSession, path: str, schema,
+                      *, corrupt_col: str = "_corrupt_record"
+                      ) -> tuple[DataFrame, DataFrame]:
+    """S4 with the loader's error-tolerance semantics: the reference
+    inserts row batches with a per-row fallback that quarantines rows
+    the target rejects (rds/load_to_sqlserver.py:224-264). The Spark
+    analog runs the scan in PERMISSIVE mode against the typed
+    contract: rows that parse land typed, rows that don't carry their
+    raw line in ``corrupt_col``.
+
+    Returns (clean, quarantine): ``clean`` has the contract schema,
+    ``quarantine`` is ``(corrupt_col)`` raw lines for the dead-letter
+    sink. One scan feeds both via the cached parse (Spark requires the
+    corrupt column to be materialized before filtering on it — the
+    cache also keeps the split consistent, not two reads racing a
+    changing file).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(list(schema.fields)
+                      + [StructField(corrupt_col, StringType(), True)])
+    df = (spark.read.option("header", True)
+               .option("mode", "PERMISSIVE")
+               .option("columnNameOfCorruptRecord", corrupt_col)
+               .schema(full).csv(path)).cache()
+    df.count()  # materialize the corrupt column before filtering on it
+    clean = (df.filter(F.col(corrupt_col).isNull())
+               .select(*[f.name for f in schema.fields]))
+    quarantine = (df.filter(F.col(corrupt_col).isNotNull())
+                    .select(corrupt_col))
+    return clean, quarantine
+
+
 def read_jdbc_table(spark: SparkSession, url: str, table: str,
                     properties: dict[str, str] | None = None,
                     partition_column: str | None = None,

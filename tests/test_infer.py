@@ -70,3 +70,26 @@ def test_read_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r.id: (r.score, r.part) for r in merged.collect()}
     assert rows[1] == (None, "old")   # old files NULL-fill new columns
     assert rows[2] == (9.5, "new")
+
+
+def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from elt_gluepipeline_spark.sources.readers import read_csv_tolerant
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,price\n"
+                 "1,apple,2.50\n"
+                 "oops,banana,not_a_number\n"   # unparseable id+price
+                 "3,cherry,4.25\n"
+                 "4,durian,bad\n")              # unparseable price
+    schema = StructType([StructField("id", LongType()),
+                         StructField("name", StringType()),
+                         StructField("price", DoubleType())])
+    clean, quar = read_csv_tolerant(spark, str(p), schema)
+    got = {(r.id, r.name, r.price) for r in clean.collect()}
+    assert got == {(1, "apple", 2.5), (3, "cherry", 4.25)}
+    bad = sorted(r._corrupt_record for r in quar.collect())
+    assert bad == ["4,durian,bad", "oops,banana,not_a_number"]
+    assert clean.columns == ["id", "name", "price"]
