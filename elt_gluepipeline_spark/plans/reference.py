@@ -1820,6 +1820,68 @@ FROM s GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# Q106 — q88's native session windows through the STREAMING runtime:
+# watermarked session_window aggregation drained AvailableNow in
+# append mode. This exercises Spark's built-in session-window STATE
+# (merge-on-update in the state store, watermark-driven emission) —
+# the third sessionization form next to batch lag+cumsum (q34) and
+# the custom applyInPandasWithState fold (q35). Append mode emits a
+# session once the watermark passes its end; with delay 0 the final
+# watermark is the global max event time, so the oracle is q88's
+# session chain restricted to session_end <= max(ts) — the emission
+# boundary is INCLUSIVE (verified empirically: a session whose end
+# equals the final watermark is emitted). Timestamps surface as epoch
+# micros so results are session-timezone-independent.
+# --------------------------------------------------------------------------
+
+def q106_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import ntz_to_instant
+    from ..streaming.stream import run_rollup_available_now
+    src = (read_table_stream(spark, sf_dir, "events")
+           .withColumn("ts_i", ntz_to_instant("ts"))
+           .withWatermark("ts_i", "0 seconds"))
+    agg = (src.groupBy(F.session_window(F.col("ts_i"), "30 minutes")
+                        .alias("sw"),
+                       F.col("user_id"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   dsum("value").alias("total_value")))
+    out = run_rollup_available_now(agg, output_mode="append",
+                                   state_partitions=8)
+    return out.select("user_id",
+                      F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+                      F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+                      "n_events", "total_value")
+
+
+Q106_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), r AS (
+  SELECT user_id,
+         epoch_us(MIN(ts)) AS session_start_us,
+         epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+         COUNT(*) AS n_events,
+         {dsum_sql('value')} AS total_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT * FROM r
+WHERE session_end_us <= (SELECT epoch_us(MAX(ts)) FROM events)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q90 — referential-integrity audit across the warehouse: orphan
 # counts and coverage per FK relationship (lineitem→orders,
 # orders→customer, customer→nation) — the cross-TABLE quality gate the
@@ -2754,4 +2816,9 @@ SPECS = [
     QuerySpec("q105_transition_matrix", q105_transition_matrix, Q105_SQL,
               "first-order Markov transition matrix over per-user "
               "event streams (entity-keyed lag window)"),
+    QuerySpec("q106_stream_session_window", q106_stream_session_window,
+              Q106_SQL,
+              "native session-window state through the streaming "
+              "runtime (watermarked append drain; inclusive emission "
+              "boundary oracle-pinned)"),
 ]
