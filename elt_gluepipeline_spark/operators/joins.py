@@ -46,20 +46,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str, *,
               right_payload: Sequence[str],
               tie_break: str | None = None,
-              prefix: str = "asof_") -> DataFrame:
-    """Backward inclusive as-of join (left outer).
+              prefix: str = "asof_",
+              direction: str = "backward") -> DataFrame:
+    """Inclusive as-of join (left outer), backward or forward.
 
-    For each left row, attach ``right_payload`` of the LATEST right row
-    with the same ``on`` keys and ``right_ts <= left_ts``; null payload
-    when no right row precedes. Ties on equal ``right_ts`` resolve to
-    the greatest ``tie_break`` value (deterministic across engines and
+    ``direction="backward"`` (default): for each left row, attach
+    ``right_payload`` of the LATEST right row with the same ``on``
+    keys and ``right_ts <= left_ts``. ``direction="forward"``: the
+    EARLIEST right row with ``right_ts >= left_ts`` (next-event-after
+    — reaction latency, next-click attribution). Null payload when no
+    right row qualifies. Ties on equal ``right_ts`` resolve to the
+    greatest ``tie_break`` value (deterministic across engines and
     partitionings).
 
+    Both directions are the same single-shuffle union+window plan —
+    forward just scans the merged timeline in descending time order,
+    so the running last() sees the closest FUTURE right row.
+
     Payload columns are returned as ``{prefix}{col}``. Null timestamps
-    never participate: a right row with unknown time can't be proven to
-    precede anything (dropped), and a null-ts left row has no
-    at-or-before instant (matches nothing).
+    never participate: a right row with unknown time can't be proven
+    ordered against anything (dropped), and a null-ts left row
+    matches nothing.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     on = list(on)
     right = right.filter(F.col(right_ts).isNotNull())
     payload = F.struct(*[F.col(c) for c in right_payload])
@@ -89,9 +99,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
 
     # right rows (side 0) sort BEFORE left rows (side 1) at equal ts →
     # inclusive match; among equal-ts right rows the greatest tie_break
-    # sorts last and wins the running last().
+    # sorts last and wins the running last(). Forward direction scans
+    # time DESCENDING: the running last() then holds the closest right
+    # row at-or-after the left row (later-scanned = smaller ts).
+    ts_ord = (F.col("_ts").asc_nulls_first() if direction == "backward"
+              else F.col("_ts").desc_nulls_first())
     w = (Window.partitionBy(*on)
-               .orderBy(F.col("_ts").asc_nulls_first(), F.col("_side").asc(),
+               .orderBy(ts_ord, F.col("_side").asc(),
                         F.col("_tie").asc_nulls_first())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (l_tag.unionByName(r_tag)

@@ -1842,6 +1842,42 @@ FROM surv
 
 
 # --------------------------------------------------------------------------
+# Q107 — forward as-of join: for each purchase, the FIRST click at or
+# after it (reaction/next-action latency — the mirror of q28's
+# last-touch attribution). Same single-shuffle union+window plan as
+# the backward as-of, scanning the merged timeline in descending time
+# order; no range explosion, left-outer semantics (purchases with no
+# later click keep null latency).
+# --------------------------------------------------------------------------
+
+def q107_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.col("event_id").alias("purchase_id")))
+    c = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", "ts", ntz_micros("ts").alias("c_us")))
+    j = asof_join(p, c, ["user_id"], "ts", "ts",
+                  right_payload=["c_us"], direction="forward")
+    return j.select("purchase_id", "user_id",
+                    F.col("asof_c_us").alias("next_click_us"),
+                    (F.col("asof_c_us") - ntz_micros("ts"))
+                     .alias("latency_us"))
+
+
+Q107_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id,
+       epoch_us(MIN(c.ts)) AS next_click_us,
+       epoch_us(MIN(c.ts)) - epoch_us(p.ts) AS latency_us
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+GROUP BY p.purchase_id, p.user_id, p.ts
+"""
+
+
+# --------------------------------------------------------------------------
 # Q100 — incremental corpus dedupe (operators.dedup
 # .incremental_jaccard_dedupe): even doc_ids, deduped among
 # themselves, form the accumulated corpus; odd doc_ids are the new
@@ -2023,6 +2059,9 @@ SPECS = [
     QuerySpec("q70_weighted_sample", q70_weighted_sample, Q70_SQL,
               "Efraimidis-Spirakis weighted sample (hash-derived "
               "uniforms; every inclusion oracle-re-derived)"),
+    QuerySpec("q107_next_click", q107_next_click, Q107_SQL,
+              "forward as-of join: first click at-or-after each "
+              "purchase (next-action latency; union+window plan)"),
     QuerySpec("q103_corpus_pipeline", q103_corpus_pipeline, Q103_SQL,
               "end-to-end corpus curation: lang filter -> quality "
               "filter -> exact dedup -> near-dup dedup -> PII scrub -> "
