@@ -153,6 +153,8 @@ _DEPRIORITIZED = (
                                    # tools/check_correctness instead
     "q107_next_click",     # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q108_scd2_lookup",    # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

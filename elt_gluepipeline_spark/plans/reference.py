@@ -1882,6 +1882,64 @@ WHERE session_end_us <= (SELECT epoch_us(MAX(ts)) FROM events)
 
 
 # --------------------------------------------------------------------------
+# Q108 — SCD2 point-in-time lookup: each purchase resolved against the
+# dimension version IN FORCE at its timestamp (q68's history + the
+# as-of join): the canonical warehouse pattern for versioned
+# dimensions. The as-of form replaces the naive key+interval join —
+# one shuffle, no per-key version fan-out; [valid_from, valid_to)
+# semantics fall out of the inclusive backward match with a
+# greatest-version tie-break (a zero-length version at a boundary
+# loses to its successor in both engines).
+# --------------------------------------------------------------------------
+
+def q108_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+    from ..operators.windows import scd2_history
+    ev = read_table(spark, sf_dir, "events")
+    h = scd2_history(ev, ["user_id"], [F.col("ts"), F.col("event_id")],
+                     ["event_type"], ts_col="ts", collapse=True)
+    hist = h.select("user_id", F.col("valid_from").alias("ts"),
+                    "version", F.col("event_type").alias("state_type"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.col("event_id").alias("purchase_id")))
+    j = asof_join(p, hist, ["user_id"], "ts", "ts",
+                  right_payload=["version", "state_type"],
+                  tie_break="version")
+    return j.select("purchase_id", "user_id",
+                    F.col("asof_version").alias("version"),
+                    F.col("asof_state_type").alias("state_type"))
+
+
+Q108_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM e WHERE prev IS NULL OR event_type <> prev
+), hist AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+         event_type AS state_type,
+         ts AS valid_from,
+         LEAD(ts) OVER w AS valid_to
+  FROM kept
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, h.version, h.state_type
+FROM p JOIN hist h
+  ON h.user_id = p.user_id
+ AND h.valid_from <= p.ts
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q90 — referential-integrity audit across the warehouse: orphan
 # counts and coverage per FK relationship (lineitem→orders,
 # orders→customer, customer→nation) — the cross-TABLE quality gate the
@@ -2821,4 +2879,8 @@ SPECS = [
               "native session-window state through the streaming "
               "runtime (watermarked append drain; inclusive emission "
               "boundary oracle-pinned)"),
+    QuerySpec("q108_scd2_lookup", q108_scd2_lookup, Q108_SQL,
+              "SCD2 point-in-time lookup: facts resolved against the "
+              "dimension version in force (as-of form, no interval "
+              "fan-out)"),
 ]
