@@ -86,3 +86,50 @@ def test_conform_idempotent_and_total(spark, data):
     assert conform(once, contract).collect() == once.collect()
     assert once.count() == len(data)
     assert once.filter(F.col("absent").isNotNull()).count() == 0
+
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 100),          # ts (seconds)
+              st.integers(0, 1000)),        # id / payload
+    min_size=0, max_size=25)
+
+
+@given(_asof_rows, _asof_rows)
+@SETTINGS
+def test_asof_join_both_directions_match_bruteforce(spark, lrows, rrows):
+    from elt_gluepipeline_spark.operators.joins import asof_join
+
+    schema_l = "k int, ts long, lid long"
+    schema_r = "k int, ts long, rid long"
+    left = (spark.createDataFrame(lrows, schema_l) if lrows
+            else spark.createDataFrame([], schema_l))
+    right = (spark.createDataFrame(rrows, schema_r) if rrows
+             else spark.createDataFrame([], schema_r))
+
+    for direction in ("backward", "forward"):
+        out = asof_join(left, right, ["k"], "ts", "ts",
+                        right_payload=["rid"], tie_break="rid",
+                        direction=direction)
+        got = {(r.k, r.ts, r.lid): r.asof_rid for r in out.collect()}
+
+        expect = {}
+        for k, lts, lid in lrows:
+            if direction == "backward":
+                cand = [rid for rk, rts, rid in rrows
+                        if rk == k and rts <= lts]
+                # latest ts wins; greatest rid breaks ties — emulate by
+                # taking max (rts, rid)
+                cand2 = [(rts, rid) for rk, rts, rid in rrows
+                         if rk == k and rts <= lts]
+                expect[(k, lts, lid)] = (max(cand2)[1] if cand2 else None)
+            else:
+                cand2 = [(rts, rid) for rk, rts, rid in rrows
+                         if rk == k and rts >= lts]
+                if cand2:
+                    mn = min(t for t, _ in cand2)
+                    expect[(k, lts, lid)] = max(r for t, r in cand2
+                                                if t == mn)
+                else:
+                    expect[(k, lts, lid)] = None
+        assert got == expect, (direction, got, expect)
