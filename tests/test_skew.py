@@ -47,3 +47,58 @@ def test_salted_agg_sum_decomposition(spark):
     want = {r.k: r.total for r in
             df.groupBy("k").agg(F.sum("v").cast("long").alias("total")).collect()}
     assert {r.k: r.total for r in out.collect()} == want
+
+
+def test_hot_key_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.skew import hot_key_salted_join
+
+    # one whale key (0) + calm tail
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1200, F.lit(0)).otherwise(F.col("id") % 50)
+         .alias("k"),
+        F.col("id").alias("lid"))
+    right = spark.range(0, 300).select(
+        (F.col("id") % 60).alias("k"), F.col("id").alias("rid"))
+
+    for how in ("inner", "left"):
+        got = hot_key_salted_join(left, right, ["k"], n_salt=8, how=how,
+                                  hot_min_frac=0.05)
+        plain = left.join(right, ["k"], how)
+        assert got.count() == plain.count()
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+
+def test_hot_key_salted_join_no_hot_keys_falls_back(spark):
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.skew import hot_key_salted_join
+
+    left = spark.range(0, 500).select((F.col("id") % 100).alias("k"),
+                                      F.col("id").alias("lid"))
+    right = spark.range(0, 100).select(F.col("id").alias("k"),
+                                       F.col("id").alias("rid"))
+    # uniform: no key holds >= 20% — plain join path
+    got = hot_key_salted_join(left, right, ["k"], hot_min_frac=0.2)
+    plain = left.join(right, ["k"], "inner")
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+
+
+def test_hot_key_salted_join_on_real_events(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.skew import hot_key_salted_join
+    from elt_gluepipeline_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    fact = ev.select("event_id", "user_id")
+    profile = (ev.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_events")))
+    got = hot_key_salted_join(fact, profile, ["user_id"], n_salt=4,
+                              hot_min_frac=0.001, hot_top_k=16)
+    plain = fact.join(profile, ["user_id"], "inner")
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
