@@ -155,6 +155,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q108_scd2_lookup",    # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q109_debounce",       # head full at 50: oracle-checked via
+                           # tools/check_correctness instead
 )
 
 

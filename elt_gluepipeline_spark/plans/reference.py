@@ -1940,6 +1940,90 @@ FROM p JOIN hist h
 
 
 # --------------------------------------------------------------------------
+# Q109 — debounce / near-time duplicate suppression: drop an event
+# that repeats the same (user, type) within 60 s of the PREVIOUS KEPT
+# event — the telemetry dedup that exact-PK dedup (q12) and content
+# dedup (q13) both miss (retransmits carry fresh ids and jittered
+# payloads). Anchor-to-kept semantics need a chain fold, not a plain
+# lag: a burst t, t+30, t+50, t+70 keeps t and t+70 (t+30/t+50 are
+# within 60 s of KEPT t, but t+70 is not — a lag-only filter would
+# also drop t+70 since its raw gap to t+50 is 20 s). The fold is the
+# same gap→session decomposition as q34: events whose raw gap ≥ 60 s
+# always survive and anchor a chain; within a chain, survival
+# alternates by cumulative distance from the anchor — expressed here
+# per chain via a bounded per-chain aggregate fold (chains are
+# short-lived bursts; the window is entity-keyed and parallel).
+# --------------------------------------------------------------------------
+
+_DEBOUNCE_S = 60
+
+
+def q109_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = ntz_micros("ts") - F.lag(ntz_micros("ts")).over(w)
+    bound = _DEBOUNCE_S * 1_000_000
+    # chain id: break whenever the raw gap >= bound (those rows are
+    # unconditionally kept and start a fresh debounce chain)
+    marked = (ev.select("user_id", "event_type", "event_id", "ts")
+                .withColumn("_gap", gap_us)
+                .withColumn("_brk", F.when(F.col("_gap").isNull()
+                                           | (F.col("_gap") >= bound), 1)
+                                     .otherwise(0)))
+    chain = (marked.withColumn(
+        "_chain", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    # within a chain, fold over the ordered (ts_us, event_id) list:
+    # keep a row iff it's >= bound past the last KEPT row. Chains are
+    # bursts (bounded), so the per-chain array is small by construction.
+    cw = Window.partitionBy("user_id", "event_type", "_chain") \
+               .orderBy("ts", "event_id") \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    rows_in_chain = F.collect_list(
+        F.struct(ntz_micros("ts").alias("us"),
+                 F.col("event_id").alias("eid"))).over(cw)
+    kept_anchor = F.aggregate(
+        rows_in_chain,
+        F.lit(None).cast("long"),
+        lambda acc, x: F.when(acc.isNull(), x["us"])
+                        .when(x["us"] - acc >= bound, x["us"])
+                        .otherwise(acc))
+    out = (chain.withColumn("_kept_us", kept_anchor)
+                .filter(F.col("_kept_us") == ntz_micros("ts")))
+    return out.select("user_id", "event_type", "event_id",
+                      ntz_micros("ts").alias("ts_us"))
+
+
+Q109_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= {_DEBOUNCE_S * 1_000_000} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), c AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id, event_type ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS chain
+  FROM o
+), folded AS (
+  SELECT user_id, event_type, event_id, us,
+         list_reduce(
+           list_prepend(CAST(NULL AS BIGINT),
+             list(us) OVER (PARTITION BY user_id, event_type, chain
+                            ORDER BY rn ROWS UNBOUNDED PRECEDING)),
+           (acc, x) -> CASE WHEN acc IS NULL THEN x
+                            WHEN x - acc >= {_DEBOUNCE_S * 1_000_000} THEN x
+                            ELSE acc END) AS kept_us
+  FROM c
+)
+SELECT user_id, event_type, event_id, us AS ts_us
+FROM folded WHERE kept_us = us
+"""
+
+
+# --------------------------------------------------------------------------
 # Q90 — referential-integrity audit across the warehouse: orphan
 # counts and coverage per FK relationship (lineitem→orders,
 # orders→customer, customer→nation) — the cross-TABLE quality gate the
@@ -2883,4 +2967,8 @@ SPECS = [
               "SCD2 point-in-time lookup: facts resolved against the "
               "dimension version in force (as-of form, no interval "
               "fan-out)"),
+    QuerySpec("q109_debounce", q109_debounce, Q109_SQL,
+              "debounce dedup: suppress repeats within 60s of the "
+              "previous KEPT event (anchored chain fold, not plain "
+              "lag)"),
 ]

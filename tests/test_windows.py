@@ -95,3 +95,33 @@ def test_scd2_history_null_state_transitions(spark):
     vs = sorted((r.version, r.state) for r in h.collect())
     # NULL==NULL collapses (eqNullSafe); NULL->A versions
     assert vs == [(1, None), (2, "A")]
+
+
+def test_q109_debounce_anchors_to_kept_not_lag(spark, tmp_path):
+    """Burst t, t+30, t+50, t+70: anchored semantics keep t and t+70
+    (t+70 is 70s past KEPT t); a naive lag-only filter would drop t+70
+    (raw gap to t+50 is 20s). Plus a >=60s event anchors fresh."""
+    import datetime as dt
+
+    from elt_gluepipeline_spark.plans import registry
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [(1, ts(0), 7, "click", 1.0, "{}"),
+            (2, ts(30), 7, "click", 1.0, "{}"),
+            (3, ts(50), 7, "click", 1.0, "{}"),
+            (4, ts(70), 7, "click", 1.0, "{}"),
+            (5, ts(200), 7, "click", 1.0, "{}"),   # fresh anchor
+            (6, ts(10), 7, "view", 1.0, "{}")]     # other type untouched
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    out = registry()["q109_debounce"].build(spark, str(d))
+    kept = sorted(r.event_id for r in out.collect())
+    assert kept == [1, 4, 5, 6]
