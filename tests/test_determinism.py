@@ -15,7 +15,11 @@ FLOAT_HEAVY = ["q02_clv", "q03_clv_tiered", "q07_loyalty_impact",
                # co-moment merges (corr/covar/regr_*) are the one agg
                # family where merge ORDER touches low-order float bits;
                # the rounded output must still be partition-stable
-               "q101_price_qty_regression"]
+               "q101_price_qty_regression",
+               # robust-z (median+MAD) and distribution windows mix
+               # percentiles with float division; partition-stability
+               # is the property the oracle hash rides on
+               "q84_anomaly_days", "q99_spend_percentiles"]
 
 
 def _fingerprint(df) -> list[str]:
