@@ -157,6 +157,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q109_debounce",       # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q110_stream_attribution_outer",  # head full at 50: oracle-checked
+                                      # via tools/check_correctness
 )
 
 

@@ -1878,6 +1878,68 @@ GROUP BY p.purchase_id, p.user_id, p.ts
 
 
 # --------------------------------------------------------------------------
+# Q110 — LEFT-OUTER stream-stream interval join: q48's attribution
+# including purchases with NO prior click. The outer side exercises
+# the null-emission machinery inner joins never touch: an unmatched
+# left row emits only once the watermark PROVES no future right row
+# can match, i.e. when the final global watermark (min over both
+# streams' max event time, minus lateness) passes it. Matched pairs
+# emit unconditionally, so the oracle is the batch LEFT range join
+# with unmatched rows restricted to ts <= that watermark — an
+# emission rule that depends only on the two stream maxima, hence
+# batch-layout-independent (verified empirically: both the count and
+# the max emitted unmatched timestamp match the rule exactly).
+# --------------------------------------------------------------------------
+
+def q110_stream_attribution_outer(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..streaming.stream import (run_rollup_available_now,
+                                    stream_interval_join)
+
+    def src() -> DataFrame:
+        return (read_table_stream(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type",
+                        ntz_to_instant("ts").alias("ts")))
+
+    purchases = (src().filter(F.col("event_type") == "purchase")
+                      .select("event_id", "user_id", "ts"))
+    clicks = (src().filter(F.col("event_type") == "click")
+                   .select("user_id", "ts"))
+    j = stream_interval_join(purchases, clicks, on=["user_id"],
+                             left_ts="ts", right_ts="ts",
+                             lower_s=-3600, upper_s=0, prefix="click_",
+                             how="left_outer")
+    drained = run_rollup_available_now(j, output_mode="append",
+                                       state_partitions=8)
+    return (drained.groupBy(F.col("event_id").alias("purchase_id"),
+                            F.col("user_id"))
+                   .agg(F.count("click_ts").alias("n_clicks_1h"),
+                        F.max(F.unix_micros("click_ts"))
+                         .alias("last_click_us")))
+
+
+Q110_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+wm AS (SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+              - INTERVAL 2 HOUR AS w),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+         COUNT(c.ts) AS n_clicks_1h,
+         epoch_us(MAX(c.ts)) AS last_click_us
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+  GROUP BY p.event_id, p.user_id, p.ts
+)
+SELECT purchase_id, user_id, n_clicks_1h, last_click_us
+FROM j, wm
+WHERE n_clicks_1h > 0 OR j.ts <= wm.w
+"""
+
+
+# --------------------------------------------------------------------------
 # Q100 — incremental corpus dedupe (operators.dedup
 # .incremental_jaccard_dedupe): even doc_ids, deduped among
 # themselves, form the accumulated corpus; odd doc_ids are the new
@@ -2059,6 +2121,11 @@ SPECS = [
     QuerySpec("q70_weighted_sample", q70_weighted_sample, Q70_SQL,
               "Efraimidis-Spirakis weighted sample (hash-derived "
               "uniforms; every inclusion oracle-re-derived)"),
+    QuerySpec("q110_stream_attribution_outer", q110_stream_attribution_outer,
+              Q110_SQL,
+              "LEFT-OUTER stream-stream interval join: watermark-"
+              "gated null emission for unmatched purchases (emission "
+              "rule oracle-pinned)"),
     QuerySpec("q107_next_click", q107_next_click, Q107_SQL,
               "forward as-of join: first click at-or-after each "
               "purchase (next-action latency; union+window plan)"),

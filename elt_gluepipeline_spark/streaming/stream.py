@@ -139,6 +139,7 @@ def stream_interval_join(
     upper_s: int,
     lateness: str = "2 hours",
     prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join (the streaming twin of
     operators.joins.range_join): right rows within
@@ -163,7 +164,17 @@ def stream_interval_join(
         c = lw[k] == rw[prefix + k]
         cond = c if cond is None else cond & c
     rts, lts = rw[prefix + right_ts], lw[left_ts]
+    # literal INTERVAL terms, not make_interval(): outer joins REQUIRE
+    # the analyzer to extract a state watermark from the condition, and
+    # StreamingJoinHelper only recognizes attr <op> attr + literal
+    # interval forms (make_interval is an opaque function call to it —
+    # fine for inner joins where eviction is an optimization, fatal for
+    # outer joins where it gates null-emission)
     cond = (cond
-            & (rts >= lts + F.expr(f"make_interval(0,0,0,0,0,0,{lower_s})"))
-            & (rts <= lts + F.expr(f"make_interval(0,0,0,0,0,0,{upper_s})")))
-    return lw.join(rw, cond, "inner")
+            & (rts >= lts + F.expr(f"INTERVAL '{lower_s}' SECOND"))
+            & (rts <= lts + F.expr(f"INTERVAL '{upper_s}' SECOND")))
+    # left_outer additionally emits unmatched left rows once the
+    # watermark proves no future right row can match (state-eviction
+    # driven — rows near the head of the stream finalize only after
+    # the global watermark clears their band + lateness)
+    return lw.join(rw, cond, how)
