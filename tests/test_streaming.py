@@ -423,3 +423,55 @@ def test_stream_incremental_dedupe_equals_sequential(spark, tmp_path):
     assert got == expect
     # and the fixture really exercised cross-batch matching
     assert 1 in got and 10 not in got and 11 in got and 20 not in got
+
+
+def test_update_mode_multibatch_converges_to_batch_agg(spark, tmp_path):
+    """UPDATE output mode across several micro-batches: each batch
+    re-emits only the CHANGED groups; taking the last emission per key
+    must converge to the plain batch aggregate. (complete mode re-emits
+    everything — update is the mode that scales output ∝ change.)"""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [("a", 1.0), ("b", 2.0)],
+        [("a", 10.0), ("c", 3.0)],
+        [("b", 5.0), ("a", 0.5)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k string, v double") \
+             .coalesce(1).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+
+    stream = (spark.readStream.schema("k string, v double")
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src) + "/*"))
+    agg = (stream.groupBy("k")
+                 .agg(F.sum(F.col("v").cast("decimal(18,4)"))
+                       .cast("double").alias("total"),
+                      F.count(F.lit(1)).alias("n")))
+    name = "_upd_sink_test"
+    q = (agg.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start())
+    q.awaitTermination()
+    # the memory sink accumulates one row per (batch, changed key):
+    # more rows than keys proves update-mode re-emission happened
+    log = spark.table(name).collect()
+    assert len(log) > 3, log
+    # last emission per key == batch aggregate
+    final = {}
+    for r in log:   # memory sink appends in batch order
+        final[r.k] = (r.total, r.n)
+    batch_rows = [(k, v) for rows in batches for k, v in rows]
+    expect_df = (spark.createDataFrame(batch_rows, "k string, v double")
+                 .groupBy("k")
+                 .agg(F.sum(F.col("v").cast("decimal(18,4)"))
+                       .cast("double").alias("total"),
+                      F.count(F.lit(1)).alias("n")))
+    expect = {r.k: (r.total, r.n) for r in expect_df.collect()}
+    assert final == expect
