@@ -2024,6 +2024,74 @@ FROM folded WHERE kept_us = us
 
 
 # --------------------------------------------------------------------------
+# Q111 — explicit GROUPING SETS (completing the lattice family: q26 is
+# ROLLUP, q52 is CUBE): exactly the grains a report needs — by status,
+# by priority, and the grand total — WITHOUT the cross grains a CUBE
+# would also compute. One Expand (3 replicas) + one aggregation;
+# grouping_id disambiguates the all-null grain from genuine nulls.
+# --------------------------------------------------------------------------
+
+def q111_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                           "o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(dsum("o_totalprice"), 4).alias("total"),
+                  F.grouping_id().alias("gid")))
+
+
+Q111_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND({dsum_sql('o_totalprice')}, 4) AS total,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Q112 — bounded PRIOR-rows window frame (ROWS BETWEEN -5 AND -1):
+# each order compared against the mean of the SAME customer's previous
+# five orders — the self-excluding peer baseline (q79's RANGE frame is
+# time-bounded and includes current; this is the count-bounded,
+# current-row-excluded form). Entity-keyed partitioning, one exchange.
+# --------------------------------------------------------------------------
+
+def q112_vs_prior_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(-5, -1))
+    prior_avg = (F.sum(dec("o_totalprice")).over(w).cast("double")
+                 / F.count(F.lit(1)).over(w))
+    return (o.select("o_orderkey", "o_custkey",
+                     F.count(F.lit(1)).over(w).alias("n_prior"),
+                     F.round(prior_avg, 4).alias("prior_avg"),
+                     F.round(F.col("o_totalprice")
+                             - F.coalesce(prior_avg, F.lit(0.0)), 4)
+                      .alias("delta_vs_prior"))
+             .filter(F.col("n_prior") > 0))
+
+
+Q112_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         COUNT(*) OVER win AS n_prior,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER win AS DOUBLE)
+           / COUNT(*) OVER win AS prior_avg
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+)
+SELECT o_orderkey, o_custkey, n_prior,
+       ROUND(prior_avg, 4) AS prior_avg,
+       ROUND(o_totalprice - COALESCE(prior_avg, 0.0), 4) AS delta_vs_prior
+FROM w WHERE n_prior > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Q90 — referential-integrity audit across the warehouse: orphan
 # counts and coverage per FK relationship (lineitem→orders,
 # orders→customer, customer→nation) — the cross-TABLE quality gate the
@@ -2971,4 +3039,10 @@ SPECS = [
               "debounce dedup: suppress repeats within 60s of the "
               "previous KEPT event (anchored chain fold, not plain "
               "lag)"),
+    QuerySpec("q111_grouping_sets", q111_grouping_sets, Q111_SQL,
+              "explicit GROUPING SETS (exact grains, one Expand) "
+              "completing the ROLLUP/CUBE lattice family"),
+    QuerySpec("q112_vs_prior_orders", q112_vs_prior_orders, Q112_SQL,
+              "bounded prior-rows frame (ROWS -5..-1): self-excluding "
+              "peer baseline per customer"),
 ]
