@@ -113,3 +113,43 @@ def load_thresholds_df(spark: SparkSession, source: str) -> DataFrame:
                     _as_double(qty.get("mean")), _as_double(qty.get("stddev")),
                 ))
     return spark.createDataFrame(rows, THRESHOLDS_SCHEMA)
+
+
+def load_quality_rules(source: str) -> dict[str, tuple[tuple[str, str], ...]]:
+    """YAML → per-table quality rule lists for the pipeline runner
+    (pipeline.PipelineConfig.quality_rules): the config-driven form of
+    the reference's rule files (mapping/dict_restaurant YAMLs feeding
+    go-quality-elt.py:141-166) for predicate rules.
+
+    Layout::
+
+        lineitem:
+          - name: price_nonpos
+            expr: l_extendedprice <= 0
+          - name: qty_band
+            expr: l_quantity IS NULL OR l_quantity >= 48
+        orders:
+          - name: total_nonpos
+            expr: o_totalprice <= 0
+
+    Exprs are Spark SQL boolean expressions compiled with F.expr at
+    stage time; order is preserved (violation tags list rule names in
+    rule order). Accepts a path or a YAML string.
+    """
+    data = _load_yaml(source)
+    if not isinstance(data, dict):
+        raise ValueError("quality rules YAML must map table -> rule list")
+    out: dict[str, tuple[tuple[str, str], ...]] = {}
+    for table, rules in data.items():
+        if not isinstance(rules, list):
+            raise ValueError(f"rules for {table!r} must be a list")
+        parsed = []
+        for r in rules:
+            if not isinstance(r, dict) or "name" not in r or "expr" not in r:
+                raise ValueError(f"rule entry needs name+expr: {r!r}")
+            parsed.append((str(r["name"]), str(r["expr"])))
+        names = [n for n, _ in parsed]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate rule names for {table!r}: {names}")
+        out[str(table)] = tuple(parsed)
+    return out

@@ -208,16 +208,24 @@ def main(argv: list[str] | None = None) -> int:
                     choices=("incremental", "full"))
     ap.add_argument("--metrics", default="q01_line_revenue",
                     help="comma-separated registry query names")
+    ap.add_argument("--rules", default=None,
+                    help="YAML file of per-table quality rules "
+                         "(functions.rules.load_quality_rules layout)")
     args = ap.parse_args(argv)
 
     tables = tuple(t.strip() for t in args.tables.split(",") if t.strip())
+    extra = {}
+    if args.rules:
+        from .functions.rules import load_quality_rules
+        extra["quality_rules"] = load_quality_rules(args.rules)
     cfg = PipelineConfig(
         source_dir=args.source, warehouse=args.warehouse, tables=tables,
         pk_config=args.pk,
         watermarks={t: args.watermark for t in tables},
         load_mode=args.load_mode,
         metric_queries=tuple(m.strip() for m in args.metrics.split(",")
-                             if m.strip()))
+                             if m.strip()),
+        **extra)
     from .session import get_spark
     spark = get_spark("elt-pipeline")
     spark.sparkContext.setLogLevel("WARN")

@@ -112,3 +112,43 @@ def test_yaml_thresholds_drive_q32_shaped_severity(spark):
     got = sorted((r.price, r.severity, r.flagged) for r in out.collect())
     assert got == [(6.0, "none", False), (9.0, "high", True),
                    (20.0, "low", True), (999.0, "none", False)]
+
+
+def test_load_quality_rules_yaml_drives_pipeline(spark, sf_dir, tmp_path):
+    from elt_gluepipeline_spark.functions.rules import load_quality_rules
+    from elt_gluepipeline_spark.pipeline import PipelineConfig, run_pipeline
+
+    yml = tmp_path / "rules.yml"
+    yml.write_text(
+        "lineitem:\n"
+        "  - name: price_nonpos\n"
+        "    expr: l_extendedprice <= 0\n"
+        "  - name: qty_band\n"
+        "    expr: l_quantity IS NULL OR l_quantity >= 48\n")
+    rules = load_quality_rules(str(yml))
+    assert rules == {"lineitem": (
+        ("price_nonpos", "l_extendedprice <= 0"),
+        ("qty_band", "l_quantity IS NULL OR l_quantity >= 48"))}
+
+    cfg = PipelineConfig(source_dir=sf_dir,
+                         warehouse=str(tmp_path / "wh"),
+                         quality_rules=rules, metric_queries=())
+    res = run_pipeline(spark, cfg,
+                       stages=("ingest", "transform", "quality"),
+                       run_id="y1")
+    n_clean, n_bad = res["quality"]["lineitem"]
+    assert n_bad > 0 and n_clean + n_bad == res["ingest"]["lineitem"]
+
+
+def test_load_quality_rules_rejects_malformed():
+    import pytest
+
+    from elt_gluepipeline_spark.functions.rules import load_quality_rules
+
+    with pytest.raises(ValueError):
+        load_quality_rules("- just\n- a list\n")
+    with pytest.raises(ValueError):
+        load_quality_rules("t:\n  - name: a\n")           # missing expr
+    with pytest.raises(ValueError):
+        load_quality_rules(
+            "t:\n  - {name: a, expr: x > 0}\n  - {name: a, expr: y > 0}\n")
