@@ -340,3 +340,33 @@ def test_q96_bitmap_distinct_has_no_expand(spark):
     assert "Expand" not in plan
     assert "bitmap_construct_agg" in plan or "bitmap" in plan.lower()
     assert "partial_" in plan  # map-side partial aggregation present
+
+
+def test_q107_forward_asof_single_shuffle(spark):
+    plan = _plan(spark, "q107_next_click")
+    # union+window form: exactly one exchange (the user_id window),
+    # no join operator at all
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange (") <= 1, plan
+
+
+def test_q111_grouping_sets_one_expand_one_agg(spark):
+    plan = _plan(spark, "q111_grouping_sets")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange (") <= 1, plan
+
+
+def test_q112_prior_frame_single_keyed_exchange(spark):
+    plan = _plan(spark, "q112_vs_prior_orders")
+    # entity-keyed bounded frame: one shuffle, never SinglePartition
+    assert plan.count("Exchange (") <= 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_q104_cooccurrence_dedupes_before_pair_join(spark):
+    import re
+    plan = _plan(spark, "q104_event_cooccurrence")
+    # the pair self-join must probe the DEDUPED (user, type) table:
+    # no CartesianProduct, and the per-type/user totals broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
