@@ -2092,6 +2092,78 @@ FROM w WHERE n_prior > 0
 
 
 # --------------------------------------------------------------------------
+# Q113 — clamped running balance (stock level that can't go negative):
+# returns restock (+qty), shipments draw down (−qty), floored at 0 per
+# supplier. The clamp makes the fold NON-associative, so it looks like
+# it needs a per-row sequential loop — but the classical identity
+#   clamped_i = prefix_i − min(0, min_{j≤i} prefix_j)
+# rewrites it as two ordinary running windows (sum + min) over the
+# same entity-keyed sort: one exchange, codegen'd, parallel per
+# supplier. (The same trick linearizes any max(0, ·) fold.)
+# --------------------------------------------------------------------------
+
+def q113_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    signed = F.when(F.col("l_returnflag") == "R", F.col("l_quantity")) \
+              .otherwise(-F.col("l_quantity"))
+    # testdata carries duplicate (orderkey, linenumber) pairs: the sort
+    # must be TOTAL or per-row prefixes become tie-order-dependent when
+    # duplicates differ in quantity/flag (the multiset of balances would
+    # vary across partitionings). returnflag+quantity complete the order;
+    # rows still tying are identical in d, so their balances are
+    # interchangeable.
+    w = (Window.partitionBy("l_suppkey")
+               .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    base = li.select("l_suppkey", "l_orderkey", "l_linenumber",
+                     "l_returnflag", "l_quantity",
+                     dec(signed).alias("_d"))
+    # two stacked running windows over the SAME sort (nested window
+    # functions are illegal; the second select reuses the first's
+    # exchange+sort — one shuffle total, pinned below in plan tests)
+    with_prefix = base.select("l_suppkey", "l_orderkey", "l_linenumber",
+                              "l_returnflag", "l_quantity",
+                              F.sum("_d").over(w).alias("_prefix"))
+    run_min = F.least(F.lit(0).cast("decimal(18,4)"),
+                      F.min("_prefix").over(w))
+    return (with_prefix
+            .select("l_suppkey", "l_orderkey", "l_linenumber",
+                    (F.col("_prefix") - run_min).cast("double")
+                     .alias("balance"))
+            .filter(F.col("balance") > 200.0))
+
+
+Q113_SQL = """
+WITH b AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                   ELSE -l_quantity END AS DECIMAL(18,4)) AS d
+  FROM lineitem
+), p AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         SUM(d) OVER (PARTITION BY l_suppkey
+                      ORDER BY l_orderkey, l_linenumber, l_returnflag,
+                               l_quantity
+                      ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM b
+), w AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         prefix,
+         LEAST(CAST(0 AS DECIMAL(18,4)),
+               MIN(prefix) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_orderkey, l_linenumber,
+                                          l_returnflag, l_quantity
+                                 ROWS UNBOUNDED PRECEDING)) AS run_min
+  FROM p
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(prefix - run_min AS DOUBLE) AS balance
+FROM w WHERE CAST(prefix - run_min AS DOUBLE) > 200.0
+"""
+
+
+# --------------------------------------------------------------------------
 # Q90 — referential-integrity audit across the warehouse: orphan
 # counts and coverage per FK relationship (lineitem→orders,
 # orders→customer, customer→nation) — the cross-TABLE quality gate the
@@ -3045,4 +3117,7 @@ SPECS = [
     QuerySpec("q112_vs_prior_orders", q112_vs_prior_orders, Q112_SQL,
               "bounded prior-rows frame (ROWS -5..-1): self-excluding "
               "peer baseline per customer"),
+    QuerySpec("q113_stock_balance", q113_stock_balance, Q113_SQL,
+              "clamped running balance via the prefix-minus-running-"
+              "min identity (non-associative fold as two windows)"),
 ]

@@ -19,7 +19,10 @@ FLOAT_HEAVY = ["q02_clv", "q03_clv_tiered", "q07_loyalty_impact",
                # robust-z (median+MAD) and distribution windows mix
                # percentiles with float division; partition-stability
                # is the property the oracle hash rides on
-               "q84_anomaly_days", "q99_spend_percentiles"]
+               "q84_anomaly_days", "q99_spend_percentiles",
+               # total-order window sort: per-row prefixes must not
+               # depend on tie order among duplicate keys
+               "q113_stock_balance"]
 
 
 def _fingerprint(df) -> list[str]:

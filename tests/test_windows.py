@@ -125,3 +125,35 @@ def test_q109_debounce_anchors_to_kept_not_lag(spark, tmp_path):
     out = registry()["q109_debounce"].build(spark, str(d))
     kept = sorted(r.event_id for r in out.collect())
     assert kept == [1, 4, 5, 6]
+
+
+def test_q113_clamp_identity_matches_sequential_fold(spark, sf_dir):
+    """prefix − min(0, running-min-of-prefix) == the sequential
+    clamp-at-zero fold, verified row-by-row in python."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.plans import registry
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+               .select("l_suppkey", "l_orderkey", "l_linenumber",
+                       "l_quantity", "l_returnflag").collect())
+    seqs = defaultdict(list)
+    for r in li:
+        d = r.l_quantity if r.l_returnflag == "R" else -r.l_quantity
+        seqs[r.l_suppkey].append(
+            (r.l_orderkey, r.l_linenumber, r.l_returnflag,
+             r.l_quantity, d))
+    expect = []
+    for k, rows in seqs.items():
+        bal = 0.0
+        for okey, line, _flag, _qty, d in sorted(rows):
+            bal = max(0.0, bal + d)
+            if bal > 200.0:
+                expect.append((k, okey, line, round(bal, 4)))
+    got = sorted((r.l_suppkey, r.l_orderkey, r.l_linenumber,
+                  round(r.balance, 4))
+                 for r in registry()["q113_stock_balance"]
+                 .build(spark, sf_dir).collect())
+    assert got == sorted(expect) and len(got) > 0
