@@ -165,6 +165,8 @@ _DEPRIORITIZED = (
                              # tools/check_correctness instead
     "q113_stock_balance",  # head full at 50: oracle-checked via
                            # tools/check_correctness instead
+    "q114_activity_streaks",  # head full at 50: oracle-checked via
+                              # tools/check_correctness instead
 )
 
 

@@ -2164,6 +2164,58 @@ FROM w WHERE CAST(prefix - run_min AS DOUBLE) > 200.0
 
 
 # --------------------------------------------------------------------------
+# Q114 — gaps-and-islands: longest consecutive-day activity streak per
+# user, via the date-minus-rank trick (consecutive days share
+# date − row_number, so each island collapses to one group key — no
+# self-join, no iterative chaining; the sessionize cousin for DISCRETE
+# grids). Shape: dedupe to user-days (the only corpus-sized shuffle),
+# entity-keyed rank window, two bounded aggregations.
+# --------------------------------------------------------------------------
+
+def q114_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = ud.withColumn(
+        "_island", F.date_sub("d", F.row_number().over(w)))
+    streaks = (islands.groupBy("user_id", "_island")
+                      .agg(F.count(F.lit(1)).alias("len"),
+                           F.min("d").alias("start_d")))
+    pair = F.struct(F.col("len"), F.col("start_d"))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("longest_streak"),
+                 F.max_by("start_d", pair).cast("string")
+                  .alias("streak_start"),
+                 F.count(F.lit(1)).alias("n_streaks")))
+
+
+Q114_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM ud
+),
+st AS (
+  SELECT user_id, island, COUNT(*) AS len, MIN(d) AS start_d
+  FROM isl GROUP BY user_id, island
+),
+rk AS (
+  SELECT user_id, len, start_d,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_d DESC) AS r,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+  FROM st
+)
+SELECT user_id, len AS longest_streak,
+       strftime(start_d, '%Y-%m-%d') AS streak_start,
+       n_streaks
+FROM rk WHERE r = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q90 — referential-integrity audit across the warehouse: orphan
 # counts and coverage per FK relationship (lineitem→orders,
 # orders→customer, customer→nation) — the cross-TABLE quality gate the
@@ -3120,4 +3172,7 @@ SPECS = [
     QuerySpec("q113_stock_balance", q113_stock_balance, Q113_SQL,
               "clamped running balance via the prefix-minus-running-"
               "min identity (non-associative fold as two windows)"),
+    QuerySpec("q114_activity_streaks", q114_activity_streaks, Q114_SQL,
+              "gaps-and-islands: longest consecutive-day streak via "
+              "date-minus-rank island keys (no self-join)"),
 ]
