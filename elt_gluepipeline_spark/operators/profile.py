@@ -30,10 +30,13 @@ def canonical_string(df: DataFrame, name: str) -> Column:
     dt = df.schema[name].dataType
     c = F.col(name)
     if isinstance(dt, T.DoubleType) or isinstance(dt, T.FloatType):
-        # decimal-quantized: both engines print DECIMAL(18,2) as
+        # decimal-quantized: both engines print DECIMAL(38,4) as
         # plain fixed-point, unlike raw doubles (shortest-repr
-        # formatting differs on edge values)
-        return c.cast("decimal(18,2)").cast("string")
+        # formatting differs on edge values). 38,4 represents
+        # |v| < 1e34 — a narrower 18,2 overflowed |v| >= 1e16 to NULL
+        # (non-ANSI cast), silently inflating n_nulls; values beyond
+        # 1e34 would still do so, documented limit.
+        return c.cast("decimal(38,4)").cast("string")
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
     if isinstance(dt, T.DateType):

@@ -153,7 +153,12 @@ def hot_key_salted_join(skewed: DataFrame, other: DataFrame,
         out = F.lit(False)
         for d in disjuncts:
             out = out | d
-        return out
+        # NULL-keyed rows: each equality yields SQL NULL and so does the
+        # OR-chain, and filter(NULL) / filter(~NULL) BOTH drop the row —
+        # a left join would silently lose skewed-side rows. Coalesce to
+        # false so null keys take the cold path (plain join keeps them
+        # with null payload, matching skewed.join(other, on, how)).
+        return F.coalesce(out, F.lit(False))
 
     hot_s, cold_s = skewed.filter(is_hot(skewed)), \
         skewed.filter(~is_hot(skewed))

@@ -36,6 +36,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import uuid
@@ -146,17 +147,51 @@ def stage_quality(spark: SparkSession, cfg: PipelineConfig,
     return split
 
 
+def _metric_source_dir(cfg: PipelineConfig) -> str:
+    """Assemble the metric stage's input dir: quality-gated ``final/``
+    tables where the pipeline produced them, raw source for the rest.
+
+    The reference's go-metric-elt.py reads FINAL_PATH — metrics see
+    only rows that survived the quality gate. Registry plans read
+    ``{dir}/{table}.parquet``, so we materialize one dir of symlinks
+    with that naming: piped tables point at ``final/<table>``, every
+    other testdata table at the raw source (plans may join dims the
+    pipeline never ingests). Symlinks are a local-FS convenience; on an
+    object store this would be a manifest/view layer instead.
+    """
+    import shutil
+
+    from .sources.readers import TESTDATA_TABLES
+
+    mdir = cfg.path("_state", "metric_src")
+    shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(mdir, exist_ok=True)
+    src = cfg.source_dir.rstrip("/")
+    for table in TESTDATA_TABLES:
+        final = cfg.path("final", table)
+        target = final if table in cfg.tables and os.path.isdir(final) \
+            else f"{src}/{table}.parquet"
+        if os.path.exists(target):
+            os.symlink(os.path.abspath(target),
+                       os.path.join(mdir, f"{table}.parquet"))
+    return mdir
+
+
 def stage_metric(spark: SparkSession, cfg: PipelineConfig,
                  manifest: RunManifest) -> dict[str, int]:
     """Materialize registry queries to metrics/<name>/ — the analog of
     go-metric-elt.py writing one parquet folder per metric family.
-    Each plan embeds its own lineage (read → conform → agg)."""
+    Each plan embeds its own lineage (read → conform → agg), and the
+    piped fact tables resolve to the quality-gated final/ folders
+    (go-metric-elt.py reads FINAL_PATH — quarantined rows must not
+    reach metrics)."""
     from .plans import registry
 
     specs = registry()
+    metric_src = _metric_source_dir(cfg)
     rows: dict[str, int] = {}
     for name in cfg.metric_queries:
-        df: DataFrame = specs[name].build(spark, cfg.source_dir)
+        df: DataFrame = specs[name].build(spark, metric_src)
         write_parquet(df, cfg.path("metrics", name), max_files=16)
         rows[name] = spark.read.parquet(cfg.path("metrics", name)).count()
         manifest.log("metric", name, "success", rows=rows[name])

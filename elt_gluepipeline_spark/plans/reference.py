@@ -1988,8 +1988,18 @@ def q109_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.when(acc.isNull(), x["us"])
                         .when(x["us"] - acc >= bound, x["us"])
                         .otherwise(acc))
+    # A row is kept iff the fold's anchor CHANGED at this row (the
+    # anchor only ever updates to the current row's us). Comparing
+    # against "_kept_us == ts" instead would keep EVERY row of a
+    # same-microsecond retransmit burst (second copy leaves the anchor
+    # unchanged but still equal to its own us) — the lag-of-anchor form
+    # keeps exactly the first row per anchor value.
+    cw_lag = Window.partitionBy("user_id", "event_type", "_chain") \
+                   .orderBy("ts", "event_id")
     out = (chain.withColumn("_kept_us", kept_anchor)
-                .filter(F.col("_kept_us") == ntz_micros("ts")))
+                .withColumn("_kept_prev", F.lag("_kept_us").over(cw_lag))
+                .filter(F.col("_kept_prev").isNull()
+                        | (F.col("_kept_us") != F.col("_kept_prev"))))
     return out.select("user_id", "event_type", "event_id",
                       ntz_micros("ts").alias("ts_us"))
 
@@ -2008,7 +2018,7 @@ WITH o AS (
                            ROWS UNBOUNDED PRECEDING) AS chain
   FROM o
 ), folded AS (
-  SELECT user_id, event_type, event_id, us,
+  SELECT user_id, event_type, event_id, us, chain, rn,
          list_reduce(
            list_prepend(CAST(NULL AS BIGINT),
              list(us) OVER (PARTITION BY user_id, event_type, chain
@@ -2019,7 +2029,10 @@ WITH o AS (
   FROM c
 )
 SELECT user_id, event_type, event_id, us AS ts_us
-FROM folded WHERE kept_us = us
+FROM (SELECT *, lag(kept_us) OVER (PARTITION BY user_id, event_type, chain
+                                   ORDER BY rn) AS kept_prev
+      FROM folded)
+WHERE kept_prev IS NULL OR kept_us <> kept_prev
 """
 
 
@@ -2699,7 +2712,7 @@ Q97_SQL = "\nUNION ALL".join([
     _profile_col_sql("o_custkey", "CAST(o_custkey AS VARCHAR)"),
     _profile_col_sql("o_orderstatus", "o_orderstatus"),
     _profile_col_sql("o_totalprice",
-                     "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+                     "CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR)"),
     _profile_col_sql("o_orderdate",
                      "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
     _profile_col_sql("o_orderpriority", "o_orderpriority"),

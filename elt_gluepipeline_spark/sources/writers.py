@@ -87,13 +87,18 @@ def compact_parquet(spark, path: str, *, target_files: int = 8,
     scans).
 
     The rewrite is one read→write job (no driver-side file handling);
-    the swap goes through a sibling temp dir + rename so readers never
-    observe a half-written folder. On object stores swap via manifest
-    pointer instead of rename. Returns the row count (cheap parity
-    check for callers).
+    the swap goes through a sibling temp dir, then old→aside rename,
+    tmp→live rename, delete-aside — a live copy of the data exists on
+    disk at every instant, and a crash mid-swap leaves either the old
+    folder (at the aside path) or the new one recoverable, never
+    neither. (Two renames aren't one atomic op: a reader can race the
+    microseconds between them — on POSIX use renameat2/EXCHANGE for a
+    true atomic swap; on object stores swap via manifest pointer.)
+    Returns the row count (cheap parity check for callers).
     """
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    base = path.rstrip("/")
+    tmp, aside = base + "__compact_tmp", base + "__compact_old"
     out = df.coalesce(target_files)
     writer = (out.write.mode("overwrite")
                  .option("compression", compression))
@@ -101,7 +106,10 @@ def compact_parquet(spark, path: str, *, target_files: int = 8,
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    move_path(tmp, path)
+    shutil.rmtree(aside, ignore_errors=True)
+    shutil.move(base, aside)   # old data stays live at the aside path
+    shutil.move(tmp, base)     # new data takes the live path
+    shutil.rmtree(aside)       # only now does the old copy disappear
     return n
 
 

@@ -131,3 +131,24 @@ def test_multi_table_chain(spark, sf_dir, tmp_path):
         assert res["ingest"][table] == n_pk
         n_clean, n_bad = res["quality"][table]
         assert n_clean + n_bad == n_pk
+
+
+def test_metric_stage_reads_quality_gated_final(spark, sf_dir, tmp_path):
+    """Metrics must see only rows that survived the quality gate (the
+    reference's go-metric-elt.py reads FINAL_PATH) — a metric over the
+    piped fact equals the same plan over final/, not over raw source."""
+    cfg = _cfg(tmp_path, sf_dir, metric_queries=("q01_line_revenue",))
+    res = run_pipeline(spark, cfg, run_id="rmetric")
+    n_clean, n_bad = res["quality"]["lineitem"]
+    assert n_bad > 0
+    # q01 is line-grain: its row count over final/ == n_clean; over raw
+    # source it would be the full line count.
+    assert res["metric"]["q01_line_revenue"] == n_clean
+    metric = spark.read.parquet(cfg.path("metrics", "q01_line_revenue"))
+    final = spark.read.parquet(cfg.path("final", "lineitem"))
+    got = metric.agg(F.sum("revenue")).collect()[0][0]
+    exp = final.agg(F.sum(
+        F.coalesce(F.col("l_extendedprice"), F.lit(0.0))
+        * (F.lit(1.0) - F.coalesce(F.col("l_discount"), F.lit(0.0))))
+    ).collect()[0][0]
+    assert abs(got - exp) < 1e-6 * max(1.0, abs(exp))

@@ -83,6 +83,19 @@ def test_profile_table_exact_stats_with_nulls(spark):
     assert prof["tag"].n_nulls == 1 and prof["tag"].n_distinct == 2
     assert prof["tag"].min_value == "a" and prof["tag"].max_value == "b"
     assert prof["score"].n_nulls == 1 and prof["score"].n_distinct == 2
-    # doubles canonicalize to DECIMAL(18,2) strings
-    assert prof["score"].min_value == "2.50"
-    assert prof["score"].max_value == "7.00"
+    # doubles canonicalize to DECIMAL(38,4) strings
+    assert prof["score"].min_value == "2.5000"
+    assert prof["score"].max_value == "7.0000"
+
+
+def test_profile_table_huge_doubles_not_nulled(spark):
+    """|v| >= 1e16 must stay representable (the old DECIMAL(18,2)
+    canonical form overflowed these to NULL, inflating n_nulls)."""
+    from elt_gluepipeline_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.5e16), (2, -3.0e20), (3, None)], "id long, v double")
+    prof = {r.column_name: r for r in profile_table(df, ["v"]).collect()}
+    assert prof["v"].n_nulls == 1          # only the genuine null
+    assert prof["v"].n_distinct == 2
+    assert prof["v"].max_value == "25000000000000000.0000"

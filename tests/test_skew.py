@@ -102,3 +102,30 @@ def test_hot_key_salted_join_on_real_events(spark, sf_dir):
     plain = fact.join(profile, ["user_id"], "inner")
     assert got.exceptAll(plain).count() == 0
     assert plain.exceptAll(got).count() == 0
+
+
+def test_hot_key_salted_join_left_with_null_keys(spark):
+    """NULL-keyed skewed-side rows must survive a left join with null
+    payload, exactly like the plain join (the hot/cold membership
+    predicate used to evaluate to SQL NULL on them, so BOTH branch
+    filters dropped the rows silently)."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.skew import hot_key_salted_join
+
+    left = spark.createDataFrame(
+        [(None, 100), (None, 101)]
+        + [("hot", i) for i in range(40)] + [("cold", 1)],
+        "k string, lid int")
+    right = spark.createDataFrame(
+        [("hot", 7), ("cold", 8)], "k string, rid int")
+    for how in ("inner", "left"):
+        got = hot_key_salted_join(left, right, ["k"], n_salt=4, how=how,
+                                  hot_min_frac=0.2)
+        plain = left.join(right, ["k"], how)
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+    # explicitly: left join keeps the 2 null-keyed rows
+    got_left = hot_key_salted_join(left, right, ["k"], n_salt=4,
+                                   how="left", hot_min_frac=0.2)
+    assert got_left.filter(F.col("k").isNull()).count() == 2
