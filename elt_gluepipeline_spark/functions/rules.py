@@ -69,6 +69,31 @@ def load_regex_rules(source: str, *, key: str = "patterns",
     return out
 
 
+def load_size_pattern(source: str) -> str:
+    """Size-regex YAML → ONE alternation pattern string for
+    ``functions.cleaning.extract_size_token``.
+
+    Reproduces the reference's assembly exactly
+    (go-transform-elt.py:86-98): accept ``{pattern: "..."}`` whole, or
+    ``{patterns: [...]}`` / ``{size_patterns: [...]}`` joined by plain
+    string concatenation (each fragment carries its own trailing
+    ``|``). Note the reference's shipped file
+    (mapping/regex/size_regex_patterns.yml) concatenates to a pattern
+    with a TRAILING ``|`` — an empty alternative that matches the
+    empty string, so as-written extraction returns "" for non-size
+    names rather than no-match; we preserve that faithfully (the
+    loader is layout plumbing, not a linter).
+    """
+    doc = _load_yaml(source) or {}
+    if doc.get("pattern"):
+        return str(doc["pattern"])
+    parts = doc.get("patterns") or doc.get("size_patterns")
+    if parts:
+        return "".join(str(p) for p in parts)
+    raise ValueError(
+        "Size regex missing: expected 'pattern' or 'patterns'/'size_patterns'")
+
+
 THRESHOLDS_SCHEMA = StructType([
     StructField("restaurant_id", StringType()),
     StructField("item_category", StringType()),

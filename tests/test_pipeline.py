@@ -152,3 +152,23 @@ def test_metric_stage_reads_quality_gated_final(spark, sf_dir, tmp_path):
         * (F.lit(1.0) - F.coalesce(F.col("l_discount"), F.lit(0.0))))
     ).collect()[0][0]
     assert abs(got - exp) < 1e-6 * max(1.0, abs(exp))
+
+
+def test_cli_rules_file_drives_quality(spark, sf_dir, tmp_path):
+    """`python -m elt_gluepipeline_spark.pipeline --rules f.yaml`:
+    YAML-configured rules (functions.rules.load_quality_rules) reach
+    the quality gate and stamp their names on quarantined rows."""
+    from elt_gluepipeline_spark.pipeline import main
+
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(
+        "lineitem:\n"
+        "  - name: yaml_qty_rule\n"
+        "    expr: l_quantity >= 48\n")
+    wh = tmp_path / "whcli"
+    assert main(["--source", sf_dir, "--warehouse", str(wh),
+                 "--stages", "ingest,transform,quality",
+                 "--rules", str(rules)]) == 0
+    quar = spark.read.parquet(str(wh / "quarantine" / "lineitem"))
+    names = {r.violated for r in quar.select("violated").distinct().collect()}
+    assert names == {"yaml_qty_rule"}
