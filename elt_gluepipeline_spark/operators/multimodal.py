@@ -1,11 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by Arrow-batched pandas functions over mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub (deterministic fake features derived from the
-bytes). Everything Spark-side is real and tested: the schema contract
-(binary + struct metadata), the mapInPandas batch shape, and the
-partitioning story (payloads never shuffle unless the caller
+Decode status, honestly marked per format:
+
+- BMP (uncompressed 8/24-bpp) and WAV (PCM 8/16-bit) are REALLY
+  decoded by the pure-Python header/pixel parsers below (`decode_bmp`,
+  `decode_wav` → `media_probe`): width/height/palette-mapped luminance
+  and sample-rate/duration/amplitude are actual values read from the
+  bytes, oracle-checked in q115.
+- codec formats (jpeg/mp3/mp4 — no codecs in this container) keep the
+  clearly-marked stub (deterministic fake features derived from the
+  bytes).
+
+Everything Spark-side is real and tested either way: the schema
+contract (binary + struct metadata), the mapInPandas batch shape, and
+the partitioning story (payloads never shuffle unless the caller
 repartitions; feature extraction is a map-only stage).
 """
 
@@ -16,8 +25,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (BinaryType, BooleanType, LongType, StringType,
+                               StructField, StructType)
 
 from . import ensure_min_partitions
 
@@ -258,3 +267,215 @@ def downsample_raster(assets: DataFrame, *, width: int, height: int,
                 "width": ow, "height": oh})
 
     return assets.mapInPandas(_down, schema=RESIZED_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# REAL pure-Python decoders for self-describing formats (no codec
+# library needed): uncompressed BMP and PCM WAV. These make
+# width/height/duration/luminance actual decoded values; formats that
+# need a codec (jpeg/mp3/...) stay on the stub path, loudly.
+# --------------------------------------------------------------------
+
+import struct
+
+
+def decode_bmp(data: bytes):
+    """Parse an uncompressed 8-bpp (palettized) or 24-bpp BMP.
+
+    Returns ``(width, height, bpp, gray)`` where ``gray`` is a
+    float64 height×width luminance array (palette-mapped BT.601 for
+    8-bpp, BT.601 over BGR for 24-bpp). Handles bottom-up and
+    top-down (negative height) row order and 4-byte row padding.
+    Raises ValueError for anything that isn't a plain BI_RGB
+    BITMAPINFOHEADER BMP — callers route those to the stub path.
+    """
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (8, 24):
+        raise ValueError(
+            f"unsupported BMP (planes={planes} bpp={bpp} comp={compression})")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (width * bpp // 8 + 3) // 4 * 4
+    need = pix_off + stride * height
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need}")
+
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data, dtype=np.uint8,
+                            count=4 * n_colors, offset=pal_off)
+        pal = pal.reshape(n_colors, 4).astype(np.float64)  # B,G,R,reserved
+        lum_table = (0.114 * pal[:, 0] + 0.587 * pal[:, 1]
+                     + 0.299 * pal[:, 2])
+        rows = np.frombuffer(data, dtype=np.uint8, count=stride * height,
+                             offset=pix_off).reshape(height, stride)
+        gray = lum_table[rows[:, :width]]
+    else:
+        rows = np.frombuffer(data, dtype=np.uint8, count=stride * height,
+                             offset=pix_off).reshape(height, stride)
+        bgr = rows[:, : width * 3].reshape(height, width, 3).astype(np.float64)
+        gray = 0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]
+    if not top_down:
+        gray = gray[::-1]
+    return width, height, bpp, gray
+
+
+def encode_bmp(gray) -> bytes:
+    """Build an 8-bpp grayscale-palette BMP from a uint8 H×W array —
+    the synthesis/test harness counterpart of decode_bmp (bottom-up
+    row order, 4-byte padded rows, 256-entry linear palette)."""
+    import numpy as np
+
+    img = np.asarray(gray, dtype=np.uint8)
+    height, width = img.shape
+    stride = (width + 3) // 4 * 4
+    pal = b"".join(struct.pack("<BBBB", v, v, v, 0) for v in range(256))
+    pix_off = 14 + 40 + len(pal)
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :width] = img
+    pixels = rows[::-1].tobytes()          # bottom-up storage
+    file_size = pix_off + len(pixels)
+    header = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, pix_off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                            len(pixels), 2835, 2835, 256, 0))
+    return header + pal + pixels
+
+
+def decode_wav(data: bytes):
+    """Parse a PCM RIFF/WAVE file (8- or 16-bit).
+
+    Returns ``(n_channels, sample_rate, bits, samples)`` with
+    ``samples`` a float64 (n_frames, n_channels) array in native
+    amplitude units (uint8 centered to [-128,127]). Walks the chunk
+    list properly (fmt may be followed by LIST/fact before data; odd
+    chunks pad to even). Raises ValueError on non-PCM or missing
+    chunks — callers route those to the stub path.
+    """
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)       # chunks pad to even length
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+    if bits == 16:
+        raw = np.frombuffer(pcm, dtype="<i2",
+                            count=len(pcm) // 2 // channels * channels)
+        samples = raw.astype(np.float64)
+    else:
+        raw = np.frombuffer(pcm, dtype=np.uint8,
+                            count=len(pcm) // channels * channels)
+        samples = raw.astype(np.float64) - 128.0
+    return channels, rate, bits, samples.reshape(-1, channels)
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Build a 16-bit mono PCM WAV from an int16 array — the
+    synthesis/test harness counterpart of decode_wav."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(pcm)) + pcm
+              + (b"\0" if len(pcm) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+PROBE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("media_format", StringType(), True),
+    StructField("decoded", BooleanType(), True),
+    StructField("width", LongType(), True),         # images
+    StructField("height", LongType(), True),
+    StructField("n_channels", LongType(), True),    # audio
+    StructField("sample_rate", LongType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("duration_us", LongType(), True),
+    StructField("mean_signal", StringType(), True),  # 4-dp fixed string
+    StructField("byte_len", LongType(), True),
+])
+
+
+def media_probe(assets: DataFrame) -> DataFrame:
+    """REAL metadata/feature probe: per-asset decode dispatched on
+    media_format — 'bmp' and 'wav' payloads are actually parsed
+    (dimensions, palette-mapped mean luminance; channel/rate/duration,
+    mean amplitude); every other format degrades to the honest stub
+    (decoded=false, byte stats only). Map-only mapInPandas, zero
+    shuffle; per-asset work is bounded by payload size.
+
+    mean_signal: mean luminance (BMP) / mean amplitude (WAV) as a
+    fixed 4-decimal string — engine-stable for oracle comparison.
+    """
+    import numpy as np
+
+    assets = ensure_min_partitions(assets)
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "media_format", "decoded",
+                                   "width", "height", "n_channels",
+                                   "sample_rate", "n_samples",
+                                   "duration_us", "mean_signal",
+                                   "byte_len")}
+            for aid, fmt, p in zip(pdf["asset_id"], pdf["media_format"],
+                                   pdf["payload"]):
+                row = dict.fromkeys(out, None)
+                row["asset_id"], row["media_format"] = aid, fmt
+                row["byte_len"] = len(p) if p is not None else 0
+                row["decoded"] = False
+                if p is not None:
+                    try:
+                        if fmt == "bmp":
+                            w, h, _bpp, gray = decode_bmp(bytes(p))
+                            row.update(width=w, height=h, decoded=True,
+                                       mean_signal=f"{gray.mean():.4f}")
+                        elif fmt == "wav":
+                            ch, rate, _bits, samp = decode_wav(bytes(p))
+                            n = samp.shape[0]
+                            row.update(
+                                n_channels=ch, sample_rate=rate,
+                                n_samples=n,
+                                duration_us=n * 1_000_000 // rate,
+                                decoded=True,
+                                mean_signal=f"{samp.mean():.4f}" if n else None)
+                    except ValueError:
+                        row["decoded"] = False   # honest: not decodable
+                for k, v in row.items():
+                    out[k].append(v)
+            nullable_long = ("width", "height", "n_channels", "sample_rate",
+                             "n_samples", "duration_us")
+            yield pd.DataFrame({
+                k: (pd.array(v, dtype="Int64") if k in nullable_long
+                    else pd.Series(v))
+                for k, v in out.items()})
+
+    return assets.mapInPandas(_probe, schema=PROBE_SCHEMA)

@@ -167,6 +167,8 @@ _DEPRIORITIZED = (
                            # tools/check_correctness instead
     "q114_activity_streaks",  # head full at 50: oracle-checked via
                               # tools/check_correctness instead
+    "q115_media_probe",    # provisional tail slot; the round-4 head
+                           # rotation moves the new queries forward
 )
 
 

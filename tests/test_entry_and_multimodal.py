@@ -144,3 +144,129 @@ def test_downsample_raster_is_block_mean(spark):
     st = raster_stats(downsample_raster(assets, width=w, height=h, factor=f),
                       width=w // f, height=h // f).collect()[0]
     assert st.mean_lum == f"{np.frombuffer(expect, np.uint8).mean():.4f}"
+
+
+# ---------------- real BMP/WAV decode (round-4) ----------------
+
+def test_decode_bmp_24bpp_golden_bottom_up():
+    """Hand-crafted 3x2 24-bpp BMP (NOT built by our encoder): padded
+    12-byte rows, bottom-up storage — decode must un-flip and strip
+    padding. Pixel (0,0) red, (1,0) green, rest blue-ish gray checks
+    the BGR byte order and BT.601 weights."""
+    import struct
+
+    import numpy as np
+
+    from elt_gluepipeline_spark.operators.multimodal import decode_bmp
+
+    w, h, stride = 3, 2, 12
+    # rows as stored (bottom-up): file row 0 = image row 1
+    row_img1 = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30]) + b"\0\0\0"
+    row_img0 = bytes([0, 0, 255,  0, 255, 0,  255, 0, 0]) + b"\0\0\0"  # BGR!
+    pixels = row_img1 + row_img0
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(pixels), 0, 0, 0, 0))
+    width, height, bpp, gray = decode_bmp(hdr + pixels)
+    assert (width, height, bpp) == (3, 2, 24)
+    # image row 0: red=(R255)->0.299*255, green->0.587*255, blue->0.114*255
+    assert np.allclose(gray[0], [0.299 * 255, 0.587 * 255, 0.114 * 255])
+    assert np.allclose(gray[1], [10, 20, 30])
+
+
+def test_decode_bmp_top_down_and_roundtrip():
+    import numpy as np
+
+    from elt_gluepipeline_spark.operators.multimodal import (decode_bmp,
+                                                             encode_bmp)
+
+    img = (np.arange(35, dtype=np.uint8).reshape(5, 7) * 7) % 256
+    data = bytearray(encode_bmp(img))
+    w, h, bpp, gray = decode_bmp(bytes(data))
+    assert (w, h, bpp) == (7, 5, 8)
+    assert np.allclose(gray, img)            # linear palette -> identity
+    # flip the height sign -> top-down: rows must come back reversed
+    import struct
+    struct.pack_into("<i", data, 22, -5)
+    pix = bytearray(data)
+    _, _, _, gray_td = decode_bmp(bytes(pix))
+    assert np.allclose(gray_td, img[::-1])
+
+
+def test_decode_bmp_rejects_non_bmp():
+    import pytest as _pytest
+
+    from elt_gluepipeline_spark.operators.multimodal import decode_bmp
+
+    for bad in (b"", b"\xff\xd8\xff\xe0" + b"x" * 100,  # JPEG magic
+                b"BM" + b"\0" * 20):                      # truncated
+        with _pytest.raises(ValueError):
+            decode_bmp(bad)
+
+
+def test_decode_wav_golden_with_extra_chunk():
+    """Hand-crafted stereo 16-bit WAV with a 'fact' chunk between fmt
+    and data (chunk-walk must skip it) and an odd-sized trailing chunk
+    pad."""
+    import struct
+
+    import numpy as np
+
+    from elt_gluepipeline_spark.operators.multimodal import decode_wav
+
+    frames = [(100, -100), (200, -200), (300, -300)]
+    pcm = b"".join(struct.pack("<hh", a, b) for a, b in frames)
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 16000 * 4, 4, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 3) + b"abc\0"   # odd size, padded
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    ch, rate, bits, samples = decode_wav(data)
+    assert (ch, rate, bits) == (2, 16000, 16)
+    assert samples.shape == (3, 2)
+    assert np.allclose(samples[:, 0], [100, 200, 300])
+    assert np.allclose(samples[:, 1], [-100, -200, -300])
+
+
+def test_decode_wav_roundtrip_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from elt_gluepipeline_spark.operators.multimodal import (decode_wav,
+                                                             encode_wav)
+
+    samp = (np.arange(101) * 13 - 650).astype(np.int16)   # odd length
+    ch, rate, bits, out = decode_wav(encode_wav(samp, 8000))
+    assert (ch, rate, bits) == (1, 8000, 16)
+    assert np.allclose(out[:, 0], samp)
+    for bad in (b"", b"RIFFxxxxWAVE",                     # no chunks
+                b"OggS" + b"\0" * 50):                    # wrong magic
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_media_probe_dispatch_and_stub_path(spark):
+    """media_probe: bmp/wav REALLY decode; unknown formats honestly
+    report decoded=false with byte stats only."""
+    import numpy as np
+
+    from elt_gluepipeline_spark.operators.multimodal import (encode_bmp,
+                                                             encode_wav,
+                                                             media_probe)
+
+    bmp = encode_bmp(np.full((4, 6), 90, np.uint8))
+    wav = encode_wav(np.full(50, 700, np.int16), 4000)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), "bmp"),
+         (2, "audio", bytearray(wav), "wav"),
+         (3, "image", bytearray(b"\xff\xd8\xff\xe0jpegish"), "jpeg"),
+         (4, "image", bytearray(b"not really a bmp"), "bmp")],
+        "asset_id long, modality string, payload binary, media_format string")
+    got = {r.asset_id: r for r in media_probe(assets).collect()}
+    assert got[1].decoded and (got[1].width, got[1].height) == (6, 4)
+    assert got[1].mean_signal == "90.0000"
+    assert got[2].decoded and got[2].sample_rate == 4000
+    assert got[2].n_samples == 50 and got[2].duration_us == 12500
+    assert got[2].mean_signal == "700.0000"
+    assert not got[3].decoded and got[3].byte_len == 11
+    assert not got[4].decoded                  # bad magic under bmp format
