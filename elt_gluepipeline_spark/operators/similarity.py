@@ -442,7 +442,18 @@ def _pq_sqd(sv: Column, c: list[float]) -> Column:
 
 
 def _pq_dists(s: int, w: int, book: list[list[float]]) -> Column:
-    return F.array(*[_pq_sqd(_pq_subvec(s, w), c) for c in book])
+    """Distances of a subvector to EVERY centroid, as ONE transform
+    over a 2-D literal array instead of k separate fold expressions —
+    the values and their left-to-right fold order are identical, but
+    the expression tree is ~k× smaller, which cuts plan analysis +
+    codegen time (the dominant cost of the serve path at small data;
+    at scale it also keeps the generated method under JIT limits)."""
+    lit_book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+    sv = _pq_subvec(s, w)
+    return F.transform(
+        lit_book,
+        lambda c: F.aggregate(F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, e: acc + e))
 
 
 def _pq_argmin(d: Column) -> Column:
@@ -482,16 +493,17 @@ def _pq_cells_udf(books: list[list[list[float]]], w: int):
 
 def _pq_chosen_dist(s: int, w: int, book: list[list[float]],
                     cell: Column) -> Column:
-    """Sequential-fold distance to the CHOSEN centroid only: a lazy
-    when-chain over the k cells, so exactly one O(w) fold evaluates
-    per row — the oracle-matching distance without materializing the
-    full k-distance array."""
-    chain = None
-    for j, c in enumerate(book):
-        d = _pq_sqd(_pq_subvec(s, w), c)
-        chain = F.when(cell == j, d) if chain is None \
-            else chain.when(cell == j, d)
-    return chain
+    """Sequential-fold distance to the CHOSEN centroid: one O(w) fold
+    against the centroid PICKED OUT of the 2-D codebook literal by the
+    cell id. (The previous k-branch when-chain had the same values but
+    a k× bigger expression tree; plan analysis + codegen dominated the
+    query at bench scale.)"""
+    lit_book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+    chosen = F.element_at(lit_book, cell + 1)
+    return F.aggregate(
+        F.zip_with(_pq_subvec(s, w), chosen,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, e: acc + e)
 
 
 def _pq_fit(v: DataFrame, *, m: int, k: int, n_iter: int, seed: int,
@@ -627,44 +639,19 @@ def pq_adc_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
 
     Output: (query_id, neighbor_id, adc_dist) — summed table lookups,
     rounded BEFORE ranking; ties break on neighbor_id.
+
+    Fit+serve convenience: trains then delegates to the serve-only
+    ``pq_adc_topk_serve`` — production deployments fit once with
+    ``fit_pq_artifact``/``save_pq_artifact`` and serve from the
+    loaded artifact (identical output by construction).
     """
-    dim_row = candidates.select(F.size(vec_col).alias("d")).head(1)
-    if not dim_row:
-        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
-                       .withColumn("neighbor_id", F.col("query_id"))
-                       .withColumn("adc_dist", F.lit(0.0)))
-    dim = dim_row[0]["d"]
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    w = dim // m
-
-    c = candidates.select(F.col(id_col).alias("_id"),
-                          _as_double(F.col(vec_col)).alias("_v"))
-    books = _pq_fit(c, m=m, k=k, n_iter=n_iter, seed=seed, grid=grid, w=w)
-    if books is None:
-        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
-                       .withColumn("neighbor_id", F.col("query_id"))
-                       .withColumn("adc_dist", F.lit(0.0)))
-
-    codes = (c.withColumn("_cells", _pq_cells_udf(books, w)("_v"))
-              .select(F.col("_id").alias("neighbor_id"),
-                      *[F.element_at("_cells", s + 1).alias(f"_c{s}")
-                        for s in range(m)]))
-
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("_v"))
-    qtabs = q.select(
-        "query_id",
-        *[_pq_dists(s, w, books[s]).alias(f"_t{s}") for s in range(m)])
-
-    scored = (codes.crossJoin(F.broadcast(qtabs))
-                   .filter(F.col("neighbor_id") != F.col("query_id")))
-    lookups = [F.element_at(f"_t{s}", F.col(f"_c{s}") + 1) for s in range(m)]
-    scored = scored.withColumn(
-        "adc_dist", F.round(sum(lookups[1:], lookups[0]), round_to))
-    top = top_n_per_key(scored, ["query_id"],
-                        [F.col("adc_dist").asc(), F.col("neighbor_id")],
-                        k_neighbors)
-    return top.select("query_id", "neighbor_id", "adc_dist")
+    art = fit_pq_artifact(candidates, m=m, k=k, n_iter=n_iter, seed=seed,
+                          id_col=id_col, vec_col=vec_col, grid=grid,
+                          round_to=round_to)
+    if art is None:
+        return _empty_pairs(queries, id_col, "adc_dist")
+    return pq_adc_topk_serve(queries, candidates, k_neighbors, art,
+                             id_col=id_col, vec_col=vec_col)
 
 
 def ivf_pq_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
@@ -689,44 +676,201 @@ def ivf_pq_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
     recall, quantization error); rerank survivors exactly when needed.
 
     Output: (query_id, neighbor_id, adc_dist), ≤ k_neighbors per query.
+
+    Fit+serve convenience: trains (coarse + PQ) then delegates to the
+    serve-only ``ivf_pq_topk_serve`` — production deployments fit once
+    with ``fit_pq_artifact(n_cells=...)`` and serve from the loaded
+    artifact (identical output by construction).
     """
-    dim_row = candidates.select(F.size(vec_col).alias("d")).head(1)
+    art = fit_pq_artifact(candidates, m=m, k=k, n_iter=n_iter, seed=seed,
+                          n_cells=n_cells, cell_seed=cell_seed,
+                          id_col=id_col, vec_col=vec_col, grid=grid,
+                          round_to=round_to)
+    if art is None or art.coarse is None:
+        return _empty_pairs(queries, id_col, "adc_dist")
+    return ivf_pq_topk_serve(queries, candidates, k_neighbors, art,
+                             n_probe=n_probe, id_col=id_col,
+                             vec_col=vec_col)
+
+
+# --------------------------------------------------------------------
+# Fit/serve split (round-4): train codebooks ONCE, persist them as a
+# parquet artifact, and serve queries against the stored artifact with
+# NO training stage in the plan. This is the production ANN shape —
+# at 100 TB the fit is a scheduled offline job over a sample; serving
+# loads k·m centroid rows (a bounded collect) and runs pure
+# broadcast-GEMM scoring. The fit+serve convenience wrappers
+# (pq_adc_topk / ivf_pq_topk) now delegate to the same serve code, so
+# both paths are output-identical by construction.
+# --------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PQArtifact:
+    """Trained quantizer state: m per-subspace codebooks (k centroids
+    of width w each) and optionally the IVF coarse centroids."""
+    m: int
+    k: int
+    w: int
+    dim: int
+    grid: int
+    round_to: int
+    books: tuple          # books[s][cell] = centroid (list[float], len w)
+    coarse: tuple | None  # coarse[cell] = centroid (list[float], len dim)
+
+
+def fit_pq_artifact(df: DataFrame, *, m: int = 4, k: int = 16,
+                    n_iter: int = 2, seed: int = 7,
+                    n_cells: int | None = None, cell_seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    grid: int = 1_000_000,
+                    round_to: int = 6) -> PQArtifact | None:
+    """Train PQ codebooks (and IVF coarse centroids when ``n_cells``)
+    over a corpus — the offline fit job. Same engine-portable recipe
+    as ``product_quantize``/``ivf_pq_topk`` (md5-seeded init,
+    grid-exact Lloyd updates), so a serve run against this artifact is
+    output-identical to the fused fit+serve wrappers. Returns None on
+    empty input."""
+    dim_row = df.select(F.size(vec_col).alias("d")).head(1)
     if not dim_row:
-        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
-                       .withColumn("neighbor_id", F.col("query_id"))
-                       .withColumn("adc_dist", F.lit(0.0)))
+        return None
     dim = dim_row[0]["d"]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     w = dim // m
+    v = df.select(F.col(id_col).alias("_id"),
+                  _as_double(F.col(vec_col)).alias("_v"))
+    books = _pq_fit(v, m=m, k=k, n_iter=n_iter, seed=seed, grid=grid, w=w)
+    if books is None:
+        return None
+    coarse = None
+    if n_cells:
+        cb = _pq_fit(v, m=1, k=n_cells, n_iter=1, seed=cell_seed,
+                     grid=grid, w=dim)
+        coarse = tuple(tuple(c) for c in cb[0]) if cb else None
+    return PQArtifact(m=m, k=k, w=w, dim=dim, grid=grid, round_to=round_to,
+                      books=tuple(tuple(tuple(c) for c in b) for b in books),
+                      coarse=coarse)
 
+
+_ARTIFACT_SCHEMA = ("kind string, s int, cell int, centroid array<double>, "
+                    "m int, k int, w int, dim int, grid long, round_to int")
+
+
+def save_pq_artifact(spark, art: PQArtifact, path: str) -> None:
+    """Persist an artifact as ONE small parquet folder (k·m + n_cells
+    rows; params replicated per row so the file is self-describing —
+    no sidecar to race against)."""
+    rows = [("pq", s, j, list(art.books[s][j]),
+             art.m, art.k, art.w, art.dim, art.grid, art.round_to)
+            for s in range(art.m) for j in range(art.k)]
+    if art.coarse is not None:
+        rows += [("coarse", 0, j, list(c),
+                  art.m, art.k, art.w, art.dim, art.grid, art.round_to)
+                 for j, c in enumerate(art.coarse)]
+    (spark.createDataFrame(rows, _ARTIFACT_SCHEMA)
+          .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_pq_artifact(spark, path: str) -> PQArtifact:
+    """Load a persisted artifact (bounded collect). Raises on missing/
+    torn artifacts — callers fall back to a refit."""
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"empty PQ artifact at {path}")
+    meta = rows[0]
+    books: dict[tuple[int, int], list[float]] = {}
+    coarse: dict[int, list[float]] = {}
+    for r in rows:
+        if r["kind"] == "pq":
+            books[(r["s"], r["cell"])] = list(r["centroid"])
+        else:
+            coarse[r["cell"]] = list(r["centroid"])
+    if len(books) != meta["m"] * meta["k"]:
+        raise ValueError(f"torn PQ artifact at {path}: "
+                         f"{len(books)} != {meta['m']}x{meta['k']} cells")
+    return PQArtifact(
+        m=meta["m"], k=meta["k"], w=meta["w"], dim=meta["dim"],
+        grid=meta["grid"], round_to=meta["round_to"],
+        books=tuple(tuple(tuple(books[(s, j)]) for j in range(meta["k"]))
+                    for s in range(meta["m"])),
+        coarse=(tuple(tuple(coarse[j]) for j in range(len(coarse)))
+                if coarse else None))
+
+
+def _empty_pairs(queries: DataFrame, id_col: str, dist_name: str) -> DataFrame:
+    return (queries.select(F.col(id_col).alias("query_id")).limit(0)
+                   .withColumn("neighbor_id", F.col("query_id"))
+                   .withColumn(dist_name, F.lit(0.0)))
+
+
+def pq_adc_topk_serve(queries: DataFrame, candidates: DataFrame,
+                      k_neighbors: int, art: PQArtifact, *,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Serve-only ADC search: NO training stage in this plan — the
+    codebooks arrive as literals from a fitted artifact. Candidate
+    codes are a map-only GEMM projection, query lookup tables build
+    once and broadcast, scoring is m array lookups + adds per
+    candidate. See ``pq_adc_topk`` for the algorithm contract."""
+    m, w, books = art.m, art.w, [list(map(list, b)) for b in art.books]
     c = candidates.select(F.col(id_col).alias("_id"),
                           _as_double(F.col(vec_col)).alias("_v"))
-    coarse = _pq_fit(c, m=1, k=n_cells, n_iter=1, seed=cell_seed,
-                     grid=grid, w=dim)
-    books = _pq_fit(c, m=m, k=k, n_iter=n_iter, seed=seed, grid=grid, w=w)
-    if coarse is None or books is None:
-        return (queries.select(F.col(id_col).alias("query_id")).limit(0)
-                       .withColumn("neighbor_id", F.col("query_id"))
-                       .withColumn("adc_dist", F.lit(0.0)))
-    icent = coarse[0]
+    codes = (c.withColumn("_cells", _pq_cells_udf(books, w)("_v"))
+              .select(F.col("_id").alias("neighbor_id"),
+                      *[F.element_at("_cells", s + 1).alias(f"_c{s}")
+                        for s in range(m)]))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_v"))
+    qtabs = q.select(
+        "query_id",
+        *[_pq_dists(s, w, books[s]).alias(f"_t{s}") for s in range(m)])
+    scored = (codes.crossJoin(F.broadcast(qtabs))
+                   .filter(F.col("neighbor_id") != F.col("query_id")))
+    lookups = [F.element_at(f"_t{s}", F.col(f"_c{s}") + 1) for s in range(m)]
+    scored = scored.withColumn(
+        "adc_dist", F.round(sum(lookups[1:], lookups[0]), art.round_to))
+    top = top_n_per_key(scored, ["query_id"],
+                        [F.col("adc_dist").asc(), F.col("neighbor_id")],
+                        k_neighbors)
+    return top.select("query_id", "neighbor_id", "adc_dist")
 
-    # candidate side: coarse cell + PQ cells, both via the Arrow GEMM
-    # path (the coarse quantizer is a 1-subspace codebook of width dim)
-    cell_d = F.array(*[_pq_sqd(F.col("_v"), cv) for cv in icent])
+
+def ivf_pq_topk_serve(queries: DataFrame, candidates: DataFrame,
+                      k_neighbors: int, art: PQArtifact, *,
+                      n_probe: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Serve-only IVFADC: coarse centroids + codebooks from a fitted
+    artifact; the plan is cell assignment (GEMM projection), probe
+    explosion, an EQUI-join on cell id, and table lookups — no
+    training jobs. See ``ivf_pq_topk`` for the algorithm contract."""
+    assert art.coarse is not None, "artifact was fitted without n_cells"
+    m, w = art.m, art.w
+    books = [list(map(list, b)) for b in art.books]
+    icent = [list(c) for c in art.coarse]
+    dim = art.dim
+    c = candidates.select(F.col(id_col).alias("_id"),
+                          _as_double(F.col(vec_col)).alias("_v"))
+    # one transform over the 2-D centroid literal (see _pq_dists) —
+    # same fold values, n_cells× smaller expression tree
+    lit_icent = F.array(*[F.array(*[F.lit(x) for x in cv]) for cv in icent])
+    cell_d = F.transform(
+        lit_icent,
+        lambda cv: F.aggregate(
+            F.zip_with(F.col("_v"), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, e: acc + e))
     codes = (c.withColumn("_cc", _pq_cells_udf([icent], dim)("_v"))
               .withColumn("_cells", _pq_cells_udf(books, w)("_v"))
               .select(F.col("_id").alias("neighbor_id"),
                       F.element_at("_cc", 1).alias("cell"),
                       *[F.element_at("_cells", s + 1).alias(f"_c{s}")
                         for s in range(m)]))
-
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("_v"))
     q_staged = q.select(
         "query_id", cell_d.alias("_cd"),
         *[_pq_dists(s, w, books[s]).alias(f"_t{s}") for s in range(m)])
-    # probe list: (dist, cell) structs sorted lexicographically — dist
-    # asc then cell asc, the ORDER BY dist, cell tie-break — take n_probe
     probe_structs = F.array(*[
         F.struct(F.element_at("_cd", j + 1).alias("d"),
                  F.lit(j).cast("int").alias("c"))
@@ -737,12 +881,11 @@ def ivf_pq_topk(queries: DataFrame, candidates: DataFrame, k_neighbors: int,
          .alias("_p")) \
         .select("query_id", F.col("_p.c").alias("cell"),
                 *[F.col(f"_t{s}") for s in range(m)])
-
     scored = (codes.join(F.broadcast(q_probes), "cell")
                    .filter(F.col("neighbor_id") != F.col("query_id")))
     lookups = [F.element_at(f"_t{s}", F.col(f"_c{s}") + 1) for s in range(m)]
     scored = scored.withColumn(
-        "adc_dist", F.round(sum(lookups[1:], lookups[0]), round_to))
+        "adc_dist", F.round(sum(lookups[1:], lookups[0]), art.round_to))
     top = top_n_per_key(scored, ["query_id"],
                         [F.col("adc_dist").asc(), F.col("neighbor_id")],
                         k_neighbors)

@@ -1456,17 +1456,62 @@ FROM a2 GROUP BY vec_id
 
 # --------------------------------------------------------------------------
 # Q77 — PQ search with asymmetric distance computation (operators
-# .similarity.pq_adc_topk): candidates scored from their 2-byte codes
-# via per-query lookup tables — the serving pattern PQ exists for. The
-# oracle extends the Q76 chain: per-(query, subspace, cell) exact
-# distances joined to the codes, summed, ranked.
+# .similarity.pq_adc_topk_serve): candidates scored from their 2-byte
+# codes via per-query lookup tables — the serving pattern PQ exists
+# for. FIT/SERVE SPLIT (round-4): codebooks come from a persisted
+# parquet artifact (fit once per dataset via fit_pq_artifact, loaded
+# thereafter), so this plan contains NO training jobs — only the
+# GEMM code projection, broadcast lookup tables, and ranking. The
+# oracle still re-derives the codebooks from the data (Q76 chain):
+# identical by construction because the artifact was fitted with the
+# same deterministic recipe.
 # --------------------------------------------------------------------------
 
+_ARTIFACT_ROOT = "/root/repo/.artifacts"
+_ARTIFACT_MEMO: dict = {}
+
+
+def _pq_artifact(spark: SparkSession, sf_dir: str):
+    """Load the dataset's fitted PQ+IVF artifact, fitting and
+    persisting it on first use (or when the embeddings file changed —
+    the cache key folds in its mtime). The fit is the offline job of
+    the fit/serve split; every serve query shares one artifact."""
+    import hashlib
+    import os
+
+    from ..operators.similarity import (fit_pq_artifact, load_pq_artifact,
+                                        save_pq_artifact)
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    key_src = src
+    try:
+        key_src += f"@{os.stat(src).st_mtime_ns}"
+    except OSError:
+        pass
+    key = hashlib.md5(key_src.encode()).hexdigest()[:16]
+    if key in _ARTIFACT_MEMO:              # one load per process
+        return _ARTIFACT_MEMO[key]
+    path = f"{_ARTIFACT_ROOT}/pq_{key}"
+    try:
+        art = load_pq_artifact(spark, path)
+    except Exception:
+        emb = read_table(spark, sf_dir, "embeddings")
+        art = fit_pq_artifact(emb, m=4, k=16, n_iter=2, seed=7,
+                              n_cells=8, cell_seed=42)
+        if art is not None:
+            save_pq_artifact(spark, art, path)
+    _ARTIFACT_MEMO[key] = art
+    return art
+
+
 def q77_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import pq_adc_topk
+    from ..operators.similarity import _empty_pairs, pq_adc_topk_serve
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return pq_adc_topk(q, emb, 5, m=4, k=16, n_iter=2, seed=7)
+    art = _pq_artifact(spark, sf_dir)
+    if art is None:
+        return _empty_pairs(q, "vec_id", "adc_dist")
+    return pq_adc_topk_serve(q, emb, 5, art)
 
 
 Q77_SQL = _PQ_CHAIN + """,
@@ -1612,11 +1657,15 @@ FROM cnt, tot
 # --------------------------------------------------------------------------
 
 def q81_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_pq_topk
+    # serve-only: coarse centroids + codebooks from the persisted
+    # artifact (see q77 header) — no training stage in this plan
+    from ..operators.similarity import _empty_pairs, ivf_pq_topk_serve
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return ivf_pq_topk(q, emb, 5, n_cells=8, n_probe=2, cell_seed=42,
-                       m=4, k=16, n_iter=2, seed=7)
+    art = _pq_artifact(spark, sf_dir)
+    if art is None or art.coarse is None:
+        return _empty_pairs(q, "vec_id", "adc_dist")
+    return ivf_pq_topk_serve(q, emb, 5, art, n_probe=2)
 
 
 _IVFPQ_CHAIN = _PQ_CHAIN + """,
@@ -1688,12 +1737,17 @@ WHERE rn <= 5
 # --------------------------------------------------------------------------
 
 def q82_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import (_as_double, cosine, ivf_pq_topk)
+    from ..operators.similarity import (_as_double, _empty_pairs, cosine,
+                                        ivf_pq_topk_serve)
     from ..operators.windows import top_n_per_key
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    short = ivf_pq_topk(q, emb, 15, n_cells=8, n_probe=2, cell_seed=42,
-                        m=4, k=16, n_iter=2, seed=7)
+    art = _pq_artifact(spark, sf_dir)
+    if art is None or art.coarse is None:
+        short = _empty_pairs(q, "vec_id", "adc_dist")
+    else:
+        # stage 1 serve-only from the persisted artifact (q77 header)
+        short = ivf_pq_topk_serve(q, emb, 15, art, n_probe=2)
     qv = emb.select(F.col("vec_id").alias("query_id"),
                     _as_double(F.col("embedding")).alias("_qv"))
     cv = emb.select(F.col("vec_id").alias("neighbor_id"),
