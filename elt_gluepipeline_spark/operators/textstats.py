@@ -117,7 +117,8 @@ def top_count(arr: Column) -> Column:
     empty). Nested higher-order expression — O(distinct·n) per row,
     codegen'd, no shuffle: the right shape when rows are documents
     (bounded token counts), vs an explode+groupBy that would shuffle
-    every token occurrence in the corpus."""
+    every token occurrence in the corpus. For LONG documents use
+    ``repetition_stats_linear`` — same outputs, O(n) per row."""
     return F.when(F.size(arr) == 0, F.lit(0)).otherwise(
         F.array_max(F.transform(
             F.array_distinct(arr),
@@ -129,6 +130,65 @@ def singleton_count(arr: Column) -> Column:
     return F.size(F.filter(
         F.array_distinct(arr),
         lambda x: F.size(F.filter(arr, lambda y: y == x)) == 1))
+
+
+def repetition_stats_linear(df, id_col: str, text_col: str, *,
+                            round_to: int = 6):
+    """LINEAR-shape twin of the per-row HOF repetition signals
+    (``top_count``/``singleton_count`` as used by q63): explode each
+    document's unigrams and bigrams once, count per (doc, gram) with
+    map-side partial aggregation, then reduce per doc — per-row cost
+    is O(tokens), not O(distinct·tokens).
+
+    The HOF form is right when rows are bounded documents (no shuffle
+    at all); THIS form is right for long documents (books, transcripts)
+    where the per-row distinct·n term explodes: the shuffle carries one
+    row per distinct (doc, gram) — bounded by document content, and
+    each reducer holds one gram's count, never a document.
+
+    Output is column- and value-identical to the HOF composition:
+    (id, n_tokens, top_token_frac, top_bigram_frac, dup_token_frac).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    base = base.select(
+        id_col, "_tok", bigrams(F.col("_tok")).alias("_big"))
+    base = base.select(id_col, "_tok", "_big",
+                       F.size("_tok").alias("_n"),
+                       F.size("_big").alias("_nb"))
+    # one explode for both gram kinds: tag each occurrence u/b
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.concat(
+            F.transform("_tok", lambda t: F.struct(
+                F.lit("u").alias("k"), t.alias("g"))),
+            F.transform("_big", lambda t: F.struct(
+                F.lit("b").alias("k"), t.alias("g"))),
+        )).alias("_e"))
+    counts = (grams.groupBy(id_col, F.col("_e.k").alias("_k"),
+                            F.col("_e.g").alias("_g"))
+                   .agg(F.count(F.lit(1)).alias("_c")))
+    stats = (counts.groupBy(id_col)
+             .agg(F.max(F.when(F.col("_k") == "u", F.col("_c")))
+                   .alias("_maxu"),
+                  F.max(F.when(F.col("_k") == "b", F.col("_c")))
+                   .alias("_maxb"),
+                  F.sum(F.when((F.col("_k") == "u") & (F.col("_c") == 1), 1)
+                         .otherwise(0)).alias("_singles")))
+    # empty docs emit no gram rows — re-attach them via left join
+    out = base.select(id_col, "_n", "_nb").join(stats, [id_col], "left")
+    n, nb = F.col("_n"), F.col("_nb")
+    top_tok = F.when(n == 0, F.lit(0.0)).otherwise(F.col("_maxu") / n)
+    top_big = F.when(nb == 0, F.lit(0.0)).otherwise(F.col("_maxb") / nb)
+    dup_tok = F.when(n == 0, F.lit(0.0)) \
+               .otherwise((n - F.col("_singles")) / n)
+    return out.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(top_tok, round_to).alias("top_token_frac"),
+        F.round(top_big, round_to).alias("top_bigram_frac"),
+        F.round(dup_tok, round_to).alias("dup_token_frac"))
 
 
 def bigrams(tok: Column) -> Column:

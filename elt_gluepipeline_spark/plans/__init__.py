@@ -169,6 +169,7 @@ _DEPRIORITIZED = (
                               # tools/check_correctness instead
     "q115_media_probe",    # provisional tail slot; the round-4 head
                            # rotation moves the new queries forward
+    "q116_repetition_linear",  # provisional tail slot (see q115)
 )
 
 

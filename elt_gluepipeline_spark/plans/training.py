@@ -1125,6 +1125,22 @@ FROM big
 
 
 # --------------------------------------------------------------------------
+# Q116 — LINEAR-shape twin of q63 (round-3 watch item): the same four
+# repetition signals from ONE explode + two-level aggregation instead
+# of per-row O(distinct·n) HOF counting. Same oracle as q63 — the two
+# implementations must hash-identically; the gate holding both green
+# certifies the equivalence. Use q63's shape for bounded documents
+# (zero shuffle), this one for book-length documents (per-row term is
+# O(n); the shuffle carries one row per distinct (doc, gram)).
+# --------------------------------------------------------------------------
+
+def q116_repetition_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import repetition_stats_linear
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_stats_linear(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
 # Q64 — int8 embedding quantization (operators.similarity.quantize_int8):
 # per-vector symmetric scale, half-up integer codes, reconstruction
 # MSE. The code array is emitted as a CSV string so the gate
@@ -2237,6 +2253,10 @@ SPECS = [
     QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
               "Gopher-style repetition signals (top token/bigram "
               "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q116_repetition_linear", q116_repetition_linear, Q63_SQL,
+              "linear-shape twin of q63: one explode + two-level agg, "
+              "O(n) per row for book-length documents; same oracle — "
+              "the gate certifies output identity"),
     QuerySpec("q64_embed_quantize", q64_embed_quantize, Q64_SQL,
               "int8 embedding quantization (symmetric scale, half-up "
               "codes, reconstruction MSE; every code value gate-checked)"),

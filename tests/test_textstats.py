@@ -176,3 +176,41 @@ def test_bigram_perplexity_orders_quality_and_is_deterministic(spark):
              for r in bigram_perplexity(docs.repartition(7),
                                         "doc_id", "text").collect()}
     assert again == out                          # decimal log-sum: exact
+
+
+def test_repetition_linear_equals_hof_on_long_docs(spark):
+    """The explode+agg twin must be value-identical to the per-row HOF
+    composition — including repeated-heavy and empty docs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.textstats import (
+        bigrams, repetition_stats_linear, singleton_count, tokens,
+        top_count)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(200, 400))))
+            for i in range(30)]
+    rows += [(98, ""), (99, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    b = base.select("doc_id", "_tok", bigrams(F.col("_tok")).alias("_big"))
+    n, nb = F.size("_tok"), F.size("_big")
+    hof = b.select(
+        "doc_id", n.cast("long").alias("n_tokens"),
+        F.round(F.when(n == 0, F.lit(0.0))
+                 .otherwise(top_count(F.col("_tok")) / n), 6)
+         .alias("top_token_frac"),
+        F.round(F.when(nb == 0, F.lit(0.0))
+                 .otherwise(top_count(F.col("_big")) / nb), 6)
+         .alias("top_bigram_frac"),
+        F.round(F.when(n == 0, F.lit(0.0))
+                 .otherwise((n - singleton_count(F.col("_tok"))) / n), 6)
+         .alias("dup_token_frac"))
+    lin = repetition_stats_linear(docs, "doc_id", "text")
+    assert sorted(map(tuple, hof.collect())) == \
+        sorted(map(tuple, lin.collect()))
