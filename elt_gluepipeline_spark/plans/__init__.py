@@ -170,6 +170,7 @@ _DEPRIORITIZED = (
     "q115_media_probe",    # provisional tail slot; the round-4 head
                            # rotation moves the new queries forward
     "q116_repetition_linear",  # provisional tail slot (see q115)
+    "q117_stream_append_rollup",  # provisional tail slot (see q115)
 )
 
 

@@ -475,3 +475,36 @@ def test_update_mode_multibatch_converges_to_batch_agg(spark, tmp_path):
                       F.count(F.lit(1)).alias("n")))
     expect = {r.k: (r.total, r.n) for r in expect_df.collect()}
     assert final == expect
+
+
+def test_append_rollup_emits_only_watermark_closed_windows(spark, sf_dir):
+    """q117 semantics pinned: every emitted window END is <= final
+    watermark (max event time - lateness), windows past it stay in
+    state unemitted, and emitted rows equal the batch rollup exactly
+    for those windows."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.plans.reference import (
+        _Q117_LATENESS_S, q117_stream_append_rollup)
+    from elt_gluepipeline_spark.sources.readers import ntz_micros, read_table
+
+    got = q117_stream_append_rollup(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    max_us = ev.agg(F.max(ntz_micros("ts"))).collect()[0][0]
+    wm_us = max_us - _Q117_LATENESS_S * 1_000_000
+    rows = got.collect()
+    assert rows and all(
+        r.bucket_start_us + 3_600_000_000 <= wm_us for r in rows)
+    # the batch rollup has MORE windows (the open tail) — eviction is
+    # observable, not vacuous
+    batch = (ev.groupBy(F.date_trunc("hour", "ts").alias("b"), "event_type")
+               .count())
+    assert batch.count() > len(rows)
+    # and the emitted prefix matches the batch rollup per-window
+    batch_closed = {
+        (ntz_micros_val, et): n for ntz_micros_val, et, n in
+        (batch.select(F.unix_micros(F.to_timestamp("b")).alias("us"),
+                      "event_type", "count").collect())
+        if ntz_micros_val + 3_600_000_000 <= wm_us}
+    got_map = {(r.bucket_start_us, r.event_type): r.n_events for r in rows}
+    assert got_map == batch_closed
