@@ -96,3 +96,32 @@ def test_bpe_empty_corpus(spark):
 
     df = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_fit(df, "text", n_merges=3) == []
+
+
+def test_bpe_batched_same_rules_fewer_rounds(spark, sf_dir):
+    """Batched rounds must reproduce the sequential rule list EXACTLY
+    (the equivalence-guarded batch — same encode output follows) in
+    measurably fewer driver rounds; sequential pays one round per
+    merge."""
+    from elt_gluepipeline_spark.operators.bpe import bpe_fit, bpe_fit_batched
+    from elt_gluepipeline_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    seq = bpe_fit(docs, "text", n_merges=12)
+    st: dict = {}
+    bat = bpe_fit_batched(docs, "text", n_merges=12, batch_size=6, stats=st)
+    assert seq == bat                      # identical ordered rule list
+    assert len(seq) == 12
+    assert st["rounds"] <= 6               # vs 12 sequential rounds
+
+
+def test_bpe_batched_batch_size_one_degenerates_to_sequential(spark):
+    from elt_gluepipeline_spark.operators.bpe import bpe_fit, bpe_fit_batched
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest newer newest wide wider widest low low")],
+        "doc_id long, text string")
+    st: dict = {}
+    assert bpe_fit_batched(docs, "text", n_merges=6, batch_size=1,
+                           stats=st) == bpe_fit(docs, "text", n_merges=6)
+    assert st["rounds"] >= 6
