@@ -104,11 +104,19 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _set_ts_read_confs(spark, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
-    src = (spark.readStream.schema(schema)
-                # file-source streams take a directory; glob-filter to
-                # the one table
-                .option("pathGlobFilter", f"{name}.parquet")
-                .parquet(sf_dir))
+    if os.path.isdir(path):
+        # directory-layout table (Spark-written part files): stream the
+        # folder directly. A pathGlobFilter of "<name>.parquet" would
+        # match ZERO leaf files here (they're part-*.parquet) and
+        # silently stream nothing — the bug a 4× scale check surfaced.
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file table (driver testdata layout): file-source
+        # streams want a directory, so stream the parent glob-filtered
+        # to the one file
+        src = (spark.readStream.schema(schema)
+                    .option("pathGlobFilter", f"{name}.parquet")
+                    .parquet(sf_dir))
     return _normalize_nanos(src, name)
 
 

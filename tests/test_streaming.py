@@ -508,3 +508,26 @@ def test_append_rollup_emits_only_watermark_closed_windows(spark, sf_dir):
         if ntz_micros_val + 3_600_000_000 <= wm_us}
     got_map = {(r.bucket_start_us, r.event_type): r.n_events for r in rows}
     assert got_map == batch_closed
+
+
+def test_read_table_stream_directory_layout(spark, sf_dir, tmp_path):
+    """Directory-layout tables (Spark-written part files) must stream
+    ALL rows: the old pathGlobFilter='<name>.parquet' matched zero
+    leaf files against part-*.parquet and silently streamed nothing
+    (surfaced by a 4x scale check on q117)."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.sources.readers import (read_table,
+                                                        read_table_stream)
+
+    out = str(tmp_path / "dirly")
+    ev = read_table(spark, sf_dir, "events")
+    ev.repartition(3).write.parquet(f"{out}/events.parquet")
+    src = read_table_stream(spark, out, "events")
+    q = (src.groupBy().agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory").queryName("dirly_n")
+            .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("dirly_n").collect()[0]["n"] == ev.count()
+    # timestamp normalization still applies in the dir branch
+    assert dict(src.dtypes)["ts"].startswith("timestamp")
