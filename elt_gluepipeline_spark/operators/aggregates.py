@@ -154,3 +154,62 @@ def merge_agg_states(agg_old: DataFrame, agg_delta: DataFrame,
                 for s in sum_cols]
     return (j.select(*out_keys, n.alias(count_col), *out_sums)
              .filter(F.col(count_col) != 0))
+
+
+def histogram_quantiles(df: DataFrame, col: str,
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99), *,
+                        n_bins: int = 128) -> DataFrame:
+    """Approximate quantiles from an equi-width histogram — the
+    MERGEABLE-summary shape for 100 TB: per-partition bin counts
+    combine map-side (plain sum), the driver never sees values, and
+    the final state is n_bins integers regardless of row count
+    (percentile_approx's GK sketch is the built-in alternative; this
+    form is engine-reproducible, which buys the oracle gate).
+
+    Two passes: (1) one 1-row min/max aggregate, broadcast back (no
+    collect); (2) one n_bins-row count aggregate. Estimation is linear
+    interpolation inside the bin containing the target rank q·N:
+    ``est = min + width · (bin + (rank − cum_before)/bin_count)``.
+    All estimate math is double arithmetic on exact integers computed
+    identically in both engines — deterministic, not
+    rounding-and-hoping. Null values are excluded; a constant column
+    (width 0) returns min for every q.
+
+    Output: one row per q — (q, n_rows, estimate).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(col).cast("double")
+    v = df.select(x.alias("_x")).filter(F.col("_x").isNotNull())
+    mm = v.agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"),
+               F.count(F.lit(1)).alias("_n"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    binned = (v.crossJoin(F.broadcast(mm))
+                .select(F.least(
+                    F.floor((F.col("_x") - F.col("_lo"))
+                            / F.when(width > 0, width).otherwise(F.lit(1.0))),
+                    F.lit(n_bins - 1)).cast("int").alias("_b"),
+                    "_lo", "_hi", "_n"))
+    counts = (binned.groupBy("_b", "_lo", "_hi", "_n")
+                    .agg(F.count(F.lit(1)).alias("_c")))
+    wcum = (Window.orderBy("_b")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    cum = counts.withColumn("_before",
+                            F.coalesce(F.sum("_c").over(wcum), F.lit(0)))
+    out = None
+    for q in qs:
+        rank = F.lit(float(q)) * F.col("_n")
+        hit = (cum.filter((F.col("_before") < rank)
+                          & (rank <= F.col("_before") + F.col("_c")))
+                  .orderBy("_b").limit(1))
+        est = F.when(
+            F.col("_hi") == F.col("_lo"), F.col("_lo")
+        ).otherwise(
+            F.col("_lo")
+            + (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+            * (F.col("_b") + (rank - F.col("_before")) / F.col("_c")))
+        row = hit.select(F.lit(float(q)).alias("q"),
+                         F.col("_n").cast("long").alias("n_rows"),
+                         est.alias("estimate"))
+        out = row if out is None else out.unionByName(row)
+    return out

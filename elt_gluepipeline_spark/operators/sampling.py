@@ -152,3 +152,33 @@ def token_budget_shards(df: DataFrame, id_col: str, tokens_col: Column, *,
     return d.select(F.col("_id").alias(id_col),
                     F.floor((off + local) / F.lit(budget)).cast("long")
                      .alias(shard_col))
+
+
+def budget_select(df: DataFrame, group_col: str, score_col: Column,
+                  cost_col: Column, budget: int, *,
+                  order_tiebreak: str, cum_name: str = "cum_cost"
+                  ) -> DataFrame:
+    """Greedy per-group budget curation: within each group, rank rows
+    by ``score_col`` descending (ties on ``order_tiebreak``) and keep
+    the prefix whose RUNNING ``cost_col`` total (including the current
+    row) stays within ``budget`` — "fill N tokens per domain with the
+    highest-quality documents first", the mixture-building step after
+    quality scoring and before shard writing.
+
+    One cumulative window per group (single shuffle on the group key).
+    Per-group ordering funnels a group through one reducer — right
+    when groups are domains/sources (bounded); for ONE giant group use
+    ``token_budget_shards``'s distributed prefix-sum instead. Note the
+    greedy prefix can undershoot: a row that overflows the budget is
+    dropped but later (smaller) rows below it are NOT pulled forward —
+    greedy-prefix is the documented semantics (deterministic and
+    oracle-replayable; knapsack-filling is not).
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col)
+               .orderBy(score_col.desc(), F.col(order_tiebreak))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(cost_col).over(w)
+    return (df.withColumn(cum_name, cum.cast("long"))
+              .filter(F.col(cum_name) <= budget))

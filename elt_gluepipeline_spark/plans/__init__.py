@@ -125,6 +125,9 @@ _DEPRIORITIZED = (
     "q96_bitmap_distinct",
     "q102_price_histogram",
     "q105_transition_matrix",
+    "q118_linear_attribution",   # post-rotation additions: tail slots
+    "q119_budget_curation",      # (oracle-checked by the local tool;
+    "q120_histogram_quantiles",  # head is frozen at the 50 rotated rows)
 )
 
 

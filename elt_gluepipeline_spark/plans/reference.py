@@ -2085,6 +2085,54 @@ WHERE kept_prev IS NULL OR kept_us <> kept_prev
 
 
 # --------------------------------------------------------------------------
+# Q120 — histogram quantiles (operators.aggregates.histogram_quantiles):
+# approximate P50/P90/P99 of line price from an equi-width histogram —
+# the MERGEABLE summary shape (n_bins integers of state, map-side
+# combinable, driver never sees values) vs q03/q16's exact percentile
+# arrays. Every estimate is double math over exact integer counts
+# computed identically in both engines, so the oracle replays the
+# interpolation bit-for-bit — an approximate sketch with an EXACT
+# correctness gate.
+# --------------------------------------------------------------------------
+
+def q120_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import histogram_quantiles
+    li = read_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice",
+                               qs=(0.5, 0.9, 0.99), n_bins=128)
+
+
+def _q120_pick_sql(q: float) -> str:
+    return f"""
+  SELECT {q} AS q, n AS n_rows,
+         CASE WHEN hi = lo THEN lo
+              ELSE lo + (hi - lo) / 128.0
+                   * (bin + ({q} * n - cum_before) / cnt) END AS estimate
+  FROM cc
+  WHERE cum_before < {q} * n AND {q} * n <= cum_before + cnt
+  ORDER BY bin LIMIT 1"""
+
+
+Q120_SQL = ("""
+WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+mm AS (SELECT min(x) AS lo, max(x) AS hi, COUNT(*) AS n FROM v),
+b AS (
+  SELECT LEAST(CAST(floor((x - lo) / (CASE WHEN (hi - lo) / 128.0 > 0
+                                           THEN (hi - lo) / 128.0
+                                           ELSE 1.0 END)) AS INT),
+               127) AS bin, lo, hi, n
+  FROM v, mm),
+c AS (SELECT bin, lo, hi, n, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3, 4),
+cc AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       FROM c)
+"""
+            + "\nUNION ALL BY NAME\n".join(
+                f"({_q120_pick_sql(q)})" for q in (0.5, 0.9, 0.99)))
+
+
+# --------------------------------------------------------------------------
 # Q111 — explicit GROUPING SETS (completing the lattice family: q26 is
 # ROLLUP, q52 is CUBE): exactly the grains a report needs — by status,
 # by priority, and the grand total — WITHOUT the cross grains a CUBE
@@ -3081,6 +3129,10 @@ SPECS = [
               "F15 sha256 surrogate key projection"),
     QuerySpec("q29_stream_hourly", q29_stream_hourly, Q06_HOURLY_SQL,
               "T1/A4 as Structured Streaming (AvailableNow, windowed state)"),
+    QuerySpec("q120_histogram_quantiles", q120_histogram_quantiles,
+              Q120_SQL,
+              "mergeable equi-width histogram quantiles; interpolation "
+              "oracle-replayed bit-for-bit"),
     QuerySpec("q117_stream_append_rollup", q117_stream_append_rollup,
               Q117_SQL,
               "APPEND-mode watermarked rollup: emitted set == windows "

@@ -573,6 +573,58 @@ FROM p LEFT JOIN LATERAL (
 
 
 # --------------------------------------------------------------------------
+# Q118 — LINEAR multi-touch attribution (q28 is last-touch): every
+# click of the same user in the 3 days before a purchase shares the
+# conversion credit equally. The join is the banded range_join (time-
+# bucketed equi-keys — no per-user cross product on hot users), the
+# per-conversion touch count is one window, and credit is integer
+# FIXED-POINT (ppm = 1000000 div n): float 1/n sums are partition-
+# order-dependent for n∤2^k, integer division sums are exact in both
+# engines — determinism is part of the contract, not a rounding hope.
+# --------------------------------------------------------------------------
+
+def q118_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("conv_id"),
+                           "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    pairs = range_join(purchases, clicks, on=["user_id"],
+                       left_ts="ts", right_ts="ts",
+                       lower_s=-259_200, upper_s=0,
+                       right_payload=["event_id"], prefix="c_")
+    n = F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    sized = pairs.select("conv_id", "user_id",
+                         F.col("c_event_id").alias("click_id"),
+                         (F.lit(1_000_000).cast("long") / n).cast("long")
+                          .alias("_ppm"))
+    return (sized.groupBy("click_id", "user_id")
+                 .agg(F.count(F.lit(1)).alias("n_conversions"),
+                      F.sum("_ppm").cast("long").alias("credit_ppm")))
+
+
+Q118_SQL = """
+WITH p AS (SELECT event_id AS conv_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.conv_id, c.click_id, c.user_id
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 259200 SECOND AND c.ts <= p.ts
+),
+sized AS (SELECT *, COUNT(*) OVER (PARTITION BY conv_id) AS n FROM pairs)
+SELECT click_id, user_id,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(1000000 // n) AS BIGINT) AS credit_ppm
+FROM sized GROUP BY click_id, user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Q38 — order-sensitive rolling-hash fingerprint dedup (xxhash64 chain →
 # Spark-specific values → rows-only; the md5 canonical twin is q24)
 # --------------------------------------------------------------------------
@@ -1138,6 +1190,40 @@ def q116_repetition_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import repetition_stats_linear
     docs = read_table(spark, sf_dir, "documents")
     return repetition_stats_linear(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Q119 — per-source budget curation (operators.sampling.budget_select):
+# within each source, keep the highest-scoring documents whose running
+# cost stays inside the budget — the mixture-building step between
+# quality scoring and shard writing ("fill N tokens per domain,
+# best-first"). Score here is n_chars (a stand-in: production plugs a
+# model/textstat score into score_col); cost is n_chars; greedy-prefix
+# semantics documented on the operator. One window shuffle on source.
+# --------------------------------------------------------------------------
+
+_Q119_BUDGET = 4_000
+
+
+def q119_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import budget_select
+    docs = read_table(spark, sf_dir, "documents")
+    sel = budget_select(docs.select("doc_id", "source", "n_chars"),
+                        "source", F.col("n_chars"), F.col("n_chars"),
+                        _Q119_BUDGET, order_tiebreak="doc_id")
+    return sel.select("doc_id", "source", "n_chars", "cum_cost")
+
+
+Q119_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_cost
+  FROM documents)
+SELECT doc_id, source, n_chars, CAST(cum_cost AS BIGINT) AS cum_cost
+FROM ranked WHERE cum_cost <= {_Q119_BUDGET}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2253,6 +2339,11 @@ SPECS = [
     QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
               "Gopher-style repetition signals (top token/bigram "
               "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q118_linear_attribution", q118_linear_attribution, Q118_SQL,
+              "linear multi-touch attribution over the banded range "
+              "join; fixed-point ppm credit for exact determinism"),
+    QuerySpec("q119_budget_curation", q119_budget_curation, Q119_SQL,
+              "per-source greedy budget curation (quality-first fill)"),
     QuerySpec("q116_repetition_linear", q116_repetition_linear, Q63_SQL,
               "linear-shape twin of q63: one explode + two-level agg, "
               "O(n) per row for book-length documents; same oracle — "

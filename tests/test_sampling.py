@@ -221,3 +221,48 @@ def test_split_drift_flags_test_only_tokens(spark):
     # smoothing keeps each term finite and the sum near-nonnegative)
     total = sum(r.kl_term for r in out)
     assert total > -1e-6
+
+
+def test_budget_select_greedy_prefix_semantics(spark):
+    """Greedy PREFIX, not knapsack: once the running total overflows,
+    everything below the overflow row is out — even combinations that
+    would have fit."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [("a", 1, 50, 5), ("a", 2, 40, 4), ("a", 3, 30, 3),
+         ("a", 4, 20, 1), ("b", 9, 10, 8)],
+        "grp string, id int, score int, cost int")
+    got = budget_select(df, "grp", F.col("score"), F.col("cost"),
+                        8, order_tiebreak="id").collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append((r.id, r.cum_cost))
+    # a: cum 5, 9(x) -> prefix ends; 3+1 would fit but are not pulled in
+    assert by_grp["a"] == [(1, 5)]
+    assert by_grp["b"] == [(9, 8)]
+
+
+def test_histogram_quantiles_accuracy_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.aggregates import (
+        histogram_quantiles)
+
+    # uniform 0..9999: estimates must land within one bin width
+    df = spark.range(10_000).select(F.col("id").cast("double").alias("v"))
+    got = {r.q: r for r in histogram_quantiles(df, "v", qs=(0.5, 0.9),
+                                               n_bins=100).collect()}
+    width = 9999 / 100
+    assert got[0.5].n_rows == 10_000
+    assert abs(got[0.5].estimate - 5000) <= width
+    assert abs(got[0.9].estimate - 9000) <= width
+    # constant column: width 0 -> min for every q
+    const = spark.range(50).select(F.lit(7.5).alias("v"))
+    for r in histogram_quantiles(const, "v").collect():
+        assert r.estimate == 7.5
+    # all-null column -> empty result, no division blowup
+    nul = spark.range(10).select(F.lit(None).cast("double").alias("v"))
+    assert histogram_quantiles(nul, "v").count() == 0
