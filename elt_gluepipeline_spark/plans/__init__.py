@@ -128,6 +128,8 @@ _DEPRIORITIZED = (
     "q118_linear_attribution",   # post-rotation additions: tail slots
     "q119_budget_curation",      # (oracle-checked by the local tool;
     "q120_histogram_quantiles",  # head is frozen at the 50 rotated rows)
+    "q121_unpivot",              # post-rotation tail (see above)
+    "q122_percentile_rank",      # post-rotation tail (see above)
 )
 
 

@@ -2133,6 +2133,73 @@ cc AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY bin
 
 
 # --------------------------------------------------------------------------
+# Q121 — UNPIVOT / melt (the inverse of q49's one-pass pivot,
+# completing the reshape family): a wide per-priority revenue matrix
+# melts back to (priority, status, revenue) long form via the native
+# DataFrame.unpivot (Expand-based, one pass, no join). Null cells
+# (combinations absent from the data) are dropped so the round trip
+# equals the direct long-form aggregation — which is exactly what the
+# oracle computes, proving pivot→unpivot loses nothing.
+# --------------------------------------------------------------------------
+
+def q121_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    wide = (o.groupBy("o_orderpriority")
+             .pivot("o_orderstatus", statuses)
+             .agg(F.round(dsum("o_totalprice"), 4)))
+    long = wide.unpivot("o_orderpriority", statuses,
+                        "o_orderstatus", "revenue")
+    return long.filter(F.col("revenue").isNotNull())
+
+
+Q121_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       ROUND({dsum_sql('o_totalprice')}, 4) AS revenue
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q122 — relative-standing windows (percent_rank / cume_dist — the
+# W-family members q43's ntile doesn't cover): each customer's spend
+# percentile within their nation. Entity-keyed partitioning, ONE
+# exchange for both functions plus the rank itself; (rank-1)/(n-1)
+# and cume_dist are integer-derived doubles, deterministic in both
+# engines without rounding tricks.
+# --------------------------------------------------------------------------
+
+def q122_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = (o.groupBy("o_custkey")
+              .agg(dsum("o_totalprice").alias("spend")))
+    cust = spend.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                      spend.o_custkey == F.col("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy("spend", "o_custkey")
+    return cust.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round("spend", 4).alias("spend"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+Q122_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, {dsum_sql('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT s.o_custkey AS custkey, c.c_nationkey AS nationkey,
+       ROUND(s.spend, 4) AS spend,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+WINDOW w AS (PARTITION BY c.c_nationkey ORDER BY s.spend, s.o_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q111 — explicit GROUPING SETS (completing the lattice family: q26 is
 # ROLLUP, q52 is CUBE): exactly the grains a report needs — by status,
 # by priority, and the grand total — WITHOUT the cross grains a CUBE
@@ -3129,6 +3196,11 @@ SPECS = [
               "F15 sha256 surrogate key projection"),
     QuerySpec("q29_stream_hourly", q29_stream_hourly, Q06_HOURLY_SQL,
               "T1/A4 as Structured Streaming (AvailableNow, windowed state)"),
+    QuerySpec("q121_unpivot", q121_unpivot, Q121_SQL,
+              "native unpivot/melt of the pivoted matrix; round trip "
+              "equals the direct long-form aggregation"),
+    QuerySpec("q122_percentile_rank", q122_percentile_rank, Q122_SQL,
+              "percent_rank + cume_dist relative standing per nation"),
     QuerySpec("q120_histogram_quantiles", q120_histogram_quantiles,
               Q120_SQL,
               "mergeable equi-width histogram quantiles; interpolation "

@@ -270,3 +270,47 @@ def test_media_probe_dispatch_and_stub_path(spark):
     assert got[2].mean_signal == "700.0000"
     assert not got[3].decoded and got[3].byte_len == 11
     assert not got[4].decoded                  # bad magic under bmp format
+
+
+def test_bmp_roundtrip_property():
+    """Property: any uint8 image round-trips encode_bmp -> decode_bmp
+    exactly (linear palette => luminance == pixel value), across odd
+    widths that exercise row padding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from elt_gluepipeline_spark.operators.multimodal import (decode_bmp,
+                                                             encode_bmp)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 13), st.integers(1, 9), st.integers(0, 2**32 - 1))
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        ww, hh, bpp, gray = decode_bmp(encode_bmp(img))
+        assert (ww, hh, bpp) == (w, h, 8)
+        assert np.allclose(gray, img)
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from elt_gluepipeline_spark.operators.multimodal import (decode_wav,
+                                                             encode_wav)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 400), st.integers(0, 2**32 - 1),
+           st.sampled_from([4000, 8000, 44100]))
+    def check(n, seed, rate):
+        rng = np.random.default_rng(seed)
+        samp = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        ch, r, bits, out = decode_wav(encode_wav(samp, rate))
+        assert (ch, r, bits) == (1, rate, 16)
+        assert np.array_equal(out[:, 0].astype(np.int16), samp)
+
+    check()
