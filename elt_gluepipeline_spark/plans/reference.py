@@ -663,7 +663,7 @@ def q29_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    dsum("value").alias("total_value"))
               .select(F.date_format("bucket.start", TS_FMT).alias("bucket_start"),
                       "event_type", "n_events", "total_value"))
-    return run_rollup_available_now(agg, state_partitions=8)
+    return run_rollup_available_now(agg, state_partitions=4)
 
 
 # --------------------------------------------------------------------------
@@ -697,7 +697,7 @@ def q117_stream_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.unix_micros("bucket.start").alias("bucket_start_us"),
                        "event_type", "n_events", "total_value"))
     return run_rollup_available_now(agg, output_mode="append",
-                                    state_partitions=8)
+                                    state_partitions=4)
 
 
 Q117_SQL = f"""
@@ -951,7 +951,7 @@ def q35_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("user_id", "event_id", ntz_micros("ts").alias("ts_us")))
     sessions = sessionize_stateful(src, gap_minutes=SESSION_GAP_MIN)
     return run_rollup_available_now(sessions, output_mode="append",
-                                    state_partitions=8)
+                                    state_partitions=4)
 
 
 Q35_SQL = f"""
@@ -1015,7 +1015,7 @@ def q53_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
            .select("user_id", "event_type"))
     return run_rollup_available_now(src, output_mode="append",
-                                    state_partitions=8)
+                                    state_partitions=4)
 
 
 Q53_SQL = """
@@ -1036,7 +1036,7 @@ def q54_stream_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("_r.event_id").alias("event_id"),
                          F.col("_r.ts").alias("ts"),
                          F.col("_r.value").alias("value")))
-    return run_rollup_available_now(latest, state_partitions=8)
+    return run_rollup_available_now(latest, state_partitions=4)
 
 
 # --------------------------------------------------------------------------
@@ -1300,7 +1300,7 @@ def q50_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (enriched.groupBy("event_type", "c_mktsegment")
                    .agg(F.count(F.lit(1)).alias("n_events"),
                         dsum("value").alias("total_value")))
-    return run_rollup_available_now(agg, state_partitions=8)
+    return run_rollup_available_now(agg, state_partitions=4)
 
 
 Q50_SQL = f"""
@@ -1439,7 +1439,7 @@ def q69_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    dsum("value").alias("total_value"))
               .select(F.date_format("bucket.start", TS_FMT).alias("bucket_start"),
                       "event_type", "n_events", "total_value"))
-    return run_rollup_available_now(agg, state_partitions=8)
+    return run_rollup_available_now(agg, state_partitions=4)
 
 
 Q69_SQL = f"""
@@ -1894,7 +1894,7 @@ def q106_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events"),
                    dsum("value").alias("total_value")))
     out = run_rollup_available_now(agg, output_mode="append",
-                                   state_partitions=8)
+                                   state_partitions=4)
     return out.select("user_id",
                       F.unix_micros(F.col("sw.start")).alias("session_start_us"),
                       F.unix_micros(F.col("sw.end")).alias("session_end_us"),

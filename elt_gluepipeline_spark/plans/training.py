@@ -809,7 +809,7 @@ def q48_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                              left_ts="ts", right_ts="ts",
                              lower_s=-3600, upper_s=0, prefix="click_")
     drained = run_rollup_available_now(j, output_mode="append",
-                                       state_partitions=8)
+                                       state_partitions=4)
     return (drained.groupBy(F.col("event_id").alias("purchase_id"),
                             F.col("user_id"))
                    .agg(F.count(F.lit(1)).alias("n_clicks_1h"),
@@ -2136,7 +2136,7 @@ def q110_stream_attribution_outer(spark: SparkSession,
                              lower_s=-3600, upper_s=0, prefix="click_",
                              how="left_outer")
     drained = run_rollup_available_now(j, output_mode="append",
-                                       state_partitions=8)
+                                       state_partitions=4)
     return (drained.groupBy(F.col("event_id").alias("purchase_id"),
                             F.col("user_id"))
                    .agg(F.count("click_ts").alias("n_clicks_1h"),
