@@ -82,10 +82,31 @@ def _normalize_nanos(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+# Footer-schema cache: spark.read.parquet() launches a small Spark job
+# just to read the footer schema, so EVERY plan build paid one job per
+# table read (and registering all ~125 queries paid ~200). Caching the
+# StructType per (path, mtime) and passing it explicitly makes plan
+# construction job-free after the first touch of each table; the mtime
+# key re-reads when data is rewritten. Cache AFTER _set_ts_read_confs —
+# the confs change how a TIMESTAMP(NANOS) footer maps to a Spark type.
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path).schema
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem')."""
     _set_ts_read_confs(spark, name)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     return _normalize_nanos(df, name)
 
 
@@ -103,7 +124,7 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _set_ts_read_confs(spark, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _table_schema(spark, path)
     if os.path.isdir(path):
         # directory-layout table (Spark-written part files): stream the
         # folder directly. A pathGlobFilter of "<name>.parquet" would

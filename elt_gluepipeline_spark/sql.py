@@ -28,14 +28,17 @@ STREAMING_QUERIES = frozenset({
     "q29_stream_hourly", "q35_stream_sessions", "q48_stream_attribution",
     "q50_stream_enrich", "q53_stream_dedupe", "q54_stream_keep_latest",
     "q65_stream_upsert", "q69_stream_sliding", "q74_stream_incremental_agg",
+    "q106_stream_session_window", "q110_stream_attribution_outer",
+    "q117_stream_append_rollup",
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative
-# driver loops) — registering them is running them
+# driver loops / artifact load-or-fit) — registering them is running them
 EAGER_QUERIES = frozenset({
     "q25_embedding_neardup", "q31_ivf_ann", "q56_neardup_groups",
     "q59_dedupe_corpus", "q60_token_shards", "q67_kmeans",
     "q76_product_quantize", "q77_pq_adc", "q81_ivf_pq", "q82_rerank",
+    "q100_incremental_dedupe", "q103_corpus_pipeline",
 })
 
 

@@ -106,3 +106,23 @@ def test_sql_front_door(spark, sf_dir):
         GROUP BY c.value_tier
     """)  # cross-view composition plans and runs the engine's plans
     assert composed.count() >= 0 and {"value_tier", "rev"} == set(composed.columns)
+
+
+def test_sql_front_door_default_registration_is_lazy(spark, sf_dir):
+    """The laziness CONTRACT of register_all: with streaming/eager
+    opted out, registration builds logical plans only — zero Spark
+    jobs run (a query creeping into the default set with an eager
+    collect/drain shows up here as submitted jobs)."""
+    from elt_gluepipeline_spark.sql import register_all
+
+    sc = spark.sparkContext
+    sc.setJobGroup("register_lazy", "laziness guard")
+    names = register_all(spark, sf_dir)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("register_lazy"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(names) > 100
+    # the only permissible jobs are one footer-schema read per distinct
+    # table (cached thereafter — sources.readers._SCHEMA_CACHE); a
+    # query creeping into the default set with an eager collect/drain
+    # blows well past this bound
+    assert n_jobs <= 10, f"registration ran {n_jobs} Spark jobs"
