@@ -130,6 +130,9 @@ _DEPRIORITIZED = (
     "q120_histogram_quantiles",  # head is frozen at the 50 rotated rows)
     "q121_unpivot",              # post-rotation tail (see above)
     "q122_percentile_rank",      # post-rotation tail (see above)
+    "q123_basket_affinity",      # post-rotation tail (see above)
+    "q124_cohort_ltv",           # post-rotation tail (see above)
+    "q125_share_shift",          # post-rotation tail (see above)
 )
 
 

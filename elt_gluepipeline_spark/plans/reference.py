@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import (clean_item_name, first_match_classify)
-from ..functions.deterministic import davg, davg_sql, dec, dsum, dsum_sql
+from ..functions.deterministic import (davg, davg_sql, dec, dsum, dsum_sql,
+                                       rnd0, rnd0_sql)
 from ..functions.keys import surrogate_key, surrogate_key_sql
 from ..operators.aggregates import grouping_rollup
 from ..operators.quality import extract_violations, severity_from_thresholds
@@ -2200,6 +2201,143 @@ WINDOW w AS (PARTITION BY c.c_nationkey ORDER BY s.spend, s.o_custkey)
 
 
 # --------------------------------------------------------------------------
+# Q123 — market-basket affinity (co-purchase lift): part pairs bought
+# in the same order, scored by lift = P(a,b)·N / (P(a)·P(b)). The
+# scale guard is structural, not hopeful: the pair fan-out is
+# C(items,2) PER ORDER, so the basket is first restricted to the
+# top-K parts by order frequency (rank subquery, broadcast semi-join
+# — no driver collect), bounding the self-join to K²/2 candidate
+# pairs corpus-wide. Every count is an integer; lift is one double
+# division over integers, rounded — deterministic in both engines.
+# --------------------------------------------------------------------------
+
+_Q123_TOP_PARTS = 50
+
+
+def q123_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    topk = (freq.orderBy(F.desc("n_part"), "l_partkey")
+                .limit(_Q123_TOP_PARTS))
+    basket = op.join(F.broadcast(topk), "l_partkey")
+    n_orders = op.select("l_orderkey").distinct() \
+                 .agg(F.count(F.lit(1)).alias("_n_orders"))
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("part_a"),
+                      F.col("n_part").alias("n_a"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("part_b"),
+                      F.col("n_part").alias("n_b"))
+    pairs = (a.join(b, "l_orderkey")
+              .filter(F.col("part_a") < F.col("part_b"))
+              .groupBy("part_a", "part_b", "n_a", "n_b")
+              .agg(F.count(F.lit(1)).alias("n_both")))
+    lift = (F.col("n_both").cast("double") * F.col("_n_orders")
+            / (F.col("n_a").cast("double") * F.col("n_b")))
+    return (pairs.crossJoin(F.broadcast(n_orders))
+                 .filter(F.col("n_both") >= 1)
+                 .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                         F.round(lift, 6).alias("lift")))
+
+
+Q123_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1),
+topk AS (SELECT * FROM freq ORDER BY n_part DESC, l_partkey
+         LIMIT {_Q123_TOP_PARTS}),
+basket AS (SELECT op.l_orderkey, op.l_partkey, t.n_part
+           FROM op JOIN topk t USING (l_partkey)),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         a.n_part AS n_a, b.n_part AS n_b, COUNT(*) AS n_both
+  FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey
+   AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3, 4)
+SELECT part_a, part_b, n_both, n_a, n_b,
+       ROUND(CAST(n_both AS DOUBLE) * n_orders
+             / (CAST(n_a AS DOUBLE) * n_b), 6) AS lift
+FROM pairs, n WHERE n_both >= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q124 — cohort LTV triangle (q86 counts retained USERS; this sums
+# retained REVENUE): customers grouped by first-order month, revenue
+# per cohort per activity month — the lifetime-value curve marketing
+# reads off the diagonal. Two aggregations and one broadcastable
+# first-order join; months format as strings so output is
+# timezone/engine-stable.
+# --------------------------------------------------------------------------
+
+def q124_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    mon = F.date_format("o_orderdate", "yyyy-MM")
+    base = o.select("o_custkey", mon.alias("month"), "o_totalprice")
+    first = base.groupBy("o_custkey").agg(F.min("month").alias("cohort"))
+    return (base.join(first, "o_custkey")
+                .groupBy("cohort", "month")
+                .agg(F.countDistinct("o_custkey").alias("n_active"),
+                     dsum("o_totalprice").alias("revenue")))
+
+
+Q124_SQL = f"""
+WITH base AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+  FROM orders),
+first AS (SELECT o_custkey, MIN(month) AS cohort FROM base GROUP BY 1)
+SELECT f.cohort, b.month,
+       COUNT(DISTINCT b.o_custkey) AS n_active,
+       {dsum_sql('b.o_totalprice')} AS revenue
+FROM base b JOIN first f USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q125 — share-of-total + share shift (ratio_to_report family): each
+# nation's yearly revenue share and its year-over-year share delta —
+# a window SUM over the year partition for the denominator and a lag
+# over the nation's year series for the shift. One exchange per
+# window key; shares derive from exact decimal sums, so the doubles
+# agree across engines.
+# --------------------------------------------------------------------------
+
+def q125_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    base = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                   o.o_custkey == F.col("c_custkey"))
+             .groupBy(F.col("c_nationkey").alias("nationkey"),
+                      F.year("o_orderdate").cast("int").alias("year"))
+             .agg(dsum("o_totalprice").alias("revenue")))
+    w_year = Window.partitionBy("year")
+    w_nat = Window.partitionBy("nationkey").orderBy("year")
+    share = F.round(F.col("revenue") / F.sum("revenue").over(w_year), 6)
+    out = base.select("nationkey", "year", F.round("revenue", 4)
+                      .alias("revenue"), share.alias("share"))
+    return out.withColumn(
+        "share_shift",
+        rnd0(F.col("share") - F.lag("share").over(w_nat), 6))
+
+
+Q125_SQL = f"""
+WITH base AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(year(o.o_orderdate) AS INTEGER) AS year,
+         {dsum_sql('o.o_totalprice')} AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT nationkey, year, ROUND(revenue, 4) AS revenue,
+         ROUND(revenue / SUM(revenue) OVER (PARTITION BY year), 6) AS share
+  FROM base)
+SELECT nationkey, year, revenue, share,
+       {rnd0_sql("share - lag(share) OVER (PARTITION BY nationkey ORDER BY year)", 6)} AS share_shift
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Q111 — explicit GROUPING SETS (completing the lattice family: q26 is
 # ROLLUP, q52 is CUBE): exactly the grains a report needs — by status,
 # by priority, and the grand total — WITHOUT the cross grains a CUBE
@@ -3196,6 +3334,13 @@ SPECS = [
               "F15 sha256 surrogate key projection"),
     QuerySpec("q29_stream_hourly", q29_stream_hourly, Q06_HOURLY_SQL,
               "T1/A4 as Structured Streaming (AvailableNow, windowed state)"),
+    QuerySpec("q123_basket_affinity", q123_basket_affinity, Q123_SQL,
+              "co-purchase lift over top-K parts (bounded pair "
+              "fan-out via broadcast semi-filter)"),
+    QuerySpec("q124_cohort_ltv", q124_cohort_ltv, Q124_SQL,
+              "cohort-month x activity-month revenue triangle"),
+    QuerySpec("q125_share_shift", q125_share_shift, Q125_SQL,
+              "yearly revenue share per nation + YoY share delta"),
     QuerySpec("q121_unpivot", q121_unpivot, Q121_SQL,
               "native unpivot/melt of the pivoted matrix; round trip "
               "equals the direct long-form aggregation"),
