@@ -2216,7 +2216,11 @@ _Q123_TOP_PARTS = 50
 
 def q123_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket feeds FIVE consumers (freq, both self-join
+    # sides, order count); checkpoint it lazily so the scan+distinct
+    # runs once instead of five times (same pattern as q103)
+    op = (li.select("l_orderkey", "l_partkey").distinct()
+            .localCheckpoint(eager=False))
     freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     topk = (freq.orderBy(F.desc("n_part"), "l_partkey")
                 .limit(_Q123_TOP_PARTS))
