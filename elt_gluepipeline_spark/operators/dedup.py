@@ -708,3 +708,58 @@ def incremental_jaccard_dedupe(
                    .select(F.col("id").alias(id_col)))
     out = new_docs.join(losers, id_col, "left_anti")
     return out.select(*(keep_cols or new_docs.columns))
+
+
+def passage_dedupe(df: DataFrame, id_col: str, text_col: str, *,
+                   size: int = 8) -> DataFrame:
+    """C4-style corpus-wide PASSAGE dedup with document reconstruction:
+    split every document into fixed token windows, keep only the FIRST
+    occurrence of each exact passage across the whole corpus (order =
+    (doc, position) — deterministic), and reassemble each document
+    from its surviving passages. This is the within/across-document
+    boilerplate-removal step (C4 did it per line; synthetic testdata
+    has no line structure, so the unit is a token window) that exact
+    whole-doc dedup (q13) cannot express.
+
+    Scale shape: the ranking pass shuffles only (fingerprint, doc,
+    position) — never passage text; winners join back to the map-side
+    re-derived chunks on (doc, position), and the only text shuffle is
+    the final per-document reassembly (partitioned by doc id, the
+    grain the output needs anyway). Documents whose every passage was
+    seen earlier come back EMPTY (kept_tokens 0), preserved via a
+    left join — silently dropping them would corrupt corpus accounting.
+
+    Output: (id, n_kept_chunks, kept_tokens, text_kept).
+    """
+    from pyspark.sql import Window
+
+    from .textstats import chunk_documents
+
+    chunks = chunk_documents(df, id_col, text_col, size=size, overlap=0) \
+        .filter(F.col("chunk_text") != "")
+    ranked = chunks.select(id_col, "chunk_id",
+                           F.md5("chunk_text").alias("_fp"))
+    w = Window.partitionBy("_fp").orderBy(id_col, "chunk_id")
+    winners = (ranked.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1)
+                     .select(id_col, "chunk_id"))
+    kept = chunks.join(winners, [id_col, "chunk_id"])
+    re = (kept.groupBy(id_col)
+              .agg(F.array_sort(F.collect_list(
+                       F.struct("chunk_id", "chunk_text"))).alias("_s"),
+                   F.sum("n_chunk_tokens").alias("_toks"))
+              .select(F.col(id_col),
+                      F.size("_s").alias("n_kept_chunks"),
+                      F.col("_toks").cast("long").alias("kept_tokens"),
+                      F.concat_ws(" ", F.transform(
+                          "_s", lambda s: s["chunk_text"]))
+                       .alias("text_kept")))
+    base = df.select(F.col(id_col))
+    return (base.join(re, [id_col], "left")
+                .select(id_col,
+                        F.coalesce("n_kept_chunks", F.lit(0)).cast("long")
+                         .alias("n_kept_chunks"),
+                        F.coalesce("kept_tokens", F.lit(0)).cast("long")
+                         .alias("kept_tokens"),
+                        F.coalesce("text_kept", F.lit(""))
+                         .alias("text_kept")))

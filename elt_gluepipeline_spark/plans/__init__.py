@@ -133,6 +133,7 @@ _DEPRIORITIZED = (
     "q123_basket_affinity",      # post-rotation tail (see above)
     "q124_cohort_ltv",           # post-rotation tail (see above)
     "q125_share_shift",          # post-rotation tail (see above)
+    "q126_passage_dedupe",       # post-rotation tail (see above)
 )
 
 

@@ -1027,6 +1027,64 @@ FROM st
 
 
 # --------------------------------------------------------------------------
+# Q126 — corpus-wide passage dedup + document reconstruction
+# (operators.dedup.passage_dedupe): C4's boilerplate-removal step —
+# keep only the first occurrence of every exact token-window passage
+# across the corpus, then rebuild each document from its survivors
+# (empty reconstruction preserved, not dropped). The oracle replays
+# chunking, md5 ranking, and the ordered string_agg reassembly, so
+# the RECONSTRUCTED TEXT itself is hash-gated, not just counts.
+# --------------------------------------------------------------------------
+
+_PASSAGE_SIZE = 8
+
+
+def q126_passage_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import passage_dedupe
+    docs = read_table(spark, sf_dir, "documents")
+    return passage_dedupe(docs, "doc_id", "text", size=_PASSAGE_SIZE)
+
+
+Q126_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0
+), st AS (
+  SELECT doc_id, tok,
+         unnest(range(0,
+                      GREATEST(CAST(ceil((n - {_PASSAGE_SIZE})
+                                    / CAST({_PASSAGE_SIZE} AS DOUBLE)) AS BIGINT),
+                               0) * {_PASSAGE_SIZE} + 1,
+                      {_PASSAGE_SIZE})) AS start
+  FROM s
+), c AS (
+  SELECT doc_id, start // {_PASSAGE_SIZE} AS chunk_id,
+         array_to_string(tok[start + 1:start + {_PASSAGE_SIZE}], ' ')
+           AS chunk_text,
+         len(tok[start + 1:start + {_PASSAGE_SIZE}]) AS nt
+  FROM st
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                               ORDER BY doc_id, chunk_id) AS rn
+  FROM c WHERE chunk_text <> ''
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept_chunks,
+         CAST(SUM(nt) AS BIGINT) AS kept_tokens,
+         string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_kept_chunks, 0) AS n_kept_chunks,
+       COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       COALESCE(a.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -2339,6 +2397,9 @@ SPECS = [
     QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
               "Gopher-style repetition signals (top token/bigram "
               "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q126_passage_dedupe", q126_passage_dedupe, Q126_SQL,
+              "C4-style corpus-wide passage dedup + reconstruction; "
+              "the rebuilt text itself is hash-gated"),
     QuerySpec("q118_linear_attribution", q118_linear_attribution, Q118_SQL,
               "linear multi-touch attribution over the banded range "
               "join; fixed-point ppm credit for exact determinism"),
