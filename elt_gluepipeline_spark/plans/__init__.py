@@ -134,6 +134,7 @@ _DEPRIORITIZED = (
     "q124_cohort_ltv",           # post-rotation tail (see above)
     "q125_share_shift",          # post-rotation tail (see above)
     "q126_passage_dedupe",       # post-rotation tail (see above)
+    "q127_bloom_prefilter",      # post-rotation tail (see above)
 )
 
 

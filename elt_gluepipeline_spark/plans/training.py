@@ -1085,6 +1085,73 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Q127 — Bloom-filter pre-filter (operators.bloom): membership of every
+# document's fingerprint against a corpus-subset filter, reported as
+# the (bloom_hit × exact_member) confusion matrix. The artifact shape
+# 100 TB dedupe needs: the filter is m_bits/8 bytes regardless of
+# corpus size, broadcasts into a map-side probe (the probe side never
+# shuffles), and NO-false-negative is structural. Bit positions are
+# md5-derived, so the oracle replays every bit — including the
+# deterministic false positives; the gate checks the filter's exact
+# operating point, not just its happy path.
+# --------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K, _BLOOM_SEED = 1 << 14, 4, 7
+
+
+def q127_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_apply, bloom_fit
+    d = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", F.md5("text").alias("fp"))
+    corpus = d.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    bloom = bloom_fit(corpus, "fp", m_bits=_BLOOM_M, k=_BLOOM_K,
+                      seed=_BLOOM_SEED)
+    flagged = bloom_apply(d, "fp", bloom, m_bits=_BLOOM_M, k=_BLOOM_K,
+                          seed=_BLOOM_SEED)
+    exact = (flagged.join(corpus.withColumn("_m", F.lit(True)),
+                          "fp", "left")
+                    .withColumn("exact_member",
+                                F.coalesce(F.col("_m"), F.lit(False))))
+    return (exact.groupBy("bloom_hit", "exact_member")
+                 .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q127_pos(i: int) -> str:
+    from ..operators.bloom import bloom_sql_bits
+    return bloom_sql_bits("fp", i, _BLOOM_M, _BLOOM_SEED)
+
+
+Q127_SQL = f"""
+WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+corpus AS (SELECT DISTINCT fp FROM d WHERE doc_id % 5 <> 0),
+cbits AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM (
+    {" UNION ALL ".join(f"SELECT {_q127_pos(i)} AS pos FROM corpus"
+                        for i in range(_BLOOM_K))})
+  GROUP BY 1),
+probe_k AS (
+  SELECT doc_id, fp, pos
+  FROM d, unnest([{", ".join(_q127_pos(i) for i in range(_BLOOM_K))}])
+       AS u(pos)),
+chk AS (
+  SELECT doc_id, fp,
+         SUM(CASE WHEN (COALESCE(b.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END) AS n_ok
+  FROM probe_k LEFT JOIN cbits b ON b.word_idx = pos // 32
+  GROUP BY 1, 2),
+labeled AS (
+  SELECT c.doc_id, c.n_ok = {_BLOOM_K} AS bloom_hit,
+         EXISTS (SELECT 1 FROM corpus x WHERE x.fp = c.fp) AS exact_member
+  FROM chk c)
+SELECT bloom_hit, exact_member, COUNT(*) AS n
+FROM labeled GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -2397,6 +2464,9 @@ SPECS = [
     QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
               "Gopher-style repetition signals (top token/bigram "
               "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q127_bloom_prefilter", q127_bloom_prefilter, Q127_SQL,
+              "portable Bloom filter fit+apply; confusion matrix vs "
+              "exact membership, every bit oracle-replayed"),
     QuerySpec("q126_passage_dedupe", q126_passage_dedupe, Q126_SQL,
               "C4-style corpus-wide passage dedup + reconstruction; "
               "the rebuilt text itself is hash-gated"),
