@@ -135,6 +135,7 @@ _DEPRIORITIZED = (
     "q125_share_shift",          # post-rotation tail (see above)
     "q126_passage_dedupe",       # post-rotation tail (see above)
     "q127_bloom_prefilter",      # post-rotation tail (see above)
+    "q128_countmin",             # post-rotation tail (see above)
 )
 
 

@@ -1152,6 +1152,65 @@ FROM labeled GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Q128 — count-min frequency estimation (operators.sketches): per-user
+# event counts estimated from a 4×256-cell sketch, reported against
+# the exact counts for a fixed probe set. The mergeable-summary shape
+# for heavy-tailed key spaces (state is depth·width integers, cells
+# merge by addition); md5 row hashes let the oracle replay every cell
+# and estimate, so the one-sided error (est ≥ exact, structural) is
+# gate-checked at its exact operating point, not assumed.
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_SEED = 4, 256, 11
+
+
+def q128_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_estimate, cms_fit
+    ev = read_table(spark, sf_dir, "events")
+    cms = cms_fit(ev, "user_id", depth=_CMS_D, width=_CMS_W,
+                  seed=_CMS_SEED)
+    probes = (ev.filter(F.col("user_id") < 20)
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("exact_n")))
+    est = cms_estimate(probes, "user_id", cms, depth=_CMS_D,
+                       width=_CMS_W, seed=_CMS_SEED)
+    return est.select("user_id", "exact_n", "est_n",
+                      (F.col("est_n") - F.col("exact_n")).cast("long")
+                       .alias("overcount"))
+
+
+def _q128_col(row: int) -> str:
+    from ..operators.sketches import cms_sql_col
+    return cms_sql_col("CAST(user_id AS VARCHAR)", row, _CMS_W, _CMS_SEED)
+
+
+Q128_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+cells AS (
+  SELECT c.row, c.col, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM per_key, LATERAL (
+    {" UNION ALL ".join(f"SELECT {r} AS row, {_q128_col(r)} AS col"
+                        for r in range(_CMS_D))}) AS c(row, col)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events
+  WHERE user_id < 20 GROUP BY 1),
+est AS (
+  SELECT p.user_id, p.exact_n,
+         MIN(COALESCE(ce.cnt, 0)) AS est_n
+  FROM probes p, LATERAL (
+    {" UNION ALL ".join(f"SELECT {r} AS row, {_q128_col(r)} AS col"
+                        for r in range(_CMS_D))}) AS c(row, col)
+  LEFT JOIN cells ce ON ce.row = c.row AND ce.col = c.col
+  GROUP BY 1, 2)
+SELECT user_id, exact_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - exact_n AS BIGINT) AS overcount
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -2464,6 +2523,9 @@ SPECS = [
     QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
               "Gopher-style repetition signals (top token/bigram "
               "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q128_countmin", q128_countmin, Q128_SQL,
+              "count-min sketch point queries vs exact counts; every "
+              "cell and estimate oracle-replayed"),
     QuerySpec("q127_bloom_prefilter", q127_bloom_prefilter, Q127_SQL,
               "portable Bloom filter fit+apply; confusion matrix vs "
               "exact membership, every bit oracle-replayed"),

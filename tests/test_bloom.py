@@ -57,3 +57,30 @@ def test_bloom_filter_is_broadcast_side(spark, keysets):
     assert "BroadcastExchange" in plan        # filter words broadcast
     # filter size bounded by m_bits/32 words regardless of corpus
     assert bloom.count() <= (1 << 12) // 32
+
+
+# ---------------- count-min sketch ----------------
+
+def test_cms_one_sided_and_mergeable(spark):
+    from elt_gluepipeline_spark.operators.sketches import (cms_estimate,
+                                                           cms_fit)
+
+    rows = [(f"k{i % 37}",) for i in range(1000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    cms = cms_fit(df, "k", depth=4, width=64)
+    est = cms_estimate(exact, "k", cms, depth=4, width=64)
+    for r in est.collect():
+        assert r.est_n >= r.exact_n          # structural one-sidedness
+    hot = est.filter(F.col("k") == "hot").collect()[0]
+    assert hot.exact_n == 500 and hot.est_n >= 500
+
+    # mergeability: sketch(union) == cellwise sum of the half-sketches
+    h1 = df.limit(700)
+    h2 = df.exceptAll(h1)
+    merged = (cms_fit(h1, "k", depth=4, width=64)
+              .unionByName(cms_fit(h2, "k", depth=4, width=64))
+              .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")))
+    full = cms_fit(df, "k", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
