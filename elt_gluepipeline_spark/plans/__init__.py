@@ -136,6 +136,7 @@ _DEPRIORITIZED = (
     "q126_passage_dedupe",       # post-rotation tail (see above)
     "q127_bloom_prefilter",      # post-rotation tail (see above)
     "q128_countmin",             # post-rotation tail (see above)
+    "q129_table_digest",         # post-rotation tail (see above)
 )
 
 

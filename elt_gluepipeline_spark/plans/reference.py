@@ -2342,6 +2342,52 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Q129 — order-independent table digest (replication reconciliation):
+# per-status row count + sum of canonical-row hashes as an exact
+# DECIMAL(38,0). Two replicas of a 100 TB table compare equal iff
+# their digests match — no row-by-row diff, no ordering assumption
+# (addition commutes), partial aggregation map-side, and the digest
+# is md5-derived so ANY engine holding the same rows derives the same
+# number (the oracle is literally the second engine here). Canonical
+# forms are pinned per type (decimal-quantized doubles, fixed date
+# format) — the same discipline as operators.profile.
+# --------------------------------------------------------------------------
+
+def q129_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash60
+    o = read_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(38,4)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"))
+    return (o.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum(portable_hash60(canon).cast("decimal(38,0)"))
+                   .cast("decimal(38,0)").cast("string").alias("digest")))
+
+
+Q129_SQL = """
+WITH canon AS (
+  SELECT o_orderstatus,
+         concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR),
+           strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority) AS c
+  FROM orders)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT)
+                          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS digest
+FROM canon GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # Q111 — explicit GROUPING SETS (completing the lattice family: q26 is
 # ROLLUP, q52 is CUBE): exactly the grains a report needs — by status,
 # by priority, and the grand total — WITHOUT the cross grains a CUBE
@@ -3338,6 +3384,9 @@ SPECS = [
               "F15 sha256 surrogate key projection"),
     QuerySpec("q29_stream_hourly", q29_stream_hourly, Q06_HOURLY_SQL,
               "T1/A4 as Structured Streaming (AvailableNow, windowed state)"),
+    QuerySpec("q129_table_digest", q129_table_digest, Q129_SQL,
+              "order-independent canonical-row digest for replica "
+              "reconciliation (exact decimal hash sums)"),
     QuerySpec("q123_basket_affinity", q123_basket_affinity, Q123_SQL,
               "co-purchase lift over top-K parts (bounded pair "
               "fan-out via broadcast semi-filter)"),
