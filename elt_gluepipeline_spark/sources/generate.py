@@ -1,0 +1,93 @@
+"""Deterministic distributed data generator as a Spark 4 Python
+DataSource (SURVEY §2.1 S-family extension — a source the engine
+LACKS natively: `rate` is streaming-only and unseeded, and
+driver-side createDataFrame caps out at driver memory).
+
+    spark.dataSource.register(SeedGen)
+    df = (spark.read.format("seedgen")
+               .option("rows", 10_000_000)
+               .option("seed", 7)
+               .option("partitions", 64)
+               .load())
+
+Why it matters at 100 TB: scale tests need inputs BIGGER than any
+single machine. This source materializes nothing — each of the
+``partitions`` input splits generates its own [start, end) row range
+executor-side, so a billion-row frame costs zero driver memory and
+reads nothing from disk. Values derive from the GLOBAL row index via
+a splitmix64 mix (public-domain algorithm), so the data is
+bit-identical under any partitioning — repartition the source and
+every determinism test still holds.
+
+Schema: id long, user_id long, ts timestamp_ntz, value double —
+the events-like shape the synthetic scale checks want.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType, TimestampNTZType)
+
+_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Public-domain splitmix64 mix (Steele et al.) — cheap, well
+    distributed, and dependency-free on executors."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _row(seed: int, i: int):
+    h = _splitmix64((seed << 32) ^ i)
+    user_id = h % 10_000
+    ts = _EPOCH + dt.timedelta(seconds=i % 31_536_000)
+    value = (h >> 16) % 1_000_000 / 100.0
+    return (i, user_id, ts, value)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, seed: int, start: int, end: int):
+        self.seed, self.start, self.end = seed, start, end
+
+
+class _SeedGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.seed = int(options.get("seed", 0))
+        self.parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        per = -(-self.rows // self.parts)    # ceil
+        return [_RangePartition(self.seed, lo, min(lo + per, self.rows))
+                for lo in range(0, self.rows, per)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(partition.seed, i)
+
+
+class SeedGen(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "seedgen"
+
+    def schema(self) -> StructType:
+        return StructType([
+            StructField("id", LongType(), False),
+            StructField("user_id", LongType(), False),
+            StructField("ts", TimestampNTZType(), False),
+            StructField("value", DoubleType(), False),
+        ])
+
+    def reader(self, schema) -> _SeedGenReader:
+        return _SeedGenReader(self.options)
