@@ -60,6 +60,21 @@ class _RangePartition(InputPartition):
         self.seed, self.start, self.end = seed, start, end
 
 
+_BATCH = 65_536
+
+
+def _mix_np(x):
+    """Vectorized splitmix64 over a uint64 numpy array — bit-identical
+    to the scalar `_splitmix64` (pinned by test); numpy unsigned ops
+    wrap modulo 2^64 exactly like the masked Python arithmetic."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 class _SeedGenReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
@@ -72,8 +87,27 @@ class _SeedGenReader(DataSourceReader):
                 for lo in range(0, self.rows, per)]
 
     def read(self, partition: _RangePartition):
-        for i in range(partition.start, partition.end):
-            yield _row(partition.seed, i)
+        # Arrow fast path: vectorized numpy → RecordBatch (the tuple
+        # path serializes row-at-a-time through the Python worker and
+        # is ~100× slower; for a generator the batch IS the product)
+        import numpy as np
+        import pyarrow as pa
+
+        epoch_us = int(_EPOCH.timestamp() * 0) + int(
+            (_EPOCH - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+        for lo in range(partition.start, partition.end, _BATCH):
+            hi = min(lo + _BATCH, partition.end)
+            i = np.arange(lo, hi, dtype=np.uint64)
+            h = _mix_np(np.uint64(partition.seed << 32) ^ i)
+            ts_us = epoch_us + (i % np.uint64(31_536_000)).astype(
+                np.int64) * 1_000_000
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(i.astype(np.int64)),
+                 pa.array((h % np.uint64(10_000)).astype(np.int64)),
+                 pa.array(ts_us, type=pa.timestamp("us")),
+                 pa.array(((h >> np.uint64(16)) % np.uint64(1_000_000))
+                          .astype(np.float64) / 100.0)],
+                names=["id", "user_id", "ts", "value"])
 
 
 class SeedGen(DataSource):

@@ -47,3 +47,23 @@ def test_seedgen_composes_with_engine_operators(spark):
                    F.round(F.sum("value"), 2).alias("v")))
     assert roll.count() > 0
     assert roll.agg(F.sum("n")).collect()[0][0] == 20_000
+
+
+def test_seedgen_arrow_path_matches_scalar_reference(spark):
+    """The vectorized numpy mix must be bit-identical to the scalar
+    splitmix64 reference the docstring promises."""
+    import numpy as np
+
+    from elt_gluepipeline_spark.sources.generate import (_mix_np, _row,
+                                                         _splitmix64)
+
+    idx = np.arange(0, 2000, dtype=np.uint64)
+    vec = _mix_np(np.uint64(7 << 32) ^ idx)
+    for i in (0, 1, 999, 1999):
+        assert int(vec[i]) == _splitmix64((7 << 32) ^ i)
+    # and through the DataFrame: row values equal the scalar derivation
+    df = _gen(spark, 50, seed=7, partitions=3)
+    got = {r.id: (r.user_id, r.ts, r.value) for r in df.collect()}
+    for i in (0, 17, 49):
+        _, uid, ts, val = _row(7, i)
+        assert got[i] == (uid, ts, val)
