@@ -531,3 +531,40 @@ def test_read_table_stream_directory_layout(spark, sf_dir, tmp_path):
     assert spark.table("dirly_n").collect()[0]["n"] == ev.count()
     # timestamp normalization still applies in the dir branch
     assert dict(src.dtypes)["ts"].startswith("timestamp")
+
+
+def test_drain_runs_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state story: HDFS-backed state holds everything in
+    executor heap; RocksDB spills to local disk and is the provider a
+    large stateful deployment actually runs. Prove the engine's drain
+    path works unchanged under it (provider is a session conf — the
+    plans don't care, but only a test makes that claim true)."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.sources.readers import read_table_stream
+    from elt_gluepipeline_spark.streaming.stream import (
+        run_rollup_available_now)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        src = read_table_stream(spark, sf_dir, "events")
+        agg = (src.groupBy(F.window("ts", "1 hour").alias("b"),
+                           "event_type")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        got = run_rollup_available_now(agg, state_partitions=4)
+        from elt_gluepipeline_spark.sources.readers import read_table
+        exact = (read_table(spark, sf_dir, "events")
+                 .groupBy(F.date_trunc("hour", "ts").alias("h"),
+                          "event_type")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        assert got.count() == exact.count()
+        assert got.agg(F.sum("n")).collect()[0][0] == \
+            exact.agg(F.sum("n")).collect()[0][0]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
