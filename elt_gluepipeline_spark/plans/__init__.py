@@ -137,6 +137,7 @@ _DEPRIORITIZED = (
     "q127_bloom_prefilter",      # post-rotation tail (see above)
     "q128_countmin",             # post-rotation tail (see above)
     "q129_table_digest",         # post-rotation tail (see above)
+    "q130_generated_rollup",     # post-rotation tail (see above)
 )
 
 

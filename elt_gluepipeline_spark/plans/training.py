@@ -1211,6 +1211,78 @@ FROM est
 
 
 # --------------------------------------------------------------------------
+# Q130 — the custom Python DataSource under the oracle gate: an hourly
+# rollup over 200k seedgen-GENERATED rows (sources/generate.py — no
+# table, no disk, executor-side Arrow batches), hash-checked against a
+# DuckDB oracle that REPLAYS THE GENERATOR: splitmix64 re-implemented
+# in SQL via 32-bit split multiplication mod 2^64 (64×64-bit products
+# overflow INT128, so each multiply is (lo·c + ((hi·c) mod 2^32)·2^32)
+# mod 2^64). A hash match here certifies the connector end-to-end —
+# schema mapping, Arrow batch path, partition ranges, value
+# derivation — against an independent engine.
+# --------------------------------------------------------------------------
+
+_GEN_ROWS, _GEN_SEED = 200_000, 7
+
+
+def q130_generated_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.generate import SeedGen
+    spark.dataSource.register(SeedGen)
+    df = (spark.read.format("seedgen")
+               .option("rows", _GEN_ROWS).option("seed", _GEN_SEED)
+               .option("partitions", 32).load())
+    return (df.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH:mm:ss").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double").alias("total_value"),
+                   F.countDistinct("user_id").alias("n_users")))
+
+
+_M64 = 1 << 64
+
+
+def _mulmod64(x: str, c: int) -> str:
+    return (f"((({x}) % 4294967296) * {c} % {_M64} + "
+            f"((({x}) // 4294967296) * {c} % 4294967296) * 4294967296)"
+            f" % {_M64}")
+
+
+def _xorshift(x: str, s: int) -> str:
+    return (f"CAST(xor(CAST(({x}) AS UBIGINT), "
+            f"CAST(({x}) AS UBIGINT) >> {s}) AS HUGEINT)")
+
+
+def _splitmix_sql(seed: int) -> str:
+    x0 = f"(CAST({seed} AS HUGEINT) * 4294967296 + i)"
+    a = f"(({x0}) + 11400714819323198485) % {_M64}"
+    b = _xorshift(a, 30)
+    c = _mulmod64(b, 13787848793156543929)
+    d = _xorshift(c, 27)
+    e = _mulmod64(d, 10723151780598845931)
+    return _xorshift(e, 31)
+
+
+Q130_SQL = f"""
+WITH ids AS (SELECT unnest(range(0, {_GEN_ROWS})) AS i),
+rows_ AS (
+  SELECT i, {_splitmix_sql(_GEN_SEED)} AS h,
+         TIMESTAMP '2024-01-01' + (i % 31536000) * INTERVAL 1 SECOND AS ts
+  FROM ids),
+vals AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         h % 10000 AS user_id,
+         CAST((CAST(h AS UBIGINT) >> 16) % 1000000 AS DOUBLE) / 100.0
+           AS value
+  FROM rows_)
+SELECT hour, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM vals GROUP BY hour
+"""
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -2523,6 +2595,10 @@ SPECS = [
     QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
               "Gopher-style repetition signals (top token/bigram "
               "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q130_generated_rollup", q130_generated_rollup, Q130_SQL,
+              "custom Python DataSource under the gate: DuckDB replays "
+              "splitmix64 (split-mul mod 2^64) to certify the "
+              "connector end-to-end"),
     QuerySpec("q128_countmin", q128_countmin, Q128_SQL,
               "count-min sketch point queries vs exact counts; every "
               "cell and estimate oracle-replayed"),
