@@ -82,6 +82,8 @@ class _SeedGenReader(DataSourceReader):
         self.parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
+        if self.rows <= 0:                   # empty source, one no-op split
+            return [_RangePartition(self.seed, 0, 0)]
         per = -(-self.rows // self.parts)    # ceil
         return [_RangePartition(self.seed, lo, min(lo + per, self.rows))
                 for lo in range(0, self.rows, per)]
