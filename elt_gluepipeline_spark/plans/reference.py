@@ -3188,7 +3188,6 @@ FROM ranked GROUP BY c_nationkey, decile
 # --------------------------------------------------------------------------
 
 def q101_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.deterministic import rnd0
     li = read_table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     return (li.groupBy("l_returnflag")
