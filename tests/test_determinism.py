@@ -22,7 +22,13 @@ FLOAT_HEAVY = ["q02_clv", "q03_clv_tiered", "q07_loyalty_impact",
                "q84_anomaly_days", "q99_spend_percentiles",
                # total-order window sort: per-row prefixes must not
                # depend on tie order among duplicate keys
-               "q113_stock_balance"]
+               "q113_stock_balance",
+               # round-4 float-bearing additions: fixed-point credit
+               # sums, window share ratios, histogram interpolation,
+               # lift divisions — each must survive re-partitioning
+               "q118_linear_attribution", "q120_histogram_quantiles",
+               "q123_basket_affinity", "q125_share_shift",
+               "q124_cohort_ltv"]
 
 
 def _fingerprint(df) -> list[str]:
