@@ -108,3 +108,25 @@ def test_compact_parquet_bounds_files_and_preserves_rows(spark, sf_dir, tmp_path
     assert after.count() == src.count()
     # value-level identity, not just counts
     assert after.exceptAll(src).count() == 0 and src.exceptAll(after).count() == 0
+
+
+def test_compact_parquet_recovers_from_crashed_prior_swap(spark, sf_dir,
+                                                          tmp_path):
+    """Crash-window recovery: a leftover __compact_old (aside) dir from
+    an interrupted earlier swap must not break or contaminate the next
+    compaction — it is cleared and the live data wins."""
+    from pathlib import Path
+
+    from elt_gluepipeline_spark.sources.writers import compact_parquet
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    target = str(tmp_path / "orders_live")
+    src.repartition(10).write.parquet(target)
+    # stale aside from a hypothetical crashed run, with DIFFERENT data
+    src.limit(5).write.parquet(target + "__compact_old")
+    n = compact_parquet(spark, target, target_files=2)
+    assert n == src.count()
+    after = spark.read.parquet(target)
+    assert after.count() == src.count()
+    assert not Path(target + "__compact_old").exists()
+    assert not Path(target + "__compact_tmp").exists()
