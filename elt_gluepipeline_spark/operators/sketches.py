@@ -79,3 +79,102 @@ def cms_sql_col(key_expr: str, row: int, width: int, seed: int) -> str:
     h = (f"CAST(('0x' || substr(md5(concat_ws('#', {key_expr}, "
          f"'{row}', '{seed}')), 1, 15)) AS BIGINT)")
     return f"(({h}) % {width} + {width}) % {width}"
+
+
+# --------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007, public): the mergeable
+# DISTINCT-COUNT sketch, with every register and the estimate itself
+# engine-replayable. Spark's approx_count_distinct is an opaque HLL++
+# (rows-only checkable); this one derives buckets/ranks from md5 and
+# keeps ALL arithmetic exact-integer until one final division, so a
+# DuckDB oracle reproduces the estimate bit-for-bit.
+# --------------------------------------------------------------------
+
+HLL_P = 10                      # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P         # rank bits left after the bucket
+# ln(2)-based alpha for m >= 128 (standard constant)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_bucket_rank(key: Column):
+    """(bucket, rank): bucket = top p bits of the 60-bit md5 hash,
+    rank = 1-based position of the first set bit in the remaining
+    bits (all-zero tail → wbits+1). Rank comes from STRING binary
+    search (bin/lpad/strpos) — exact in both engines, no float log."""
+    h = portable_hash60(key)
+    bucket = F.shiftright(h, _HLL_WBITS)
+    w = h.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    padded = F.lpad(F.bin(w), 64, "0")
+    first_one = F.instr(padded, "1")       # 0 when w == 0
+    rank = F.when(first_one == 0, F.lit(_HLL_WBITS + 1)) \
+            .otherwise(first_one - (64 - _HLL_WBITS))
+    return bucket.cast("int"), rank.cast("int")
+
+
+def hll_fit(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the register table: (bucket, r) with r = max rank seen.
+    ≤ m rows; map-side max partials; merges with another sketch by
+    groupBy(bucket).max(r) — pinned by test."""
+    bucket, rank = _hll_bucket_rank(F.col(key_col))
+    return (df.select(bucket.alias("bucket"), rank.alias("_r"))
+              .groupBy("bucket").agg(F.max("_r").alias("r")))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Harmonic estimate with exact-integer internals: each register
+    contributes 2^(wbits+1-r) to a scaled sum S (an exact long;
+    absent registers contribute 2^(wbits+1)), so the only float op is
+    the final alpha·m²·2^(wbits+1)/S division — deterministic across
+    engines and partitionings. Small-range correction (E ≤ 5m/2 with
+    empty registers → linear counting m·ln(m/V)) applies as in the
+    paper. Output: one row (n_hll double, rounded 4dp)."""
+    scale = 1 << (_HLL_WBITS + 1)
+    agg = registers.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({_HLL_WBITS + 1} - r AS INT))"))
+         .cast("long").alias("_s_present"),
+        F.count(F.lit(1)).alias("_nb"))
+    s = (F.col("_s_present")
+         + (F.lit(HLL_M) - F.col("_nb")) * F.lit(scale)).cast("double")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * scale) / s
+    zeros = (F.lit(HLL_M) - F.col("_nb")).cast("double")
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)) \
+           .otherwise(raw)
+    return agg.select(F.round(est, 4).alias("n_hll"))
+
+
+def hll_sql(key_expr: str, from_clause: str) -> str:
+    """DuckDB twin: registers + estimate with the same exact-integer
+    internals. Returns a SELECT yielding one row (n_hll)."""
+    h = f"CAST(('0x' || substr(md5({key_expr}), 1, 15)) AS BIGINT)"
+    scale = 1 << (_HLL_WBITS + 1)
+    return f"""
+WITH hashed AS (
+  SELECT {h} AS h {from_clause}),
+br AS (
+  SELECT CAST(h >> {_HLL_WBITS} AS INT) AS bucket,
+         CASE WHEN strpos(lpad(bin(h & {(1 << _HLL_WBITS) - 1}), 64, '0'),
+                          '1') = 0
+              THEN {_HLL_WBITS + 1}
+              ELSE strpos(lpad(bin(h & {(1 << _HLL_WBITS) - 1}), 64, '0'),
+                          '1') - {64 - _HLL_WBITS} END AS rank
+  FROM hashed),
+regs AS (SELECT bucket, MAX(rank) AS r FROM br GROUP BY bucket),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - r AS INT))
+              AS BIGINT) AS s_present,
+         COUNT(*) AS nb
+  FROM regs),
+est AS (
+  SELECT CAST(s_present + ({HLL_M} - nb) * CAST({scale} AS BIGINT)
+              AS DOUBLE) AS s,
+         CAST({HLL_M} - nb AS DOUBLE) AS zeros
+  FROM agg)
+SELECT ROUND(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M * scale!r} / s
+                       <= 2.5 * {HLL_M} AND zeros > 0
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+             ELSE {HLL_ALPHA * HLL_M * HLL_M * scale!r} / s END,
+             4) AS n_hll
+FROM est"""

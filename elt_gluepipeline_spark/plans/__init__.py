@@ -138,6 +138,7 @@ _DEPRIORITIZED = (
     "q128_countmin",             # post-rotation tail (see above)
     "q129_table_digest",         # post-rotation tail (see above)
     "q130_generated_rollup",     # post-rotation tail (see above)
+    "q131_hll_portable",         # post-rotation tail (see above)
 )
 
 

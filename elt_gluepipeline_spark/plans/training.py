@@ -1283,6 +1283,45 @@ FROM vals GROUP BY hour
 
 
 # --------------------------------------------------------------------------
+# Q131 — portable HyperLogLog (operators.sketches.hll_fit/estimate),
+# completing the sketch trilogy (Bloom membership, count-min
+# frequency, HLL cardinality): distinct users estimated from 1024
+# max-rank registers. Unlike q36's approx_count_distinct (opaque
+# HLL++, rows-only checkable), every register AND the estimate are
+# md5-derived with exact-integer internals, so the oracle reproduces
+# the approximate answer bit-for-bit — the estimate's exact operating
+# point is gated, alongside the exact count for the honesty check.
+# --------------------------------------------------------------------------
+
+def q131_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_fit
+    ev = read_table(spark, sf_dir, "events") \
+        .select(F.col("user_id").cast("string").alias("k"))
+    est = hll_estimate(hll_fit(ev, "k"))
+    exact = ev.agg(F.countDistinct("k").alias("n_exact"))
+    return (est.crossJoin(F.broadcast(exact))
+               .select("n_exact", "n_hll",
+                       F.round(F.abs(F.col("n_hll") - F.col("n_exact"))
+                               / F.col("n_exact"), 6).alias("rel_err")))
+
+
+def _q131_sql() -> str:
+    from ..operators.sketches import hll_sql
+    inner = hll_sql("CAST(user_id AS VARCHAR)", "FROM events")
+    return f"""
+WITH hll AS ({inner}),
+exact AS (SELECT COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_exact
+          FROM events)
+SELECT n_exact, n_hll,
+       ROUND(ABS(n_hll - n_exact) / n_exact, 6) AS rel_err
+FROM hll, exact
+"""
+
+
+Q131_SQL = _q131_sql()
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -2595,6 +2634,9 @@ SPECS = [
     QuerySpec("q63_repetition", q63_repetition, Q63_SQL,
               "Gopher-style repetition signals (top token/bigram "
               "fraction, dup-token fraction; map-only HOF expressions)"),
+    QuerySpec("q131_hll_portable", q131_hll_portable, Q131_SQL,
+              "portable HLL cardinality: registers AND estimate "
+              "oracle-replayed bit-for-bit, exact count alongside"),
     QuerySpec("q130_generated_rollup", q130_generated_rollup, Q130_SQL,
               "custom Python DataSource under the gate: DuckDB replays "
               "splitmix64 (split-mul mod 2^64) to certify the "

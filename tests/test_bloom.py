@@ -84,3 +84,39 @@ def test_cms_one_sided_and_mergeable(spark):
     full = cms_fit(df, "k", depth=4, width=64)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, full.collect()))
+
+
+# ---------------- portable HyperLogLog ----------------
+
+def test_hll_accuracy_and_merge(spark):
+    from elt_gluepipeline_spark.operators.sketches import (hll_estimate,
+                                                           hll_fit)
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(20_000)],
+                               "k string")
+    est = hll_estimate(hll_fit(df, "k")).collect()[0].n_hll
+    # p=10 -> sigma ~ 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    assert abs(est - 20_000) / 20_000 < 0.13
+    # mergeability: registers of the union == bucketwise max of halves
+    h1, h2 = df.limit(12_000), df.exceptAll(df.limit(12_000))
+    merged = (hll_fit(h1, "k").unionByName(hll_fit(h2, "k"))
+              .groupBy("bucket").agg(F.max("r").alias("r")))
+    full = hll_fit(df, "k")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # merged sketch estimates identically to the one-shot sketch
+    a = hll_estimate(merged).collect()[0].n_hll
+    b = hll_estimate(full).collect()[0].n_hll
+    assert a == b
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    from elt_gluepipeline_spark.operators.sketches import (hll_estimate,
+                                                           hll_fit)
+
+    once = spark.createDataFrame([(f"u{i}",) for i in range(1000)],
+                                 "k string")
+    tenfold = once.crossJoin(spark.range(10)).select("k")
+    a = hll_estimate(hll_fit(once, "k")).collect()[0].n_hll
+    b = hll_estimate(hll_fit(tenfold, "k")).collect()[0].n_hll
+    assert a == b                      # cardinality, not row count
