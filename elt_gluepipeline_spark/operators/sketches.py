@@ -130,10 +130,14 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     empty registers → linear counting m·ln(m/V)) applies as in the
     paper. Output: one row (n_hll double, rounded 4dp)."""
     scale = 1 << (_HLL_WBITS + 1)
+    # coalesce: zero registers (empty input) → s_present 0, so the
+    # small-range correction yields the CORRECT empty-sketch estimate
+    # m·ln(m/m) = 0.0 instead of a NULL propagating out
     agg = registers.agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                     f"CAST({_HLL_WBITS + 1} - r AS INT))"))
-         .cast("long").alias("_s_present"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                         f"CAST({_HLL_WBITS + 1} - r AS INT))")),
+            F.lit(0)).cast("long").alias("_s_present"),
         F.count(F.lit(1)).alias("_nb"))
     s = (F.col("_s_present")
          + (F.lit(HLL_M) - F.col("_nb")) * F.lit(scale)).cast("double")

@@ -1299,7 +1299,9 @@ def q131_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("string").alias("k"))
     est = hll_estimate(hll_fit(ev, "k"))
     exact = ev.agg(F.countDistinct("k").alias("n_exact"))
+    # no data → no cardinality report (and no 0/0 under ANSI)
     return (est.crossJoin(F.broadcast(exact))
+               .filter(F.col("n_exact") > 0)
                .select("n_exact", "n_hll",
                        F.round(F.abs(F.col("n_hll") - F.col("n_exact"))
                                / F.col("n_exact"), 6).alias("rel_err")))
@@ -1314,7 +1316,7 @@ exact AS (SELECT COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_exact
           FROM events)
 SELECT n_exact, n_hll,
        ROUND(ABS(n_hll - n_exact) / n_exact, 6) AS rel_err
-FROM hll, exact
+FROM hll, exact WHERE n_exact > 0
 """
 
 
