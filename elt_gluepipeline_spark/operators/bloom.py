@@ -95,7 +95,15 @@ def bloom_apply(probes: DataFrame, key_col: str, bloom: DataFrame, *,
                             .cast("int").alias("_ok"))
                     .groupBy("_k")
                     .agg((F.sum("_ok") == k).alias(flag_col)))
-    return probes.join(hits, probes[key_col] == hits["_k"]).drop("_k")
+    # null-safe LEFT re-attach: a plain inner equi-join would silently
+    # drop probe rows whose key is NULL (NULL never equals NULL), losing
+    # rows the DuckDB oracle keeps. NULL keys hash like any other value
+    # (concat_ws skips NULLs in both engines) so they get a real flag;
+    # the coalesce(false) is belt-and-braces for an empty hits side.
+    joined = probes.join(hits,
+                         probes[key_col].eqNullSafe(hits["_k"]), "left")
+    return joined.withColumn(
+        flag_col, F.coalesce(F.col(flag_col), F.lit(False))).drop("_k")
 
 
 def bloom_sql_bits(key_expr: str, i: int, m_bits: int, seed: int) -> str:

@@ -71,7 +71,13 @@ def cms_estimate(probes: DataFrame, key_col: str, cms: DataFrame, *,
              .groupBy("_k")
              .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
                    .alias(est_col)))
-    return probes.join(est, probes[key_col] == est["_k"]).drop("_k")
+    # null-safe LEFT re-attach: an inner equi-join would drop NULL-key
+    # probe rows (NULL != NULL); they estimate like any other key since
+    # concat_ws skips NULLs identically in both engines.
+    joined = probes.join(est, probes[key_col].eqNullSafe(est["_k"]),
+                         "left")
+    return joined.withColumn(
+        est_col, F.coalesce(F.col(est_col), F.lit(0))).drop("_k")
 
 
 def cms_sql_col(key_expr: str, row: int, width: int, seed: int) -> str:
@@ -167,8 +173,12 @@ br AS (
   FROM hashed),
 regs AS (SELECT bucket, MAX(rank) AS r FROM br GROUP BY bucket),
 agg AS (
-  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - r AS INT))
-              AS BIGINT) AS s_present,
+  -- COALESCE mirrors the Spark side: zero register rows (empty
+  -- input) must yield s_present 0, not NULL, so the small-range
+  -- branch produces 0.0 instead of NULL propagating out
+  SELECT COALESCE(CAST(SUM(CAST(1 AS BIGINT)
+                           << CAST({_HLL_WBITS + 1} - r AS INT))
+                       AS BIGINT), 0) AS s_present,
          COUNT(*) AS nb
   FROM regs),
 est AS (

@@ -10,6 +10,9 @@ rows-only checks, flagged with oracle=None.
 
 from __future__ import annotations
 
+import os
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1254,7 +1257,12 @@ def _xorshift(x: str, s: int) -> str:
 
 
 def _splitmix_sql(seed: int) -> str:
-    x0 = f"(CAST({seed} AS HUGEINT) * 4294967296 + i)"
+    # the stream base (one splitmix of the seed) is a COMPILE-TIME
+    # constant — the per-row mix over base ^ i is what the SQL replays
+    from ..sources.generate import _stream_base
+    base = _stream_base(seed)
+    x0 = (f"CAST(xor(CAST({base} AS UBIGINT), CAST(i AS UBIGINT)) "
+          f"AS HUGEINT)")
     a = f"(({x0}) + 11400714819323198485) % {_M64}"
     b = _xorshift(a, 30)
     c = _mulmod64(b, 13787848793156543929)
@@ -1866,7 +1874,14 @@ FROM a2 GROUP BY vec_id
 # same deterministic recipe.
 # --------------------------------------------------------------------------
 
-_ARTIFACT_ROOT = "/root/repo/.artifacts"
+# Artifact root (ADVICE r4: not a hard-coded absolute path). Override
+# with SPARK_GRAFT_ARTIFACT_DIR (the config knob a deployment would
+# set to a shared filesystem/object-store prefix); default to an
+# .artifacts folder next to the package, so a checkout anywhere works.
+_ARTIFACT_ROOT = os.environ.get(
+    "SPARK_GRAFT_ARTIFACT_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".artifacts"))
 _ARTIFACT_MEMO: dict = {}
 
 
@@ -1893,7 +1908,11 @@ def _pq_artifact(spark: SparkSession, sf_dir: str):
     path = f"{_ARTIFACT_ROOT}/pq_{key}"
     try:
         art = load_pq_artifact(spark, path)
-    except Exception:
+    # refit ONLY on the expected conditions — artifact absent (Spark
+    # raises AnalysisException on a missing parquet path) or torn/empty
+    # (load raises ValueError). Any other error (corrupt footer, perm
+    # denied) propagates: silently refitting would hide real damage.
+    except (ValueError, AnalysisException):
         emb = read_table(spark, sf_dir, "embeddings")
         art = fit_pq_artifact(emb, m=4, k=16, n_iter=2, seed=7,
                               n_cells=8, cell_seed=42)

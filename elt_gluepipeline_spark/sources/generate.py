@@ -47,8 +47,19 @@ def _splitmix64(x: int) -> int:
 _EPOCH = dt.datetime(2024, 1, 1)
 
 
+def _stream_base(seed: int) -> int:
+    """64-bit pre-mix of the seed. The per-row mix input is
+    ``_splitmix64(seed) ^ i``: the row index perturbs a full-width
+    mixed value instead of the low bits of ``seed << 32``, so streams
+    stay disjoint past i = 2^32 (the old scheme let the index bleed
+    into the seed bits there — same cliff ADVICE r4 flagged as an
+    OverflowError on the Arrow path for seed >= 2^32, which the mask
+    here also removes)."""
+    return _splitmix64(seed & _MASK)
+
+
 def _row(seed: int, i: int):
-    h = _splitmix64((seed << 32) ^ i)
+    h = _splitmix64(_stream_base(seed) ^ i)
     user_id = h % 10_000
     ts = _EPOCH + dt.timedelta(seconds=i % 31_536_000)
     value = (h >> 16) % 1_000_000 / 100.0
@@ -97,10 +108,11 @@ class _SeedGenReader(DataSourceReader):
 
         epoch_us = int(_EPOCH.timestamp() * 0) + int(
             (_EPOCH - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+        base = np.uint64(_stream_base(partition.seed))
         for lo in range(partition.start, partition.end, _BATCH):
             hi = min(lo + _BATCH, partition.end)
             i = np.arange(lo, hi, dtype=np.uint64)
-            h = _mix_np(np.uint64(partition.seed << 32) ^ i)
+            h = _mix_np(base ^ i)
             ts_us = epoch_us + (i % np.uint64(31_536_000)).astype(
                 np.int64) * 1_000_000
             yield pa.RecordBatch.from_arrays(

@@ -85,16 +85,63 @@ def _normalize_nanos(df: DataFrame, name: str) -> DataFrame:
 # Footer-schema cache: spark.read.parquet() launches a small Spark job
 # just to read the footer schema, so EVERY plan build paid one job per
 # table read (and registering all ~125 queries paid ~200). Caching the
-# StructType per (path, mtime) and passing it explicitly makes plan
-# construction job-free after the first touch of each table; the mtime
-# key re-reads when data is rewritten. Cache AFTER _set_ts_read_confs —
-# the confs change how a TIMESTAMP(NANOS) footer maps to a Spark type.
-_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+# StructType and passing it explicitly makes plan construction job-free
+# after the first touch of each table. The key must capture everything
+# the footer→StructType mapping depends on (ADVICE r4):
+#   - a FILE signature, not the top-level mtime: appending a part file
+#     inside an existing partition subdirectory does not bump the
+#     parent directory's mtime, so a (path, parent-mtime) key served a
+#     stale schema across an in-place schema-evolving append. The
+#     signature is (leaf count, newest leaf mtime) over a bounded
+#     os.walk — driver-side metadata, the same order of cost the
+#     footer listing itself pays;
+#   - a CONF fingerprint: nanosAsLong / inferTimestampNTZ (set by
+#     _set_ts_read_confs) change how a TIMESTAMP(NANOS) footer maps to
+#     a Spark type, and the cache is process-global across sessions.
+# Writers that rewrite a table in place (compact_parquet) also call
+# invalidate_schema_cache() explicitly.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_signature(path: str) -> tuple:
+    st = os.stat(path)                       # raises OSError if absent
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, 1)
+    newest, n = st.st_mtime_ns, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            n += 1
+            try:
+                m = os.stat(os.path.join(root, f)).st_mtime_ns
+            except OSError:
+                continue
+            if m > newest:
+                newest = m
+    return (newest, n)
+
+
+def _conf_fingerprint(spark: SparkSession) -> tuple:
+    def get(k):
+        try:
+            return spark.conf.get(k)
+        except Exception:
+            return None
+    return (get("spark.sql.legacy.parquet.nanosAsLong"),
+            get("spark.sql.parquet.inferTimestampNTZ.enabled"))
+
+
+def invalidate_schema_cache(path: str | None = None) -> None:
+    """Drop cached footer schemas for ``path`` (or all, if None)."""
+    if path is None:
+        _SCHEMA_CACHE.clear()
+        return
+    for k in [k for k in _SCHEMA_CACHE if k[0] == path]:
+        del _SCHEMA_CACHE[k]
 
 
 def _table_schema(spark: SparkSession, path: str):
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        key = (path, _path_signature(path), _conf_fingerprint(spark))
     except OSError:
         return spark.read.parquet(path).schema
     if key not in _SCHEMA_CACHE:

@@ -110,6 +110,11 @@ def compact_parquet(spark, path: str, *, target_files: int = 8,
     shutil.move(base, aside)   # old data stays live at the aside path
     shutil.move(tmp, base)     # new data takes the live path
     shutil.rmtree(aside)       # only now does the old copy disappear
+    # the live path now holds different files; drop any cached footer
+    # schema so the next read re-resolves (readers also key on a leaf
+    # signature, but an in-place rewrite is the explicit case)
+    from .readers import invalidate_schema_cache
+    invalidate_schema_cache(base)
     return n
 
 

@@ -120,3 +120,45 @@ def test_hll_duplicates_do_not_inflate(spark):
     a = hll_estimate(hll_fit(once, "k")).collect()[0].n_hll
     b = hll_estimate(hll_fit(tenfold, "k")).collect()[0].n_hll
     assert a == b                      # cardinality, not row count
+
+
+def test_bloom_and_cms_keep_null_key_probes(spark):
+    """ADVICE r4: the re-attach join must not drop NULL-key probe rows
+    (inner equi-join on key never matches NULL). NULL keys hash like a
+    missing concat_ws element — same in DuckDB — and get a real flag."""
+    from elt_gluepipeline_spark.operators.sketches import (cms_estimate,
+                                                           cms_fit)
+
+    members = spark.createDataFrame([(f"key{i}",) for i in range(50)],
+                                    "k string")
+    probes = spark.createDataFrame(
+        [("key1",), (None,), ("other",), (None,)], "k string")
+    bloom = bloom_fit(members, "k", m_bits=1 << 12, k=4)
+    out = bloom_apply(probes, "k", bloom, m_bits=1 << 12, k=4).collect()
+    assert len(out) == 4                       # NULL rows preserved
+    assert sum(1 for r in out if r.k is None) == 2
+    assert all(r.bloom_hit is not None for r in out)
+    assert next(r.bloom_hit for r in out if r.k == "key1")
+
+    cms = cms_fit(members, "k", depth=4, width=64)
+    est = cms_estimate(probes, "k", cms, depth=4, width=64).collect()
+    assert len(est) == 4
+    assert sum(1 for r in est if r.k is None) == 2
+    assert all(r.est_n is not None and r.est_n >= 0 for r in est)
+
+
+def test_hll_sql_twin_empty_input(spark):
+    """ADVICE r4: the DuckDB twin must return 0.0 (not NULL) on an
+    empty relation, mirroring hll_estimate's empty-sketch semantics."""
+    import duckdb
+
+    from elt_gluepipeline_spark.operators.sketches import (hll_estimate,
+                                                           hll_fit, hll_sql)
+
+    empty = spark.createDataFrame([], "k string")
+    spark_est = hll_estimate(hll_fit(empty, "k")).collect()[0].n_hll
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    duck_est = con.execute(hll_sql("k", "FROM t")).fetchone()[0]
+    assert spark_est == 0.0
+    assert duck_est == 0.0

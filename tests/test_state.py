@@ -130,3 +130,28 @@ def test_compact_parquet_recovers_from_crashed_prior_swap(spark, sf_dir,
     assert after.count() == src.count()
     assert not Path(target + "__compact_old").exists()
     assert not Path(target + "__compact_tmp").exists()
+
+
+def test_schema_cache_sees_in_place_partition_append(spark, tmp_path):
+    """ADVICE r4: appending a part file inside an existing partition
+    subdirectory does not bump the parent dir's mtime, so an mtime-only
+    cache key served a stale schema. The key now folds in a leaf-file
+    signature, so a schema-evolving in-place append re-resolves."""
+    from elt_gluepipeline_spark.sources.readers import _table_schema
+
+    base = tmp_path / "evolving.parquet"
+    part = base / "p=1"
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df1.write.parquet(str(part))
+    s1 = _table_schema(spark, str(base))
+    assert "extra" not in s1.fieldNames()
+
+    import time
+    time.sleep(0.01)
+    df2 = spark.createDataFrame([(2, "b", 9.5)],
+                                "id int, v string, extra double")
+    df2.write.mode("append").parquet(str(part))
+    # read with mergeSchema via a fresh footer resolve: the cache must
+    # NOT serve the pre-append StructType
+    s2 = _table_schema(spark, str(base))
+    assert s1 is not s2, "stale cached schema served after append"
