@@ -69,11 +69,35 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def shingle_base(df: DataFrame, id_col: str, text_col: str,
+                 block_cols: list[Column], *, k: int = 3) -> DataFrame:
+    """The SHARED signature stage of the Jaccard dedup family:
+    ``(doc_id, _b0.., shingles)`` with empty-shingle docs dropped.
+    Composites that run several dedup passes over the same documents
+    (q100: phase-1 corpus dedupe + incremental probe) compute this
+    ONCE, localCheckpoint it, and pass it to ``blocked_jaccard_pairs
+    (base=...)`` / ``incremental_jaccard_dedupe(tagged_base=...)`` —
+    shingling is the scan-heavy part of both plans, and at corpus
+    scale it is the write-once artifact the production loop persists.
+    """
+    df = ensure_min_partitions(df)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+        *[c.alias(f"_b{i}") for i, c in enumerate(block_cols)],
+    ).filter(F.size("shingles") > 0)
+
+
 def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           block_cols: list[Column], *, k: int = 3,
-                          threshold: float = 0.4) -> DataFrame:
+                          threshold: float = 0.4,
+                          base: DataFrame | None = None) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs WITHIN blocks, via an
     inverted-index similarity join (SSJoin shape).
+
+    Pass ``base`` (a precomputed ``shingle_base`` frame, possibly
+    checkpointed) to skip the signature stage — shared-stage reuse
+    for multi-pass composites.
 
     Instead of materializing all block-local pairs and intersecting
     their shingle arrays per pair (quadratic in block size, interpreted
@@ -94,12 +118,8 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sets) or use the LSH path, whose banding has no boundary effect.
     """
     assert threshold > 0.0, "inverted-index plan requires threshold > 0"
-    df = ensure_min_partitions(df)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
-        *[c.alias(f"_b{i}") for i, c in enumerate(block_cols)],
-    ).filter(F.size("shingles") > 0)
+    if base is None:
+        base = shingle_base(df, id_col, text_col, block_cols, k=k)
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     inv = base.select(*bkeys, "doc_id", F.explode("shingles").alias("s"))
@@ -336,7 +356,8 @@ def simhash64(text: Column) -> Column:
 
 def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                          id_b: str = "id_b", max_iters: int = 50,
-                         component_col: str = "component") -> DataFrame:
+                         component_col: str = "component",
+                         small_graph_edges: int = 100_000) -> DataFrame:
     """Near-dup GROUPS from a pair graph: (id, component) where
     component = the minimum id reachable through the undirected pair
     edges. Downstream keeps one canonical doc per component
@@ -356,11 +377,47 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
 
     The convergence check is one count() per round on the CHANGED set —
     bounded driver traffic (a scalar), not data collection.
+
+    SMALL-GRAPH FAST PATH: after thresholding, the pair graph is
+    usually a small fraction of the corpus (dup PAIRS, not docs). When
+    the edge list is under ``small_graph_edges`` the driver loop's
+    per-round job overhead dominates wall-clock, so the edges are
+    collected (explicitly bounded — the cap IS the memory contract)
+    and resolved with union-find in one pass; bigger graphs take the
+    distributed loop unchanged. Identical output by construction
+    (min reachable id), pinned by tests running both paths.
     """
     e = pairs.select(F.col(id_a).cast("long").alias("a"),
                      F.col(id_b).cast("long").alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = edges.distinct().localCheckpoint(eager=True)
+
+    # edges is materialized (eager checkpoint), so the count is cheap
+    if edges.count() <= small_graph_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:        # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row.a, row.b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is the
+                # minimum id — same contract as label propagation
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out_rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            out_rows or [], "id long, component long") \
+            .withColumnRenamed("component", component_col)
 
     labels = (edges.groupBy("a").agg(F.min("b").alias("_nbr"))
                    .select(F.col("a").alias("id"),
@@ -626,6 +683,7 @@ def incremental_jaccard_dedupe(
     new_docs: DataFrame, corpus_docs: DataFrame, id_col: str,
     text_col: str, block_cols: list[Column], *, k: int = 3,
     threshold: float = 0.4, keep_cols: list[str] | None = None,
+    tagged_base: DataFrame | None = None,
 ) -> DataFrame:
     """Survivors of a NEW document batch against an already-deduped
     corpus — the production shape of continuous dedup: each day's crawl
@@ -654,24 +712,33 @@ def incremental_jaccard_dedupe(
 
     Returns the surviving rows of ``new_docs`` (``keep_cols`` or all
     columns). Ids must be unique across new∪corpus (longs).
+
+    ``tagged_base`` (shared-stage reuse): a precomputed signature
+    frame ``(doc_id long, _new boolean, _b0.., shingles)`` — e.g. two
+    ``shingle_base`` outputs tagged and unioned, with the corpus
+    half carried over from a phase-1 dedupe instead of re-shingled.
     """
-    tagged = (new_docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                              F.col(text_col).alias("_t"),
-                              *[c.alias(f"_b{i}")
-                                for i, c in enumerate(block_cols)],
-                              F.lit(True).alias("_new"))
-              .unionByName(
-                  corpus_docs.select(
+    if tagged_base is not None:
+        base = tagged_base
+    else:
+        tagged = (new_docs.select(
                       F.col(id_col).cast("long").alias("doc_id"),
                       F.col(text_col).alias("_t"),
                       *[c.alias(f"_b{i}")
                         for i, c in enumerate(block_cols)],
-                      F.lit(False).alias("_new"))))
-    base = (ensure_min_partitions(tagged)
-            .select("doc_id", "_new",
-                    *[f"_b{i}" for i in range(len(block_cols))],
-                    word_shingles(F.col("_t"), k).alias("shingles"))
-            .filter(F.size("shingles") > 0))
+                      F.lit(True).alias("_new"))
+                  .unionByName(
+                      corpus_docs.select(
+                          F.col(id_col).cast("long").alias("doc_id"),
+                          F.col(text_col).alias("_t"),
+                          *[c.alias(f"_b{i}")
+                            for i, c in enumerate(block_cols)],
+                          F.lit(False).alias("_new"))))
+        base = (ensure_min_partitions(tagged)
+                .select("doc_id", "_new",
+                        *[f"_b{i}" for i in range(len(block_cols))],
+                        word_shingles(F.col("_t"), k).alias("shingles"))
+                .filter(F.size("shingles") > 0))
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     inv = base.select(*bkeys, "doc_id", "_new",

@@ -170,3 +170,27 @@ def test_incremental_dedupe_real_docs_vs_bruteforce(spark, sf_dir):
     expect = _brute_incremental(new_rows, corpus_rows, 3, 0.2)
     got = {r.doc_id for r in out.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_connected_components_fast_path_equals_distributed(spark):
+    """The small-graph union-find fast path must produce exactly the
+    same (id, component) labeling as the distributed min-label loop."""
+    from elt_gluepipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23),
+         (5, 99), (99, 4)],
+        "id_a long, id_b long")
+    fast = connected_components(pairs).collect()
+    slow = connected_components(pairs, small_graph_edges=0).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    comp = {r.id: r.component for r in fast}
+    assert comp[3] == 1 and comp[23] == 20 and comp[5] == 4 == comp[99]
+
+
+def test_connected_components_fast_path_empty(spark):
+    from elt_gluepipeline_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty).columns == ["id", "component"]
