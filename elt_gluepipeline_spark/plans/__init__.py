@@ -48,9 +48,10 @@ class QuerySpec:
 # the remaining r01-r03-recorded queries.
 _DEPRIORITIZED = (
     # --- r01-r03-recorded rows kept out of the r05 head ------------
-    # (q46 swapped to the tail when the round-5 addition q132 took a
-    # head slot — new queries need driver-recorded rows, q46's is on
-    # file from r01)
+    # (q45/q46 swapped to the tail when the round-5 additions
+    # q132/q133 took head slots — new queries need driver-recorded
+    # rows; q45/q46's are on file from r01)
+    "q45_order_reconcile",
     "q46_repeat_customers",
     "q47_removed_lines",
     "q49_priority_pivot",
