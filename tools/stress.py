@@ -10,11 +10,21 @@ representative slice of the engine's operator families:
   keep1    W1  dedupe-keep-latest per key
   sdist    A6  salted exact distinct (skew kit)
   sessions     gap-based sessionization count
+  stream   T5  STATEFUL STREAMING drain (r4 judge item #6): the
+               production state shape — RocksDB state-store provider
+               AND append-mode watermark eviction together — over a
+               seedgen-sized input (default 10M rows, ~rows-sized
+               state: one entry per (hour-window, user)). Multiple
+               micro-batches via maxFilesPerTrigger so state commits
+               and watermark advancement actually cycle; noop sink so
+               the figure is the streaming runtime, not a sink.
 
 Prints ONE JSON line {"rows": N, "timings": {...}, "rates_mrows_s":
-{...}}. Rates are the honest end-to-end figure (generation included).
+{...}}. Rates are the honest end-to-end figure (generation included;
+the stream figure excludes the one-time parquet staging write, which
+is reported separately as stream_stage_sec).
 
-Usage: python tools/stress.py [rows] [partitions]
+Usage: python tools/stress.py [rows] [partitions] [stream_rows]
 """
 
 from __future__ import annotations
@@ -88,9 +98,62 @@ def main() -> int:
         t0 = time.time()
         fn().collect()
         timings[name] = round(time.time() - t0, 2)
+
+    # ---- stream family: RocksDB + append-mode watermarked drain ----
+    import shutil
+    import tempfile
+
+    stream_rows = (int(sys.argv[3]) if len(sys.argv) > 3
+                   else min(rows, 10_000_000))
+    tmp = tempfile.mkdtemp(prefix="stress_stream_")
+    extra: dict[str, float] = {}
+    try:
+        src_dir = f"{tmp}/in"
+        t0 = time.time()
+        (spark.read.format("seedgen")
+              .option("rows", stream_rows).option("seed", 7)
+              .option("partitions", 32).load()
+              .write.parquet(src_dir))
+        extra["stream_stage_sec"] = round(time.time() - t0, 2)
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                            "state.RocksDBStateStoreProvider")
+        try:
+            from elt_gluepipeline_spark.sources.readers import \
+                ntz_to_instant
+            schema = spark.read.parquet(src_dir).schema
+            src = (spark.readStream.schema(schema)
+                        .option("maxFilesPerTrigger", 8)
+                        .parquet(src_dir)
+                        .withColumn("ts_i", ntz_to_instant("ts")))
+            agg = (src.withWatermark("ts_i", "1 hour")
+                      .groupBy(F.window("ts_i", "1 hour").alias("b"),
+                               "user_id")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("value").alias("v")))
+            t0 = time.time()
+            q = (agg.writeStream.format("noop")
+                    .option("checkpointLocation", f"{tmp}/ckpt")
+                    .outputMode("append")
+                    .trigger(availableNow=True).start())
+            q.awaitTermination()
+            timings["stream"] = round(time.time() - t0, 2)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    rows_for = {k: (stream_rows if k == "stream" else rows)
+                for k in timings}
     print(json.dumps({
-        "rows": rows, "partitions": parts, "timings": timings,
-        "rates_mrows_s": {k: round(rows / v / 1e6, 1)
+        "rows": rows, "partitions": parts, "stream_rows": stream_rows,
+        **extra, "timings": timings,
+        "rates_mrows_s": {k: round(rows_for[k] / v / 1e6, 1)
                           for k, v in timings.items()}}))
     return 0
 
