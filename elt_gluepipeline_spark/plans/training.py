@@ -20,6 +20,7 @@ from ..operators.dedup import (PortableMinhashFamily, blocked_jaccard_pairs,
                                exact_dedupe, minhash_lsh_pairs,
                                portable_band_hash, portable_hash60,
                                simhash_table)
+from ..functions.deterministic import dsum
 from ..operators.joins import asof_join, range_join
 from ..operators.multimodal import (ASSET_SCHEMA, attach_payload,
                                     encode_bmp, encode_wav,
@@ -657,6 +658,71 @@ SELECT doc_id,
        string_agg(word_toks, chr(31) ORDER BY pos) AS tokens_str,
        CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens
 FROM enc GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q134/Q135 — JSON-lines and ORC sources certified under the oracle
+# gate (S-family extension): stage lineitem columns through the
+# format, read back with the contract schema, aggregate — and the
+# result must hash-match an oracle computed from the ORIGINAL parquet
+# table. Equality holds iff the roundtrip was value-exact (doubles
+# through Jackson shortest-repr for JSON; native types for ORC), so
+# the gate certifies the serializer+parser pair, not just "it ran".
+# Timestamps ride as DATE (tz-free in both formats) — instants would
+# shift under a non-UTC session and turn the gate into a tz test.
+# --------------------------------------------------------------------------
+
+
+def _stage_roundtrip(spark: SparkSession, sf_dir: str, fmt: str):
+    import hashlib
+    import tempfile
+
+    base = (read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_returnflag",
+                    F.col("l_shipdate").cast("date").alias("ship_date")))
+    key = hashlib.md5(
+        f"{fmt}:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_stage_{fmt}_{key}")
+    base.write.mode("overwrite").format(fmt).save(path)
+    return spark.read.format(fmt).schema(base.schema).load(path)
+
+
+def q134_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = _stage_roundtrip(spark, sf_dir, "json")
+    return (back.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     dsum("l_quantity").alias("sum_qty"),
+                     dsum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")))
+                     .alias("disc_revenue")))
+
+
+def q135_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = _stage_roundtrip(spark, sf_dir, "orc")
+    return (back.groupBy(F.date_format("ship_date", "yyyy-MM")
+                          .alias("ship_month"),
+                         "l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     dsum("l_extendedprice").alias("revenue")))
+
+
+_Q134_AGG = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_Q135_AGG = """
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem GROUP BY ship_month, l_returnflag
 """
 
 
@@ -2850,6 +2916,13 @@ SPECS = [
               "BPE fit+encode end-to-end: oracle replays the merge-"
               "rule argmax rounds AND the left-to-right fold; the "
               "per-doc token stream is hash-gated"),
+    QuerySpec("q134_json_roundtrip", q134_json_roundtrip, _Q134_AGG,
+              "JSON-lines source certified: lineitem staged through "
+              "JSON and re-aggregated; hash-equality vs the parquet "
+              "oracle proves the roundtrip value-exact"),
+    QuerySpec("q135_orc_roundtrip", q135_orc_roundtrip, _Q135_AGG,
+              "ORC source certified: same staging discipline, "
+              "monthly revenue rollup hash-matched vs parquet"),
     QuerySpec("q24_fingerprint_dedup", q24_fingerprint_dedup, Q24_SQL,
               "normalized-text fingerprint dedup"),
     QuerySpec("q25_embedding_neardup", q25_embedding_neardup, Q25_SQL,
