@@ -155,6 +155,73 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     return agg.select(F.round(est, 4).alias("n_hll"))
 
 
+def hll_estimate_grouped(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-group harmonic estimate over a (keys..., bucket, r) register
+    table — the grouped twin of ``hll_estimate`` with identical
+    exact-integer internals. One hash aggregation; output (keys...,
+    n_hll). Groups with zero registers simply don't appear (they have
+    no rows to group)."""
+    scale = 1 << (_HLL_WBITS + 1)
+    agg = registers.groupBy(*keys).agg(
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                         f"CAST({_HLL_WBITS + 1} - r AS INT))")),
+            F.lit(0)).cast("long").alias("_s_present"),
+        F.count(F.lit(1)).alias("_nb"))
+    s = (F.col("_s_present")
+         + (F.lit(HLL_M) - F.col("_nb")) * F.lit(scale)).cast("double")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * scale) / s
+    zeros = (F.lit(HLL_M) - F.col("_nb")).cast("double")
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)) \
+           .otherwise(raw)
+    return agg.select(*keys, F.round(est, 4).alias("n_hll"))
+
+
+def hll_sql_grouped(key_expr: str, group_cols: str,
+                    from_clause: str) -> str:
+    """DuckDB twin of grouped register fit + ``hll_estimate_grouped``:
+    SELECT yielding (group_cols..., n_hll) — same exact-integer
+    internals as ``hll_sql``. ``group_cols`` is a comma-separated
+    column list propagated through every CTE."""
+    h = f"CAST(('0x' || substr(md5({key_expr}), 1, 15)) AS BIGINT)"
+    scale = 1 << (_HLL_WBITS + 1)
+    return f"""
+WITH hashed AS (
+  SELECT {group_cols}, {h} AS h {from_clause}),
+br AS (
+  SELECT {group_cols},
+         CAST(h >> {_HLL_WBITS} AS INT) AS bucket,
+         CASE WHEN strpos(lpad(bin(h & {(1 << _HLL_WBITS) - 1}), 64, '0'),
+                          '1') = 0
+              THEN {_HLL_WBITS + 1}
+              ELSE strpos(lpad(bin(h & {(1 << _HLL_WBITS) - 1}), 64, '0'),
+                          '1') - {64 - _HLL_WBITS} END AS rank
+  FROM hashed),
+regs AS (SELECT {group_cols}, bucket, MAX(rank) AS r
+         FROM br GROUP BY {group_cols}, bucket),
+agg AS (
+  SELECT {group_cols},
+         COALESCE(CAST(SUM(CAST(1 AS BIGINT)
+                           << CAST({_HLL_WBITS + 1} - r AS INT))
+                       AS BIGINT), 0) AS s_present,
+         COUNT(*) AS nb
+  FROM regs GROUP BY {group_cols}),
+est AS (
+  SELECT {group_cols},
+         CAST(s_present + ({HLL_M} - nb) * CAST({scale} AS BIGINT)
+              AS DOUBLE) AS s,
+         CAST({HLL_M} - nb AS DOUBLE) AS zeros
+  FROM agg)
+SELECT {group_cols},
+       ROUND(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M * scale!r} / s
+                       <= 2.5 * {HLL_M} AND zeros > 0
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+             ELSE {HLL_ALPHA * HLL_M * HLL_M * scale!r} / s END,
+             4) AS n_hll
+FROM est"""
+
+
 def hll_sql(key_expr: str, from_clause: str) -> str:
     """DuckDB twin: registers + estimate with the same exact-integer
     internals. Returns a SELECT yielding one row (n_hll)."""

@@ -48,9 +48,10 @@ class QuerySpec:
 # the remaining r01-r03-recorded queries.
 _DEPRIORITIZED = (
     # --- r01-r03-recorded rows kept out of the r05 head ------------
-    # (q37/q43/q45/q46 swapped to the tail when the round-5 additions
-    # q132-q135 took head slots — new queries need driver-recorded
-    # rows; these four have r01 rows on file)
+    # (q34/q37/q43/q45/q46 swapped to the tail when the round-5
+    # additions q132-q136 took head slots — new queries need driver-
+    # recorded rows; these five have r01 rows on file)
+    "q34_sessionize",
     "q37_calendar_join",
     "q43_spend_quintiles",
     "q45_order_reconcile",

@@ -1568,6 +1568,61 @@ Q131_SQL = _q131_sql()
 
 
 # --------------------------------------------------------------------------
+# Q136 — STREAMING-MAINTAINED sketch state (the sketch family meets
+# the streaming runtime): per-event-type HLL registers are maintained
+# BY THE STATE STORE — the stream groupBy(event_type, bucket).max(r)
+# is incremental register maintenance, the exact shape a continuous
+# 100 TB distinct-count dashboard runs (bounded state: ≤ m registers
+# per group, no raw keys retained). The drained registers are then
+# estimated per group and hash-checked against the batch oracle —
+# certifying that streaming state maintenance converges to the exact
+# batch sketch, register-for-register (max is order-insensitive, so
+# ANY micro-batch layout must land on the same registers).
+# --------------------------------------------------------------------------
+
+def q136_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import _hll_bucket_rank, hll_estimate_grouped
+    from ..streaming.stream import run_rollup_available_now
+
+    src = read_table_stream(spark, sf_dir, "events")
+    bucket, rank = _hll_bucket_rank(F.col("user_id").cast("string"))
+    regs = (src.select("event_type", bucket.alias("bucket"),
+                       rank.alias("_r"))
+               .groupBy("event_type", "bucket")
+               .agg(F.max("_r").alias("r")))
+    final_regs = run_rollup_available_now(regs, state_partitions=4)
+    est = hll_estimate_grouped(final_regs, ["event_type"])
+    exact = (read_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct(F.col("user_id").cast("string"))
+                   .alias("n_exact")))
+    return (est.join(exact, "event_type")
+               .filter(F.col("n_exact") > 0)
+               .select("event_type", "n_exact", "n_hll",
+                       F.round(F.abs(F.col("n_hll") - F.col("n_exact"))
+                               / F.col("n_exact"), 6).alias("rel_err")))
+
+
+def _q136_sql() -> str:
+    from ..operators.sketches import hll_sql_grouped
+    inner = hll_sql_grouped("CAST(user_id AS VARCHAR)", "event_type",
+                            "FROM events")
+    return f"""
+WITH hll AS ({inner}),
+exact AS (SELECT event_type,
+                 COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_exact
+          FROM events GROUP BY event_type)
+SELECT h.event_type, n_exact, n_hll,
+       ROUND(ABS(n_hll - n_exact) / n_exact, 6) AS rel_err
+FROM hll h JOIN exact e ON h.event_type = e.event_type
+WHERE n_exact > 0
+"""
+
+
+Q136_SQL = _q136_sql()
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -2975,6 +3030,10 @@ SPECS = [
     QuerySpec("q131_hll_portable", q131_hll_portable, Q131_SQL,
               "portable HLL cardinality: registers AND estimate "
               "oracle-replayed bit-for-bit, exact count alongside"),
+    QuerySpec("q136_stream_hll", q136_stream_hll, Q136_SQL,
+              "HLL registers maintained BY the streaming state store "
+              "(groupBy max = incremental sketch IVM); drained "
+              "registers estimate hash-equal to the batch oracle"),
     QuerySpec("q130_generated_rollup", q130_generated_rollup, Q130_SQL,
               "custom Python DataSource under the gate: DuckDB replays "
               "splitmix64 (split-mul mod 2^64) to certify the "
