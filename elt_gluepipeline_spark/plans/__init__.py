@@ -52,6 +52,7 @@ _DEPRIORITIZED = (
     # additions q132-q136 took head slots — new queries need driver-
     # recorded rows; these five have r01 rows on file)
     "q34_sessionize",
+    "q35_stream_sessions",
     "q37_calendar_join",
     "q43_spend_quintiles",
     "q45_order_reconcile",

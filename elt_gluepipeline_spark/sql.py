@@ -29,7 +29,7 @@ STREAMING_QUERIES = frozenset({
     "q50_stream_enrich", "q53_stream_dedupe", "q54_stream_keep_latest",
     "q65_stream_upsert", "q69_stream_sliding", "q74_stream_incremental_agg",
     "q106_stream_session_window", "q110_stream_attribution_outer",
-    "q117_stream_append_rollup",
+    "q117_stream_append_rollup", "q136_stream_hll",
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative
@@ -39,6 +39,8 @@ EAGER_QUERIES = frozenset({
     "q59_dedupe_corpus", "q60_token_shards", "q67_kmeans",
     "q76_product_quantize", "q77_pq_adc", "q81_ivf_pq", "q82_rerank",
     "q100_incremental_dedupe", "q103_corpus_pipeline",
+    "q133_bpe_encode",                         # BPE fit driver loop
+    "q134_json_roundtrip", "q135_orc_roundtrip",  # stage-write at build
 })
 
 
