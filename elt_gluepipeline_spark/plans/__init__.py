@@ -51,6 +51,8 @@ _DEPRIORITIZED = (
     # (q34/q37/q43/q45/q46 swapped to the tail when the round-5
     # additions q132-q136 took head slots — new queries need driver-
     # recorded rows; these five have r01 rows on file)
+    "q05_customer_profile",
+    "q12_incr_dedupe",
     "q34_sessionize",
     "q35_stream_sessions",
     "q37_calendar_join",

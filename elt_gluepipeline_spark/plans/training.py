@@ -1697,6 +1697,104 @@ Q136_SQL = _q136_sql()
 
 
 # --------------------------------------------------------------------------
+# Q138 / Q139 — SEQUENCE PACKING (operators.packing): the step that
+# turns a curated corpus into fixed-length training windows. q138 is
+# GPT-style concatenate-and-chunk (documents span window boundaries;
+# pure hash-shard + per-shard prefix-sum window algebra — one shuffle,
+# no driver state). q139 is whole-document greedy bin packing, whose
+# running (bin, fill) state RESETS on overflow — not expressible as a
+# window function, so the Spark side is a per-shard applyInPandas scan
+# and the DuckDB oracle replays the same scan as a recursive CTE
+# advancing every shard in lockstep. Both orders derive from portable
+# md5 hashes, so the "corpus shuffle" is deterministic and both
+# engines see identical shard membership, order, and assignments.
+# --------------------------------------------------------------------------
+
+_PACK_CTX, _PACK_SHARDS, _PACK_SEED = 256, 8, 7
+
+# shared oracle prelude: token counts + shard / order hashes matching
+# sampling.portable_bucket(seed=7) and packing._sharded exactly
+_PACK_BASE = f"""
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents),
+hashes AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                  || '#{_PACK_SEED}'), 1, 15)) AS BIGINT)
+           % {_PACK_SHARDS} AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                  || '#order#{_PACK_SEED}'), 1, 15))
+              AS BIGINT) AS h
+  FROM tok)
+"""
+
+
+def q138_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_concat_chunk
+    docs = read_table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id",
+                          F.size(tokens(F.col("text"))).alias("_n"))
+    return pack_concat_chunk(counted, "doc_id", F.col("_n"),
+                             ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS,
+                             seed=_PACK_SEED)
+
+
+Q138_SQL = f"""
+WITH {_PACK_BASE},
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM hashes)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(cum / {_PACK_CTX}) AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN FLOOR((cum + n_tokens - 1) / {_PACK_CTX})
+                 ELSE FLOOR(cum / {_PACK_CTX}) END AS BIGINT) AS seq_last,
+       cum % {_PACK_CTX} AS offset
+FROM c
+"""
+
+
+def q139_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_greedy_bins
+    docs = read_table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id",
+                          F.size(tokens(F.col("text"))).alias("_n"))
+    return pack_greedy_bins(counted, "doc_id", F.col("_n"),
+                            ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS,
+                            seed=_PACK_SEED)
+
+
+Q139_SQL = f"""
+WITH RECURSIVE {_PACK_BASE},
+ordered AS (
+  SELECT doc_id, shard, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+  FROM hashes),
+scan AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > {_PACK_CTX}
+              THEN s.bin + 1 ELSE s.bin END,
+         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > {_PACK_CTX}
+              THEN o.n_tokens ELSE s.fill + o.n_tokens END
+  FROM scan s JOIN ordered o ON o.shard = s.shard AND o.rn = s.rn + 1)
+SELECT doc_id, n_tokens, shard, bin, fill AS fill_after
+FROM scan
+"""
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -3112,6 +3210,14 @@ SPECS = [
               "HLL registers maintained BY the streaming state store "
               "(groupBy max = incremental sketch IVM); drained "
               "registers estimate hash-equal to the batch oracle"),
+    QuerySpec("q138_sequence_pack", q138_sequence_pack, Q138_SQL,
+              "GPT-style concatenate-and-chunk packing coordinates: "
+              "hash-shard + per-shard prefix-sum window, docs span "
+              "ctx_len boundaries, zero padding waste"),
+    QuerySpec("q139_greedy_pack", q139_greedy_pack, Q139_SQL,
+              "whole-document greedy bin packing: per-shard "
+              "applyInPandas scan (state resets on overflow) vs a "
+              "recursive-CTE oracle replaying the same scan"),
     QuerySpec("q130_generated_rollup", q130_generated_rollup, Q130_SQL,
               "custom Python DataSource under the gate: DuckDB replays "
               "splitmix64 (split-mul mod 2^64) to certify the "
