@@ -53,6 +53,7 @@ _DEPRIORITIZED = (
     # recorded rows; these five have r01 rows on file)
     "q05_customer_profile",
     "q12_incr_dedupe",
+    "q16_iqr_outliers",
     "q34_sessionize",
     "q35_stream_sessions",
     "q37_calendar_join",

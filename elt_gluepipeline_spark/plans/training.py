@@ -1795,6 +1795,112 @@ FROM scan
 
 
 # --------------------------------------------------------------------------
+# Q140 — HLL SET ALGEBRA for cross-corpus overlap: estimate the
+# shingle-set overlap between the train and test splits from two
+# constant-size sketches — the cheap contamination triage a 100 TB
+# pipeline runs BEFORE committing to exact decontamination (q58).
+# |A∪B| comes from REGISTER MERGE (groupBy(bucket).max(r) over both
+# sides' registers — the mergeability that makes the sketch
+# distributable is the thing under test), |A∩B| from inclusion-
+# exclusion. Exact distinct counts ride alongside, so the row also
+# certifies the estimator's error. Every register and every estimate
+# replays exactly in DuckDB (exact-integer HLL internals).
+# --------------------------------------------------------------------------
+
+def q140_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+    from ..operators.sampling import assign_split
+    from ..operators.sketches import (_hll_bucket_rank, hll_estimate,
+                                      hll_estimate_grouped)
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (assign_split(docs, "doc_id")
+          .select("split", F.explode(word_shingles(F.col("text"), k=3))
+                  .alias("s")))
+    bucket, rank = _hll_bucket_rank(F.col("s"))
+    # one pass builds BOTH sides' registers (≤ 2m rows of bounded
+    # state); localCheckpoint so the three consumers below don't
+    # re-shingle the corpus
+    regs = (sh.select("split", bucket.alias("bucket"), rank.alias("_r"))
+              .groupBy("split", "bucket").agg(F.max("_r").alias("r"))
+              .localCheckpoint(eager=False))
+    per_side = hll_estimate_grouped(regs, ["split"])
+    union_est = hll_estimate(
+        regs.groupBy("bucket").agg(F.max("r").alias("r")))
+    exact = (sh.groupBy("split").agg(F.countDistinct("s").alias("n_ex")))
+    exact_union = sh.agg(F.countDistinct("s").alias("n_union_exact"))
+
+    def side(df, name, col, out):
+        return df.filter(F.col("split") == name) \
+                 .select(F.col(col).alias(out))
+
+    est = (side(per_side, "train", "n_hll", "n_train_hll")
+           .crossJoin(side(per_side, "test", "n_hll", "n_test_hll"))
+           .crossJoin(union_est.select(F.col("n_hll").alias("n_union_hll")))
+           .crossJoin(side(exact, "train", "n_ex", "n_train_exact"))
+           .crossJoin(side(exact, "test", "n_ex", "n_test_exact"))
+           .crossJoin(exact_union))
+    inter_hll = (F.col("n_train_hll") + F.col("n_test_hll")
+                 - F.col("n_union_hll"))
+    inter_ex = (F.col("n_train_exact") + F.col("n_test_exact")
+                - F.col("n_union_exact"))
+    from ..functions.deterministic import rnd0
+    return est.select(
+        "n_train_hll", "n_test_hll", "n_union_hll",
+        # inclusion-exclusion can dip (tiny) negative: canonicalize
+        # the -0.0 string form on BOTH engines (rnd0 contract)
+        rnd0(inter_hll, 4).alias("n_intersect_hll"),
+        "n_train_exact", "n_test_exact", "n_union_exact",
+        inter_ex.cast("long").alias("n_intersect_exact"),
+        rnd0(inter_hll / F.col("n_union_hll"), 6).alias("jaccard_hll"))
+
+
+def _q140_sql() -> str:
+    from ..operators.sketches import hll_sql, hll_sql_grouped
+    shingles = """
+sh AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || '#7'), 1, 15)) AS BIGINT)
+                   % 1000 < 100
+              THEN 'test' ELSE 'train' END AS split,
+         unnest(list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ])) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents))
+"""
+    grouped = hll_sql_grouped("s", "split", "FROM sh")
+    union = hll_sql("s", "FROM sh")
+    return f"""
+WITH {shingles},
+per_side AS ({grouped}),
+uni AS ({union}),
+ex AS (SELECT split, COUNT(DISTINCT s) AS n_ex FROM sh GROUP BY split),
+exu AS (SELECT COUNT(DISTINCT s) AS n_union_exact FROM sh),
+row1 AS (
+  SELECT (SELECT n_hll FROM per_side WHERE split = 'train') AS n_train_hll,
+         (SELECT n_hll FROM per_side WHERE split = 'test') AS n_test_hll,
+         (SELECT n_hll FROM uni) AS n_union_hll,
+         (SELECT n_ex FROM ex WHERE split = 'train') AS n_train_exact,
+         (SELECT n_ex FROM ex WHERE split = 'test') AS n_test_exact,
+         (SELECT n_union_exact FROM exu) AS n_union_exact)
+SELECT n_train_hll, n_test_hll, n_union_hll,
+       (ROUND(n_train_hll + n_test_hll - n_union_hll, 4) + 0.0)
+         AS n_intersect_hll,
+       n_train_exact, n_test_exact, n_union_exact,
+       CAST(n_train_exact + n_test_exact - n_union_exact AS BIGINT)
+         AS n_intersect_exact,
+       (ROUND((n_train_hll + n_test_hll - n_union_hll) / n_union_hll, 6)
+        + 0.0) AS jaccard_hll
+FROM row1
+"""
+
+
+Q140_SQL = _q140_sql()
+
+
+# --------------------------------------------------------------------------
 # Q62 — deterministic mixture sampling: per-language keep rates (keep
 # all non-English, downsample English to ~25%) with hash membership —
 # the corpus-mixture rebalancing step, reproducible by any engine with
@@ -3210,6 +3316,10 @@ SPECS = [
               "HLL registers maintained BY the streaming state store "
               "(groupBy max = incremental sketch IVM); drained "
               "registers estimate hash-equal to the batch oracle"),
+    QuerySpec("q140_sketch_overlap", q140_sketch_overlap, Q140_SQL,
+              "HLL set algebra: train/test shingle overlap via "
+              "register merge + inclusion-exclusion, exact counts "
+              "alongside; every estimate replayed by DuckDB"),
     QuerySpec("q138_sequence_pack", q138_sequence_pack, Q138_SQL,
               "GPT-style concatenate-and-chunk packing coordinates: "
               "hash-shard + per-shard prefix-sum window, docs span "

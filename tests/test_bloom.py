@@ -162,3 +162,32 @@ def test_hll_sql_twin_empty_input(spark):
     duck_est = con.execute(hll_sql("k", "FROM t")).fetchone()[0]
     assert spark_est == 0.0
     assert duck_est == 0.0
+
+
+def test_hll_grouped_matches_per_group_fit(spark):
+    """hll_estimate_grouped must equal running the scalar estimator
+    on each group's own register table (same exact-integer path), and
+    its DuckDB twin must replay both groups bit-for-bit."""
+    import duckdb
+
+    from elt_gluepipeline_spark.operators.sketches import (
+        _hll_bucket_rank, hll_estimate, hll_estimate_grouped,
+        hll_sql_grouped)
+
+    rows = [(f"g{i % 3}", f"u{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    bucket, rank = _hll_bucket_rank(F.col("k"))
+    regs = (df.select("g", bucket.alias("bucket"), rank.alias("_r"))
+              .groupBy("g", "bucket").agg(F.max("_r").alias("r")))
+    grouped = {r.g: r.n_hll
+               for r in hll_estimate_grouped(regs, ["g"]).collect()}
+    assert set(grouped) == {"g0", "g1", "g2"}
+    for g in grouped:
+        solo = hll_estimate(regs.filter(F.col("g") == g).select(
+            "bucket", "r")).collect()[0].n_hll
+        assert grouped[g] == solo
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(con.execute(hll_sql_grouped("k", "g", "FROM t")).fetchall())
+    assert duck == grouped
