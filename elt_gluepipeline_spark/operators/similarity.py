@@ -917,22 +917,32 @@ def _empty_pairs(queries: DataFrame, id_col: str, dist_name: str) -> DataFrame:
                    .withColumn(dist_name, F.lit(0.0)))
 
 
-def pq_adc_topk_serve(queries: DataFrame, candidates: DataFrame,
-                      k_neighbors: int, art: PQArtifact, *,
-                      id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """Serve-only ADC search: NO training stage in this plan — the
-    codebooks arrive as literals from a fitted artifact. Candidate
-    codes are a map-only GEMM projection, query lookup tables build
-    once and broadcast, scoring is m array lookups + adds per
-    candidate. See ``pq_adc_topk`` for the algorithm contract."""
+def pq_encode(candidates: DataFrame, art: PQArtifact, *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Map-only PQ encode: (neighbor_id, _c0.._c{m-1}) — each vector's
+    per-subspace nearest-codebook-cell ids under the FROZEN artifact.
+    The persisted form of this frame IS the ANN index: a code is a
+    pure function of (artifact, vector), so append-only maintenance —
+    encode just the new vectors and append — yields byte-identical
+    state to a full re-encode (q141 certifies exactly that)."""
     m, w, books = art.m, art.w, [list(map(list, b)) for b in art.books]
     c = candidates.select(F.col(id_col).alias("_id"),
                           _as_double(F.col(vec_col)).alias("_v"))
-    codes = (c.withColumn("_cells", _pq_cells_udf(books, w)("_v"))
-              .select(F.col("_id").alias("neighbor_id"),
-                      *[F.element_at("_cells", s + 1).alias(f"_c{s}")
-                        for s in range(m)]))
+    return (c.withColumn("_cells", _pq_cells_udf(books, w)("_v"))
+             .select(F.col("_id").alias("neighbor_id"),
+                     *[F.element_at("_cells", s + 1).alias(f"_c{s}")
+                       for s in range(m)]))
+
+
+def pq_adc_topk_codes(queries: DataFrame, codes: DataFrame,
+                      k_neighbors: int, art: PQArtifact, *,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ADC search against a PRE-ENCODED codes frame (the serve shape
+    when the index lives as a table): query lookup tables build once
+    and broadcast; scoring is m array lookups + adds per candidate."""
+    m, w, books = art.m, art.w, [list(map(list, b)) for b in art.books]
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("_v"))
     qtabs = q.select(
@@ -947,6 +957,20 @@ def pq_adc_topk_serve(queries: DataFrame, candidates: DataFrame,
                         [F.col("adc_dist").asc(), F.col("neighbor_id")],
                         k_neighbors)
     return top.select("query_id", "neighbor_id", "adc_dist")
+
+
+def pq_adc_topk_serve(queries: DataFrame, candidates: DataFrame,
+                      k_neighbors: int, art: PQArtifact, *,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Serve-only ADC search: NO training stage in this plan — the
+    codebooks arrive as literals from a fitted artifact. Candidate
+    codes are a map-only GEMM projection (``pq_encode``), scoring is
+    ``pq_adc_topk_codes``. See ``pq_adc_topk`` for the algorithm
+    contract."""
+    codes = pq_encode(candidates, art, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk_codes(queries, codes, k_neighbors, art,
+                             id_col=id_col, vec_col=vec_col)
 
 
 def ivf_pq_topk_serve(queries: DataFrame, candidates: DataFrame,

@@ -54,6 +54,7 @@ _DEPRIORITIZED = (
     "q05_customer_profile",
     "q12_incr_dedupe",
     "q16_iqr_outliers",
+    "q26_trend_rollup",
     "q34_sessionize",
     "q35_stream_sessions",
     "q37_calendar_join",

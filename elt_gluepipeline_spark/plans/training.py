@@ -2575,6 +2575,46 @@ WHERE rn <= 5
 
 
 # --------------------------------------------------------------------------
+# Q141 — incremental ANN index maintenance: the PERSISTED codes table
+# is the index. The base corpus (vec_id % 10 != 0) is encoded under
+# the frozen PQ artifact and written as a parquet index; the "new"
+# arrivals (vec_id % 10 == 0) are encoded separately — only the new
+# vectors, no re-encode of the base — and APPENDED. Top-k ADC serving
+# off the appended index must equal q77's full-corpus answer, so q141
+# reuses Q77's ORACLE verbatim: a hash match certifies that
+# append-only maintenance is byte-identical to a full rebuild (codes
+# are pure functions of artifact + vector — the invariant that makes
+# the index maintainable without downtime at 100 TB).
+# --------------------------------------------------------------------------
+
+def q141_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (_empty_pairs, pq_adc_topk_codes,
+                                        pq_encode)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    art = _pq_artifact(spark, sf_dir)
+    if art is None:
+        return _empty_pairs(q, "vec_id", "adc_dist")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_path = os.path.join(tempfile.gettempdir(),
+                              f"spark_graft_pqindex_{key}")
+    is_new = F.pmod("vec_id", F.lit(10)) == 0
+    pq_encode(emb.filter(~is_new), art) \
+        .write.mode("overwrite").parquet(index_path)
+    pq_encode(emb.filter(is_new), art) \
+        .write.mode("append").parquet(index_path)
+    codes = spark.read.parquet(index_path)
+    return pq_adc_topk_codes(q, codes, 5, art)
+
+
+Q141_SQL = Q77_SQL  # append ≡ rebuild is exactly the claim under test
+
+
+# --------------------------------------------------------------------------
 # Q78 — in-corpus bigram-LM perplexity per document (operators
 # .textstats.bigram_perplexity): the CCNet-style quality filter. Counts
 # come from window aggregations over the exploded bigram table; each
@@ -3316,6 +3356,10 @@ SPECS = [
               "HLL registers maintained BY the streaming state store "
               "(groupBy max = incremental sketch IVM); drained "
               "registers estimate hash-equal to the batch oracle"),
+    QuerySpec("q141_index_append", q141_index_append, Q141_SQL,
+              "incremental ANN index: append-only PQ-code encoding of "
+              "new vectors must serve identically to a full rebuild "
+              "(q77's oracle reused verbatim)"),
     QuerySpec("q140_sketch_overlap", q140_sketch_overlap, Q140_SQL,
               "HLL set algebra: train/test shingle overlap via "
               "register merge + inclusion-exclusion, exact counts "

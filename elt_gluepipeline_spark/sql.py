@@ -41,6 +41,7 @@ EAGER_QUERIES = frozenset({
     "q100_incremental_dedupe", "q103_corpus_pipeline",
     "q133_bpe_encode",                         # BPE fit driver loop
     "q134_json_roundtrip", "q135_orc_roundtrip",  # stage-write at build
+    "q141_index_append",                       # index write at build
 })
 
 

@@ -10,6 +10,8 @@ representative slice of the engine's operator families:
   keep1    W1  dedupe-keep-latest per key
   sdist    A6  salted exact distinct (skew kit)
   sessions     gap-based sessionization count
+  pack         sequence packing (r5): hash-shard + per-shard
+               prefix-sum window over synthesized token counts
   stream   T5  STATEFUL STREAMING drain (r4 judge item #6): the
                production state shape — RocksDB state-store provider
                AND append-mode watermark eviction together — over a
@@ -92,9 +94,26 @@ def main() -> int:
                                > 3600), 1).otherwise(0)))
         return flagged.groupBy().agg(F.sum("_new"))
 
+    def pack():
+        # r5: sequence packing at generated scale — hash-shard +
+        # per-shard prefix-sum window; token counts synthesized from
+        # the value column (1..200), shard count sized so a shard is
+        # a writer's working set (~rows/shards docs each)
+        from elt_gluepipeline_spark.operators.packing import (
+            pack_concat_chunk)
+        docs = gen().select("id", (F.pmod("value", F.lit(200)) + 1)
+                            .alias("_n"))
+        packed = pack_concat_chunk(docs, "id", F.col("_n"),
+                                   ctx_len=2048, n_shards=parts * 4)
+        per_shard = packed.groupBy("shard").agg(
+            (F.max("seq_last") + 1).alias("n_seqs"),
+            F.sum("n_tokens").alias("n_tokens"))
+        return per_shard.groupBy().agg(F.sum("n_seqs"), F.sum("n_tokens"))
+
     timings: dict[str, float] = {}
     for name, fn in (("rollup", rollup), ("lag", lag), ("keep1", keep1),
-                     ("sdist", sdist), ("sessions", sessions)):
+                     ("sdist", sdist), ("sessions", sessions),
+                     ("pack", pack)):
         t0 = time.time()
         fn().collect()
         timings[name] = round(time.time() - t0, 2)
