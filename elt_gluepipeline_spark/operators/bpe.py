@@ -204,8 +204,13 @@ def bpe_fit_batched(df: DataFrame, text_col: str, *, n_merges: int = 10,
 def bpe_encode(df: DataFrame, id_col: str, text_col: str,
                rules: list[tuple[str, str]]) -> DataFrame:
     """Apply a fitted rule list: (id, tokens array, n_bpe_tokens).
-    One fused projection — the rules compose into a single expression
-    chain per word, applied map-only (no shuffle, no Python)."""
+
+    The merge folds are interpreted higher-order expressions — the
+    costly part — so they run once per DISTINCT word (the bounded
+    vocabulary, exactly the table a real tokenizer ships to every
+    worker) and broadcast-join back onto the word occurrences. The
+    occurrence side stays map-only + one broadcast hash join; corpus
+    repetition (Zipf) is pure savings. No Python anywhere."""
     base = (df.select(F.col(id_col),
                       F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
                        .alias("pos", "word"))
@@ -213,7 +218,10 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     sym = _symbols(F.col("word"))
     for a, b in rules:
         sym = _merge_fold(sym, a, b)
-    per_word = base.select(id_col, "pos", sym.alias("toks"))
+    word_toks = base.select("word").distinct() \
+                    .select("word", sym.alias("toks"))
+    per_word = (base.join(F.broadcast(word_toks), "word")
+                    .select(id_col, "pos", "toks"))
     # collect_list order is partition-dependent: sort by word position
     # before flattening so the token sequence is deterministic
     return (per_word.groupBy(id_col)
