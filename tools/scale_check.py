@@ -112,7 +112,12 @@ def main() -> None:
     results = {}
     for name in names:
         spec = specs[name]
-        spec.build(spark, src).write.format("noop").mode("overwrite").save()  # warm
+        # warm BOTH datasets: codegen once per plan, and one-time
+        # per-dataset artifact fits (PQ/k-means/BPE memos) happen
+        # outside the timing — the ratio should compare steady-state
+        # serve cost, which is what tracks data size
+        spec.build(spark, src).write.format("noop").mode("overwrite").save()
+        spec.build(spark, out).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         spec.build(spark, src).write.format("noop").mode("overwrite").save()
         t1 = time.time() - t0
