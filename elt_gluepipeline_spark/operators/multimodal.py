@@ -1074,6 +1074,243 @@ def _decode_scan(data, pos, sof, scomp, qts, huff, restart_interval):
     return w, h, 3, np.clip(np.rint(rgb), 0, 255)
 
 
+# --------------------------------------------------------------------
+# GIF (87a/89a, public spec): the LZW-compressed palette format — the
+# third real compressed decode path (zlib-PNG, DCT-JPEG, now
+# dictionary-coded GIF), stdlib-only. Scope: single-image GIFs,
+# global or local color table, interlaced or sequential row order,
+# extension blocks skipped; animated multi-image files return the
+# FIRST frame. The LZW codec is the real variable-width dictionary
+# coder (code growth to 12 bits, CLEAR resets, deferred EOI), not the
+# fixed-width "uncompressed GIF" shortcut — roundtrip pinned against
+# random low-palette streams that force dictionary growth.
+# --------------------------------------------------------------------
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_decode(data: bytes, min_size: int) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes, dictionary
+    reset on CLEAR, width grows when the next free code would not
+    fit (max 12 bits)."""
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    base = eoi + 1
+    acc = nbits = pos = 0
+    width = min_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    prev: list[int] | None = None
+    out: list[int] = []
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out                 # deferred EOI tolerated
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]       # KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    # unreachable
+
+
+def _lzw_encode(pixels, min_size: int) -> bytes:
+    """GIF-variant LZW encoder, the exact dual of ``_lzw_decode``:
+    emits CLEAR first, grows width when its next free code passes
+    2^width (one ahead of the decoder's table, hence the +1), and
+    resets with CLEAR when the 12-bit table fills."""
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}
+
+    width = min_size + 1
+    table = fresh()
+    next_code = eoi + 1
+    put(clear, width)
+    seq: tuple = ()
+    for p in pixels:
+        p = int(p)
+        cand = seq + (p,)
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4096:
+            put(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_size + 1
+        seq = (p,)
+    if seq:
+        put(table[seq], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """Parse a single-image GIF with stdlib only (real LZW decode).
+
+    Returns ``(width, height, rgb)`` — image dims from the image
+    descriptor and a float64 height×width×3 palette-mapped RGB array
+    (integer-valued floats, so downstream means are exact rationals an
+    oracle can reproduce — the PNG contract, not BMP's lossy BT.601
+    fold). Interlaced images are de-interlaced. Raises ValueError on
+    truncated/malformed files — callers route those to the stub path.
+    """
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated global color table")
+        gct = data[pos: pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            size = data[p]
+            p += 1 + size
+            if size == 0:
+                return p
+
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:              # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:              # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02X}")
+        if pos + 10 > len(data):
+            raise ValueError("truncated image descriptor")
+        _left, _top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+        ipacked = data[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:             # local color table
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("truncated local color table")
+            ct = data[pos: pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if w == 0 or h == 0:
+            raise ValueError("degenerate GIF dimensions")
+        min_size = data[pos]
+        if not 2 <= min_size <= 11:
+            raise ValueError(f"bad LZW min code size {min_size}")
+        pos += 1
+        chunks = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF image data")
+            size = data[pos]
+            pos += 1
+            if size == 0:
+                break
+            chunks += data[pos: pos + size]
+            pos += size
+        idx = _lzw_decode(bytes(chunks), min_size)
+        if len(idx) < w * h:
+            raise ValueError(f"short GIF pixel data: {len(idx)} < {w * h}")
+        arr = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+        if ipacked & 0x40:             # de-interlace the row order
+            rows = [r for start, step in _GIF_INTERLACE
+                    for r in range(start, h, step)]
+            out = np.empty_like(arr)
+            out[rows] = arr
+            arr = out
+        pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3) \
+                .astype(np.float64)
+        if arr.max() >= len(pal):
+            raise ValueError("GIF pixel index outside color table")
+        return w, h, pal[arr]
+    raise ValueError("truncated GIF: no trailer")
+
+
+def encode_gif(indices, palette, *, interlace: bool = False,
+               min_size: int = 8) -> bytes:
+    """Build a single-image GIF89a from an index array (H×W ints) and
+    a palette [(r, g, b), ...] — the synthesis/test counterpart of
+    decode_gif, with a REAL LZW compressor."""
+    import numpy as np
+
+    img = np.asarray(indices, dtype=np.int64)
+    h, w = img.shape
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    table = bytearray()
+    for i in range(1 << bits):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        table += bytes((r, g, b))
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE
+                for r in range(start, h, step)]
+        img = img[rows]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes((0x80 | (bits - 1), 0, 0))       # GCT flag + size
+    out += table
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes((0x40 if interlace else 0x00,))
+    out += bytes((min_size,))
+    lzw = _lzw_encode(img.ravel(), min_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i: i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 PROBE_SCHEMA = StructType([
     StructField("asset_id", LongType(), False),
     StructField("media_format", StringType(), True),
@@ -1133,6 +1370,11 @@ def media_probe(assets: DataFrame) -> DataFrame:
                             row.update(width=w, height=h, n_channels=ch,
                                        decoded=True,
                                        mean_signal=f"{color.mean():.4f}")
+                        elif fmt == "gif":
+                            w, h, arr = decode_gif(bytes(p))
+                            row.update(width=w, height=h, n_channels=3,
+                                       decoded=True,
+                                       mean_signal=f"{arr.mean():.4f}")
                         elif fmt in ("jpeg", "jpg"):
                             w, h, ch, arr = decode_jpeg(bytes(p))
                             row.update(width=w, height=h, n_channels=ch,

@@ -55,6 +55,7 @@ _DEPRIORITIZED = (
     "q12_incr_dedupe",
     "q16_iqr_outliers",
     "q26_trend_rollup",
+    "q27_surrogate_keys",
     "q34_sessionize",
     "q35_stream_sessions",
     "q37_calendar_join",

@@ -644,6 +644,67 @@ WHERE doc_id % 3 = 1
 
 
 # --------------------------------------------------------------------------
+# Q142 — dictionary-coded compressed decode under the oracle gate:
+# real GIF/LZW (operators.multimodal.decode_gif — variable-width
+# 12-bit-max dictionary codes, CLEAR resets, KwKwK case, interlaced
+# row reordering; stdlib only). Completes the compressed-codec
+# triptych: zlib/DEFLATE (q132), DCT/Huffman (q137), LZW (here).
+# Synthesized gradients cycle interlaced/sequential storage and image
+# sizes; grayscale palettes make the decoded RGB integer-valued, so
+# the oracle recomputes every mean analytically — a wrong dictionary
+# entry, width bump, or interlace pass shifts every pixel.
+# --------------------------------------------------------------------------
+
+def q142_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (ASSET_SCHEMA, encode_gif,
+                                        media_probe)
+
+    docs = (read_table(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") % 3 == 2))
+    pal = [(i, i, i) for i in range(256)]
+
+    def _synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 11, 5 + did % 6
+                y, x = np.mgrid[0:h, 0:w]
+                img = (did + 3 * x + 7 * y) % 256
+                payloads.append(encode_gif(img, pal,
+                                           interlace=bool(did % 2)))
+                ids.append(did)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "modality": "image", "payload": payloads,
+                "media_format": "gif"})
+
+    assets = docs.mapInPandas(_synth, schema=ASSET_SCHEMA)
+    probe = media_probe(assets)
+    return (probe.filter(F.col("decoded"))
+                 .select("asset_id", "width", "height", "n_channels",
+                         "mean_signal"))
+
+
+Q142_SQL = """
+SELECT doc_id AS asset_id,
+       6 + doc_id % 11 AS width,
+       5 + doc_id % 6 AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       printf('%.4f', list_aggregate(
+         flatten(list_transform(range(5 + doc_id % 6),
+           y -> list_transform(range(6 + doc_id % 11),
+             x -> CAST((doc_id + 3 * x + 7 * y) % 256 AS DOUBLE)))),
+         'avg')) AS mean_signal
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Q133 — BPE fit + ENCODE end-to-end under the oracle gate (r4 judge
 # item #8): merge rules are fitted on the corpus (bpe_fit_batched —
 # provably identical to sequential fit) and applied by bpe_encode;
@@ -3307,6 +3368,10 @@ SPECS = [
               "REAL PNG decode (stdlib zlib inflate + all five "
               "scanline filters, CRC-checked); decoded dims/channels/"
               "mean oracle-rederived analytically"),
+    QuerySpec("q142_gif_probe", q142_gif_probe, Q142_SQL,
+              "real GIF/LZW decode (variable-width dictionary codes, "
+              "interlace) against an analytic oracle — the third real "
+              "compressed codec after DEFLATE and DCT"),
     QuerySpec("q137_jpeg_probe", q137_jpeg_probe, Q137_SQL,
               "real baseline JPEG decode (Huffman + IDCT + YCbCr, "
               "numpy/struct only) certified against an analytic "
