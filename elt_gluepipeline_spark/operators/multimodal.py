@@ -1075,6 +1075,76 @@ def _decode_scan(data, pos, sof, scomp, qts, huff, restart_interval):
 
 
 # --------------------------------------------------------------------
+# Per-row compressed text columns. 100 TB corpora routinely store the
+# document body as a compressed BLOB per row (parquet's page codec
+# doesn't help once you project a single huge text column; per-row
+# compression lets the scan skip decompression for filtered-out
+# rows). These are Arrow-batched pandas UDFs over stdlib codecs —
+# zlib / gzip / bz2 / lzma — map-only, no shuffle, bounded per-row
+# work. decompress returns NULL (not an error) for undecodable
+# payloads so a corrupt row can't kill a 1000-executor scan; count
+# the NULLs downstream.
+# --------------------------------------------------------------------
+
+_TEXT_CODECS = ("zlib", "gzip", "bz2", "lzma")
+
+
+def _codec_mod(codec: str):
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+    try:
+        return {"zlib": (zlib.compress, zlib.decompress),
+                "gzip": (gzip.compress, gzip.decompress),
+                "bz2": (bz2.compress, bz2.decompress),
+                "lzma": (lzma.compress, lzma.decompress)}[codec]
+    except KeyError:
+        raise ValueError(f"unknown codec {codec!r}; "
+                         f"pick one of {_TEXT_CODECS}") from None
+
+
+def compress_text(text_col, codec: str = "zlib"):
+    """Column expression: UTF-8 text → compressed binary (pandas UDF).
+    Deterministic for a fixed codec/level, so decompress∘compress is
+    exactly the identity the q143 oracle leans on."""
+    from pyspark.sql.functions import pandas_udf
+
+    comp, _ = _codec_mod(codec)
+
+    @pandas_udf("binary")
+    def _comp(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None
+                     else comp(t.encode("utf-8")))
+
+    return _comp(text_col)
+
+
+def decompress_text(payload_col, codec: str = "zlib"):
+    """Column expression: compressed binary → UTF-8 text (pandas UDF).
+    NULL in, NULL out; undecodable bytes → NULL (never an executor
+    error — corrupt rows surface as a countable column, not a dead
+    stage)."""
+    from pyspark.sql.functions import pandas_udf
+
+    _, decomp = _codec_mod(codec)
+
+    def _one(p):
+        if p is None:
+            return None
+        try:
+            return decomp(bytes(p)).decode("utf-8")
+        except Exception:
+            return None
+
+    @pandas_udf("string")
+    def _decomp(s: pd.Series) -> pd.Series:
+        return s.map(_one)
+
+    return _decomp(payload_col)
+
+
+# --------------------------------------------------------------------
 # GIF (87a/89a, public spec): the LZW-compressed palette format — the
 # third real compressed decode path (zlib-PNG, DCT-JPEG, now
 # dictionary-coded GIF), stdlib-only. Scope: single-image GIFs,

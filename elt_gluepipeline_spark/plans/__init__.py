@@ -56,6 +56,7 @@ _DEPRIORITIZED = (
     "q16_iqr_outliers",
     "q26_trend_rollup",
     "q27_surrogate_keys",
+    "q29_stream_hourly",
     "q34_sessionize",
     "q35_stream_sessions",
     "q37_calendar_join",

@@ -705,6 +705,51 @@ WHERE doc_id % 3 = 2
 
 
 # --------------------------------------------------------------------------
+# Q143 — per-row compressed text columns (operators.multimodal
+# .compress_text / decompress_text): the storage shape 100 TB corpora
+# actually use — document bodies as per-row compressed BLOBs (page
+# codecs don't help a single huge projected column; per-row codecs
+# let filtered scans skip decompression). All four stdlib codecs
+# cycle by doc_id; the decompressed text's length and md5 must match
+# the oracle's direct computation over the source column — certifying
+# decompress∘compress == id per codec through the Arrow batch path.
+# --------------------------------------------------------------------------
+
+def q143_compressed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (_TEXT_CODECS, compress_text,
+                                        decompress_text)
+
+    docs = read_table(spark, sf_dir, "documents")
+    legs = []
+    for i, codec in enumerate(_TEXT_CODECS):
+        leg = (docs.filter(F.pmod("doc_id", F.lit(4)) == i)
+                   .select("doc_id", F.lit(codec).alias("codec"),
+                           compress_text(F.col("text"), codec)
+                           .alias("_blob")))
+        legs.append(leg.select(
+            "doc_id", "codec",
+            decompress_text(F.col("_blob"), codec).alias("_back")))
+    back = legs[0]
+    for leg in legs[1:]:
+        back = back.unionByName(leg)
+    return back.select(
+        "doc_id", "codec",
+        F.length("_back").cast("long").alias("n_chars"),
+        F.md5(F.encode("_back", "UTF-8")).alias("text_sig"))
+
+
+Q143_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'zlib' WHEN 1 THEN 'gzip'
+            WHEN 2 THEN 'bz2' ELSE 'lzma' END AS codec,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_sig
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Q133 — BPE fit + ENCODE end-to-end under the oracle gate (r4 judge
 # item #8): merge rules are fitted on the corpus (bpe_fit_batched —
 # provably identical to sequential fit) and applied by bpe_encode;
@@ -3368,6 +3413,10 @@ SPECS = [
               "REAL PNG decode (stdlib zlib inflate + all five "
               "scanline filters, CRC-checked); decoded dims/channels/"
               "mean oracle-rederived analytically"),
+    QuerySpec("q143_compressed_text", q143_compressed_text, Q143_SQL,
+              "per-row compressed text BLOBs (zlib/gzip/bz2/lzma "
+              "pandas UDFs): decompressed length + md5 hash-match the "
+              "source column, all four codecs"),
     QuerySpec("q142_gif_probe", q142_gif_probe, Q142_SQL,
               "real GIF/LZW decode (variable-width dictionary codes, "
               "interlace) against an analytic oracle — the third real "
