@@ -57,6 +57,7 @@ _DEPRIORITIZED = (
     "q26_trend_rollup",
     "q27_surrogate_keys",
     "q29_stream_hourly",
+    "q32_threshold_severity",
     "q34_sessionize",
     "q35_stream_sessions",
     "q37_calendar_join",

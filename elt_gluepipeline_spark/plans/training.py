@@ -704,6 +704,121 @@ WHERE doc_id % 3 = 2
 """
 
 
+# Sequence-packing parameters + shared oracle prelude (token counts
+# and shard/order hashes matching sampling.portable_bucket(seed=7)
+# and packing._sharded exactly) — used by q138/q139/q144.
+_PACK_CTX, _PACK_SHARDS, _PACK_SEED = 256, 8, 7
+
+_PACK_BASE = f"""
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents),
+hashes AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                  || '#{_PACK_SEED}'), 1, 15)) AS BIGINT)
+           % {_PACK_SHARDS} AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                  || '#order#{_PACK_SEED}'), 1, 15))
+              AS BIGINT) AS h
+  FROM tok)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q144 — the shard WRITER under the oracle gate: pack the corpus
+# (q138's coordinates), attach the text, WRITE a shard-partitioned
+# parquet layout through sources.writers.write_parquet (partitionBy
+# shard + sortWithinPartitions on seq_first — the row-group
+# clustering lever), READ IT BACK, and digest each shard
+# (order-independent md5 sum over the full row: ids, packing
+# coordinates, text signature). The oracle recomputes the digests
+# from the source tables alone, so a hash match certifies the entire
+# materialization path — partition pruning layout, type round-trip
+# through partition columns, no row lost/duplicated/mutated by the
+# sink. This is the step that turns the engine's packing output into
+# the on-disk training shards a loader consumes.
+# --------------------------------------------------------------------------
+
+def q144_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from ..operators.dedup import portable_hash60
+    from ..operators.packing import pack_concat_chunk
+    from ..sources.writers import write_parquet
+
+    docs = read_table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", "text",
+                          F.size(tokens(F.col("text"))).alias("_n"))
+    packed = pack_concat_chunk(counted.select("doc_id", F.col("_n")),
+                               "doc_id", F.col("_n"),
+                               ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS,
+                               seed=_PACK_SEED)
+    staged = packed.join(counted.select("doc_id", "text"), "doc_id")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_shards_{key}")
+    write_parquet(staged, path, partition_by=("shard",),
+                  sort_by=("seq_first", "doc_id"))
+    back = spark.read.parquet(path)
+    canon = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("n_tokens").cast("string"),
+        F.col("seq_first").cast("string"),
+        F.col("seq_last").cast("string"),
+        F.col("offset").cast("string"),
+        F.md5(F.encode("text", "UTF-8")))
+    return (back.groupBy(F.col("shard").cast("long").alias("shard"))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     (F.max("seq_last") + 1).alias("n_seqs"),
+                     F.sum(portable_hash60(canon).cast("decimal(38,0)"))
+                      .cast("decimal(38,0)").cast("string")
+                      .alias("digest")))
+
+
+Q144_SQL = f"""
+WITH {_PACK_BASE},
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM hashes),
+coords AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(FLOOR(cum / {_PACK_CTX}) AS BIGINT) AS seq_first,
+         CAST(CASE WHEN n_tokens > 0
+                   THEN FLOOR((cum + n_tokens - 1) / {_PACK_CTX})
+                   ELSE FLOOR(cum / {_PACK_CTX}) END AS BIGINT)
+           AS seq_last,
+         cum % {_PACK_CTX} AS "offset"
+  FROM c),
+canon AS (
+  SELECT co.shard, co.n_tokens, co.seq_last,
+         concat_ws('|', CAST(co.doc_id AS VARCHAR),
+                   CAST(co.n_tokens AS VARCHAR),
+                   CAST(co.seq_first AS VARCHAR),
+                   CAST(co.seq_last AS VARCHAR),
+                   CAST(co."offset" AS VARCHAR),
+                   md5(d.text)) AS cc
+  FROM coords co JOIN documents d USING (doc_id))
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(seq_last) + 1 AS BIGINT) AS n_seqs,
+       CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(cc), 1, 15)) AS BIGINT)
+                          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS digest
+FROM canon GROUP BY shard
+"""
+
+
 # --------------------------------------------------------------------------
 # Q143 — per-row compressed text columns (operators.multimodal
 # .compress_text / decompress_text): the storage shape 100 TB corpora
@@ -1837,29 +1952,6 @@ Q136_SQL = _q136_sql()
 # md5 hashes, so the "corpus shuffle" is deterministic and both
 # engines see identical shard membership, order, and assignments.
 # --------------------------------------------------------------------------
-
-_PACK_CTX, _PACK_SHARDS, _PACK_SEED = 256, 8, 7
-
-# shared oracle prelude: token counts + shard / order hashes matching
-# sampling.portable_bucket(seed=7) and packing._sharded exactly
-_PACK_BASE = f"""
-tok AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-           AS n_tokens
-  FROM documents),
-hashes AS (
-  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                  || '#{_PACK_SEED}'), 1, 15)) AS BIGINT)
-           % {_PACK_SHARDS} AS shard,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                  || '#order#{_PACK_SEED}'), 1, 15))
-              AS BIGINT) AS h
-  FROM tok)
-"""
-
 
 def q138_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_concat_chunk
@@ -3413,6 +3505,10 @@ SPECS = [
               "REAL PNG decode (stdlib zlib inflate + all five "
               "scanline filters, CRC-checked); decoded dims/channels/"
               "mean oracle-rederived analytically"),
+    QuerySpec("q144_shard_writer", q144_shard_writer, Q144_SQL,
+              "training shards materialized: pack + partitioned "
+              "sorted parquet write + read-back, per-shard "
+              "order-independent digest vs a source-only oracle"),
     QuerySpec("q143_compressed_text", q143_compressed_text, Q143_SQL,
               "per-row compressed text BLOBs (zlib/gzip/bz2/lzma "
               "pandas UDFs): decompressed length + md5 hash-match the "

@@ -42,6 +42,7 @@ EAGER_QUERIES = frozenset({
     "q133_bpe_encode",                         # BPE fit driver loop
     "q134_json_roundtrip", "q135_orc_roundtrip",  # stage-write at build
     "q141_index_append",                       # index write at build
+    "q144_shard_writer",                       # shard write at build
 })
 
 
