@@ -764,7 +764,9 @@ def q144_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"spark_graft_shards_{key}")
     write_parquet(staged, path, partition_by=("shard",),
                   sort_by=("seq_first", "doc_id"))
-    back = spark.read.parquet(path)
+    # explicit schema: the loader's contract (and an empty corpus
+    # writes no part files, leaving nothing to infer from)
+    back = spark.read.schema(staged.schema).parquet(path)
     canon = F.concat_ws(
         "|",
         F.col("doc_id").cast("string"),
