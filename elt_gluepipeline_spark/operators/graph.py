@@ -1,0 +1,113 @@
+"""Iterative graph analytics on DataFrames: PageRank (power
+iteration), joining the connected-components operator (operators
+.dedup) as the engine's second iterative-algorithm family.
+
+Scale shape: each iteration is one equi-join (ranks onto edge
+sources) plus one aggregation (contributions by destination) — the
+canonical two-shuffle PageRank step; no driver-side state beyond the
+loop counter, and ``localCheckpoint`` truncates the per-iteration
+lineage so plan size stays constant in ``n_iter``.
+
+Determinism discipline (the oracle contract): floating-point addition
+is partition-order-dependent, AND engines disagree at ROUND(double)
+boundaries — so each contribution snaps to an integer GRID
+(floor(x·10¹² + ½), pure IEEE ops every engine evaluates
+bit-identically) and sums as an exact BIGINT. The same grid-exact
+idiom as the k-means centroid updates. Every remaining float op
+(rank·w/outw, the damping update) is a fixed-shape IEEE expression,
+so a DuckDB oracle replays the whole power iteration bit-for-bit with
+no rounding step anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRID = 1_000_000_000_000.0     # 10^12: exactly representable; per-dst
+                                # unit sums stay < 10^12 (total mass 1)
+
+
+def pagerank(edges: DataFrame, *, n_iter: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst", weight: str = "w",
+             broadcast_ranks: bool = False) -> DataFrame:
+    """Weighted PageRank over an edge list; returns (node, rank).
+
+    Nodes are the union of endpoints; a node's outgoing mass splits
+    proportionally to edge weight. Dangling nodes (no out-edges)
+    simply leak their mass — callers wanting the standard
+    redistribution should add self-loops or make the graph symmetric
+    (an undirected graph has no dangling nodes by construction).
+
+    ``broadcast_ranks=True`` ships the rank vector to every executor
+    each iteration, so the (large) edge table never shuffles — only
+    the per-destination aggregation does. Right when the node set is
+    bounded (a catalog, a vocabulary); leave False for web-scale node
+    sets and let the join shuffle both sides.
+    """
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("_outw"))
+    e = (edges.join(outw, src)
+         .select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
+                 F.col(weight).alias("_w"), "_outw")
+         .localCheckpoint(eager=False))
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (nodes.crossJoin(F.broadcast(n_frame))
+             .select("node", "_n",
+                     (F.lit(1.0) / F.col("_n")).alias("rank")))
+    base = F.lit(1.0 - damping) / F.col("_n")  # python-float repr: the
+    # oracle embeds repr(1 - damping) so both engines use the same bits
+    for _ in range(n_iter):
+        rvec = ranks.select(F.col("node").alias("_s"), "rank")
+        if broadcast_ranks:
+            rvec = F.broadcast(rvec)
+        contribs = (e.join(rvec, "_s")
+                    .select("_d",
+                            F.floor(F.col("rank") * F.col("_w")
+                                    / F.col("_outw") * F.lit(_GRID)
+                                    + F.lit(0.5))
+                            .cast("long").alias("_c")))
+        sums = contribs.groupBy("_d").agg(F.sum("_c").alias("_sum"))
+        ranks = (ranks.join(sums, ranks["node"] == sums["_d"], "left")
+                 .select("node", "_n",
+                         (base + F.lit(damping)
+                          * (F.coalesce(F.col("_sum"), F.lit(0))
+                             .cast("double") / F.lit(_GRID)))
+                         .alias("rank")))
+    # one lineage truncation at the end (the checkpointed `e` already
+    # keeps each iteration's inputs flat; per-iteration checkpoints of
+    # the small rank vector cost a blocking job each and buy nothing
+    # at single-digit n_iter)
+    return ranks.select("node", "rank").localCheckpoint(eager=False)
+
+
+def pagerank_sql(*, n_iter: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin of ``pagerank``: unrolled power-iteration CTEs over
+    an ``edges(s, d, w)`` CTE the caller must define earlier in the
+    WITH chain. Returns the CTE chain text (continuing that chain)
+    ending in a SELECT of (node, rank)."""
+    rest = repr(1.0 - damping)
+    parts = [f"""
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT s AS node FROM edges UNION ALL SELECT d FROM edges)),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT s, SUM(w) AS ow FROM edges GROUP BY s),
+r0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes, cnt)"""]
+    grid = repr(_GRID)
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+c{k} AS (
+  SELECT e.d, CAST(FLOOR(r.rank * e.w / o.ow * {grid} + 0.5) AS BIGINT)
+           AS c
+  FROM edges e JOIN r{k - 1} r ON e.s = r.node JOIN outw o ON e.s = o.s),
+r{k} AS (
+  SELECT n.node,
+         {rest} / cnt.n + {damping!r}
+           * (CAST(COALESCE(s.sc, 0) AS DOUBLE) / {grid}) AS rank
+  FROM nodes n CROSS JOIN cnt
+  LEFT JOIN (SELECT d, CAST(SUM(c) AS BIGINT) AS sc FROM c{k} GROUP BY d) s
+    ON n.node = s.d)""")
+    body = ",".join(parts)
+    return body + f"\nSELECT node, rank FROM r{n_iter}"

@@ -58,6 +58,7 @@ _DEPRIORITIZED = (
     "q27_surrogate_keys",
     "q29_stream_hourly",
     "q32_threshold_severity",
+    "q33_top_customers_per_nation",
     "q34_sessionize",
     "q35_stream_sessions",
     "q37_calendar_join",

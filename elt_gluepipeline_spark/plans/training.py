@@ -704,6 +704,62 @@ WHERE doc_id % 3 = 2
 """
 
 
+# --------------------------------------------------------------------------
+# Q145 — weighted PageRank over the part co-purchase graph
+# (operators.graph.pagerank): the engine's second ITERATIVE family
+# beyond connected components. Edges are co-purchases within an order
+# (per-order fan-out structurally bounded by items/order, ~7 in this
+# schema — never corpus²), symmetrized so the walk has no dangling
+# mass. Each power iteration is one join + one aggregation; per-
+# contribution ROUND → exact-DECIMAL sums make the float recursion
+# partition-order-independent, so the DuckDB oracle replays all three
+# iterations bit-for-bit (the bigram_perplexity determinism idiom).
+# --------------------------------------------------------------------------
+
+def q145_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    # rolling-window graph: affinity is computed over the trailing
+    # window in practice (and the filter pushes to the parquet scan),
+    # keeping the edge set proportional to recent activity
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") >= "1997-01-01")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("s"),
+                      F.col("b.l_partkey").alias("d"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    edges = pairs.unionByName(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
+    # parts are a bounded catalog → the rank vector broadcasts and the
+    # 2|pairs| edge table never shuffles inside the iteration
+    pr = pagerank(edges, n_iter=3, src="s", dst="d", weight="w",
+                  broadcast_ranks=True)
+    return pr.select(F.col("node").alias("part_key"), "rank")
+
+
+def _q145_sql() -> str:
+    from ..operators.graph import pagerank_sql
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'),
+pairs AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS (SELECT s, d, w FROM pairs
+          UNION ALL SELECT d, s, w FROM pairs),
+{pagerank_sql(n_iter=3).lstrip()}
+""".replace("SELECT node, rank FROM",
+            "SELECT node AS part_key, rank FROM")
+
+
+Q145_SQL = _q145_sql()
+
+
 # Sequence-packing parameters + shared oracle prelude (token counts
 # and shard/order hashes matching sampling.portable_bucket(seed=7)
 # and packing._sharded exactly) — used by q138/q139/q144.
@@ -3507,6 +3563,12 @@ SPECS = [
               "REAL PNG decode (stdlib zlib inflate + all five "
               "scanline filters, CRC-checked); decoded dims/channels/"
               "mean oracle-rederived analytically"),
+    QuerySpec("q145_copurchase_pagerank", q145_copurchase_pagerank,
+              Q145_SQL,
+              "weighted PageRank power iteration over the co-purchase "
+              "graph: per-contribution round + exact-decimal sums make "
+              "the float recursion order-independent; all 3 iterations "
+              "oracle-replayed"),
     QuerySpec("q144_shard_writer", q144_shard_writer, Q144_SQL,
               "training shards materialized: pack + partitioned "
               "sorted parquet write + read-back, per-shard "
