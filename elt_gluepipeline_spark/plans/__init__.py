@@ -150,6 +150,14 @@ _DEPRIORITIZED = (
     "q80_split_drift",
     "q81_ivf_pq",
     "q82_rerank",
+    # --- post-rotation round-5 additions (head already at 50; these
+    # run under pytest/bench/tools gates; rotate in a later round) ---
+    "q146_html_extract",
+    "q147_domain_cap",
+    "q148_gopher_rules",
+    "q149_component_split",
+    "q150_variant_shred",
+    "q151_xml_roundtrip",
 )
 
 

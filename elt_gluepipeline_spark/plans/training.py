@@ -1049,7 +1049,8 @@ FROM enc GROUP BY doc_id
 # --------------------------------------------------------------------------
 
 
-def _stage_roundtrip(spark: SparkSession, sf_dir: str, fmt: str):
+def _stage_roundtrip(spark: SparkSession, sf_dir: str, fmt: str,
+                     options: dict[str, str] | None = None):
     import hashlib
     import tempfile
 
@@ -1061,8 +1062,10 @@ def _stage_roundtrip(spark: SparkSession, sf_dir: str, fmt: str):
         f"{fmt}:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(),
                         f"spark_graft_stage_{fmt}_{key}")
-    base.write.mode("overwrite").format(fmt).save(path)
-    return spark.read.format(fmt).schema(base.schema).load(path)
+    opts = options or {}
+    base.write.mode("overwrite").format(fmt).options(**opts).save(path)
+    return (spark.read.format(fmt).options(**opts)
+            .schema(base.schema).load(path))
 
 
 def q134_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3537,6 +3540,307 @@ WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM losers2)
 """
 
 
+# --------------------------------------------------------------------------
+# Q146 — HTML boilerplate strip (operators.webtext.strip_html): the
+# front door of a web-crawl corpus. Markup is synthesized
+# deterministically from documents columns (identically in both
+# engines), then script/style/comment content is dropped, tags
+# stripped, whitespace collapsed — a pure JVM regexp_replace chain the
+# oracle replays verbatim in RE2 (patterns stay in the shared
+# Java-regex/RE2 subset). clean_md5 gates the full extracted string;
+# text_density is the classic boilerplate-ratio signal.
+# --------------------------------------------------------------------------
+
+def q146_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.webtext import html_extract
+
+    docs = read_table(spark, sf_dir, "documents")
+    page = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit('<html><head><script type="text/javascript">var t = 1;'
+                  '</script><style>p { color: red; }</style><title>'),
+            F.col("source"),
+            F.lit("</title></head><body><!-- hdr --><h1>"),
+            F.upper(F.col("lang")),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit('</p><div class="nav">home</div></body></html>')))
+    out = html_extract(page, "html")
+    return out.select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+                      "n_raw", "n_text", "text_density")
+
+
+Q146_SQL = """
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><script type="text/javascript">var t = 1;'
+         || '</script><style>p { color: red; }</style><title>'
+         || source || '</title></head><body><!-- hdr --><h1>'
+         || upper(lang) || '</h1><p>' || text
+         || '</p><div class="nav">home</div></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g'),
+           '<[^>]+>', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM page
+)
+SELECT doc_id, md5(clean_text) AS clean_md5,
+       CAST(len(html) AS BIGINT) AS n_raw,
+       CAST(len(clean_text) AS BIGINT) AS n_text,
+       CAST(len(clean_text) AS DOUBLE) / len(html) AS text_density
+FROM stripped
+"""
+
+
+# --------------------------------------------------------------------------
+# Q147 — per-domain corpus rebalance (operators.webtext
+# .cap_per_domain): URLs synthesized from source/lang, host extracted
+# with parse_url (JVM), and each domain capped at 20 documents chosen
+# by deterministic md5 order — the Common-Crawl step that stops one
+# mega-domain from dominating the training mix. Kept set is stable
+# under re-runs and corpus growth; per-domain totals ride along so the
+# drop rate is auditable. One shuffle on domain; AQE skew-split covers
+# heavy-hitter hosts at scale.
+# --------------------------------------------------------------------------
+
+def q147_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.webtext import cap_per_domain, domain_of
+
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+                 F.col("lang"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")))
+    tagged = urls.withColumn("domain", domain_of(F.col("url")))
+    capped = cap_per_domain(tagged, "domain", "doc_id", k=20)
+    return capped.select("doc_id", "domain", "n_domain_docs",
+                         F.col("rk").cast("bigint").alias("rk"))
+
+
+Q147_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/' || lang || '/doc/'
+           || doc_id AS url
+  FROM documents
+),
+d AS (
+  SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+  FROM u
+),
+r AS (
+  SELECT doc_id, domain,
+         COUNT(*) OVER (PARTITION BY domain) AS n_domain_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#7'), doc_id) AS rk
+  FROM d
+)
+SELECT doc_id, domain, n_domain_docs, rk FROM r WHERE rk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q148 — Gopher-style composite quality rules (operators.webtext
+# .gopher_flags): word-count bounds, mean-word-length bounds, stopword
+# presence, duplicate-token saturation — each violation sets a bit in
+# rule_mask so the drop REASON is auditable, keep = mask == 0. Pure
+# column expressions over one split(); ratios are single IEEE
+# divisions the oracle replays bit-exactly.
+# --------------------------------------------------------------------------
+
+def q148_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.webtext import gopher_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (gopher_flags(docs, "text")
+            .select("doc_id", "n_words", "mean_word_len", "stop_hits",
+                    "uniq_ratio", "rule_mask", "keep"))
+
+
+Q148_SQL = """
+WITH t AS (
+  SELECT doc_id, trim(text) AS text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN text = '' THEN 0 ELSE len(toks) END AS n_words,
+         len(regexp_replace(text, '\\s+', '', 'g')) AS chars_no_ws,
+         len(list_intersect(toks, ['the', 'a', 'of', 'to', 'and']))
+           AS stop_hits,
+         len(list_distinct(toks)) AS n_uniq
+  FROM t
+),
+m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(chars_no_ws AS DOUBLE) / n_words
+              ELSE 0.0 END AS mean_word_len,
+         stop_hits,
+         CASE WHEN n_words > 0
+              THEN CAST(n_uniq AS DOUBLE) / n_words
+              ELSE 0.0 END AS uniq_ratio
+  FROM s
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       CAST(stop_hits AS BIGINT) AS stop_hits, uniq_ratio,
+       CAST(((n_words < 15 OR n_words > 100000)::INT * 1
+             + (mean_word_len < 2.0 OR mean_word_len > 10.0)::INT * 2
+             + (stop_hits < 1)::INT * 4
+             + (uniq_ratio < 0.2)::INT * 8) AS INT) AS rule_mask,
+       ((n_words < 15 OR n_words > 100000)::INT * 1
+        + (mean_word_len < 2.0 OR mean_word_len > 10.0)::INT * 2
+        + (stop_hits < 1)::INT * 4
+        + (uniq_ratio < 0.2)::INT * 8) = 0 AS keep
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Q149 — leakage-safe train/test split: near-dup components (q18's
+# pair graph → min-label propagation) define the split UNIT, so every
+# member of a near-dup cluster lands on the same side of the boundary
+# — the contamination mode a per-document hash split cannot prevent.
+# Singletons are their own component. Same portable md5 bucket as q57,
+# keyed on the component id; the oracle rewalks the graph with a
+# recursive CTE and applies the identical bucket arithmetic.
+# --------------------------------------------------------------------------
+
+def q149_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.sampling import assign_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = q18_ngram_jaccard(spark, sf_dir)
+    comps = (connected_components(pairs)
+             .select(F.col("id").alias("doc_id"), "component"))
+    tagged = (docs.join(comps, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("component", "doc_id")
+                           .alias("component")))
+    return (assign_split(tagged, "component")
+            .select("doc_id", "component", "split"))
+
+
+Q149_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
+           AS len_bucket,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.shingles, b.shingles))
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        END >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+tagged AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, component,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR) || '#7'),
+                                      1, 15)) AS BIGINT) % 1000 < 100
+            THEN 'test' ELSE 'train' END AS split
+FROM tagged
+"""
+
+
+# --------------------------------------------------------------------------
+# Q150 — VARIANT shredding (Spark 4 semi-structured path): order rows
+# serialized to JSON, parsed into a VARIANT column, fields extracted
+# back out with variant_get (nested object + array index), then
+# aggregated. Hash-equality against an oracle computed straight from
+# the base table certifies serialize → parse_json → variant_get as
+# value-exact end-to-end (doubles survive via Jackson shortest-repr,
+# same contract as q134's JSON roundtrip).
+# --------------------------------------------------------------------------
+
+def q150_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    j = orders.select(F.to_json(F.struct(
+        F.col("o_orderkey").alias("key"),
+        F.struct(F.col("o_custkey").alias("cust"),
+                 F.col("o_totalprice").alias("total")).alias("acct"),
+        F.array(F.col("o_orderstatus"),
+                F.col("o_orderpriority")).alias("tags"))).alias("doc"))
+    v = j.select(F.parse_json(F.col("doc")).alias("v"))
+    shred = v.select(
+        F.try_variant_get(F.col("v"), "$.key", "bigint").alias("key"),
+        F.try_variant_get(F.col("v"), "$.acct.total", "double").alias("total"),
+        F.try_variant_get(F.col("v"), "$.tags[0]", "string").alias("status"),
+        F.try_variant_get(F.col("v"), "$.tags[1]", "string").alias("priority"))
+    return (shred.groupBy("status", "priority")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      dsum("total").alias("sum_total"),
+                      F.min("key").alias("min_key")))
+
+
+Q150_SQL = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+       MIN(o_orderkey) AS min_key
+FROM orders GROUP BY status, priority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q151 — XML source certified under the oracle gate (S-family
+# extension, same discipline as q134/q135): lineitem columns staged
+# through Spark 4's built-in XML source (rowTag framing), read back
+# with the contract schema, aggregated — hash-equality vs the original
+# parquet proves the writer/parser pair value-exact (doubles through
+# Java shortest-repr text, dates as ISO strings).
+# --------------------------------------------------------------------------
+
+def q151_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = _stage_roundtrip(spark, sf_dir, "xml",
+                            options={"rowTag": "row"})
+    return (back.groupBy("l_returnflag", "l_linenumber")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     dsum("l_quantity").alias("sum_qty"),
+                     dsum("l_extendedprice").alias("revenue")))
+
+
+_Q151_AGG = """
+SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY l_returnflag, l_linenumber
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -3596,6 +3900,30 @@ SPECS = [
     QuerySpec("q135_orc_roundtrip", q135_orc_roundtrip, _Q135_AGG,
               "ORC source certified: same staging discipline, "
               "monthly revenue rollup hash-matched vs parquet"),
+    QuerySpec("q146_html_extract", q146_html_extract, Q146_SQL,
+              "HTML boilerplate strip: script/style/comment content "
+              "dropped, tags stripped, whitespace collapsed — pure "
+              "JVM regex chain, full clean string md5-gated"),
+    QuerySpec("q147_domain_cap", q147_domain_cap, Q147_SQL,
+              "per-domain corpus rebalance: parse_url host + "
+              "deterministic md5-ordered cap of 20 docs/domain with "
+              "auditable per-domain totals"),
+    QuerySpec("q148_gopher_rules", q148_gopher_rules, Q148_SQL,
+              "Gopher-style quality rule mask: word-count / mean-word-"
+              "length / stopword / uniq-ratio violations as bits, "
+              "keep = mask==0"),
+    QuerySpec("q149_component_split", q149_component_split, Q149_SQL,
+              "leakage-safe split: near-dup components are the split "
+              "unit so clusters never straddle train/test; oracle "
+              "rewalks the graph recursively"),
+    QuerySpec("q150_variant_shred", q150_variant_shred, Q150_SQL,
+              "Spark 4 VARIANT path certified: to_json → parse_json → "
+              "variant_get (nested + array index) → agg hash-matches "
+              "the base-table oracle"),
+    QuerySpec("q151_xml_roundtrip", q151_xml_roundtrip, _Q151_AGG,
+              "XML source certified: lineitem staged through the "
+              "built-in XML reader/writer, re-aggregated, "
+              "hash-matched vs parquet"),
     QuerySpec("q24_fingerprint_dedup", q24_fingerprint_dedup, Q24_SQL,
               "normalized-text fingerprint dedup"),
     QuerySpec("q25_embedding_neardup", q25_embedding_neardup, Q25_SQL,

@@ -43,6 +43,8 @@ EAGER_QUERIES = frozenset({
     "q134_json_roundtrip", "q135_orc_roundtrip",  # stage-write at build
     "q141_index_append",                       # index write at build
     "q144_shard_writer",                       # shard write at build
+    "q149_component_split",                    # component driver loop
+    "q151_xml_roundtrip",                      # stage-write at build
 })
 
 
