@@ -49,8 +49,16 @@ class QuerySpec:
 _DEPRIORITIZED = (
     # --- r01-r03-recorded rows kept out of the r05 head ------------
     # (q34/q37/q43/q45/q46 swapped to the tail when the round-5
-    # additions q132-q136 took head slots — new queries need driver-
-    # recorded rows; these five have r01 rows on file)
+    # additions q132-q136 took head slots, and q01-q04 + the two
+    # finest trend grains when q146-q151 landed — new queries need
+    # driver-recorded rows; all swapped-out names have r01 rows on
+    # file)
+    "q01_line_revenue",
+    "q02_clv",
+    "q03_clv_tiered",
+    "q04_rfm_segments",
+    "q06_trend_daily",
+    "q06_trend_hourly",
     "q05_customer_profile",
     "q12_incr_dedupe",
     "q16_iqr_outliers",
@@ -150,14 +158,6 @@ _DEPRIORITIZED = (
     "q80_split_drift",
     "q81_ivf_pq",
     "q82_rerank",
-    # --- post-rotation round-5 additions (head already at 50; these
-    # run under pytest/bench/tools gates; rotate in a later round) ---
-    "q146_html_extract",
-    "q147_domain_cap",
-    "q148_gopher_rules",
-    "q149_component_split",
-    "q150_variant_shred",
-    "q151_xml_roundtrip",
 )
 
 
