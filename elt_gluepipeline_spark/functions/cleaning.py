@@ -108,3 +108,40 @@ def pii_counts(col: Column, *, patterns: Sequence[tuple[str, str]] = PII_PATTERN
     """Per-pattern match counts (audit columns for a scrub run)."""
     return [F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0))).alias(f"n_{n}")
             for n, p in patterns]
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization: the first pass every multilingual corpus runs
+# (mojibake-adjacent variants of the SAME text hash differently until
+# codepoint sequences are canonicalized). Spark has no built-in NFC,
+# so these are Arrow-batched pandas UDFs over pandas' vectorized
+# Series.str.normalize — never row-at-a-time Python.
+# ---------------------------------------------------------------------------
+
+def nfc_normalize(col: Column) -> Column:
+    """Canonical-composition (NFC) normalization of a string column.
+    Null-safe; vectorized via pandas .str.normalize('NFC')."""
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc(col)
+
+
+def fold_accents(col: Column) -> Column:
+    """Accent folding: NFD-decompose then drop every combining mark
+    (Unicode category Mn) — 'é' → 'e' whether the input arrived
+    composed or decomposed. The search-key / dedup-key normalization
+    for accented corpora."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _fold(s):
+        decomp = s.str.normalize("NFD")
+        return decomp.map(
+            lambda t: None if t is None else
+            "".join(ch for ch in t if unicodedata.category(ch) != "Mn"))
+
+    return _fold(col)

@@ -830,3 +830,95 @@ def passage_dedupe(df: DataFrame, id_col: str, text_col: str, *,
                          .alias("kept_tokens"),
                         F.coalesce("text_kept", F.lit(""))
                          .alias("text_kept")))
+
+
+def repeated_ngram_spans(df: DataFrame, id_col: str, text_col: str, *,
+                         k: int = 5, min_count: int = 2) -> DataFrame:
+    """Exact repeated-substring removal at token k-gram granularity
+    (the Spark-able variant of suffix-array substring dedup from
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every token k-gram that occurs >= ``min_count`` times CORPUS-WIDE,
+    merge each document's hit positions into maximal covered spans
+    (overlapping or adjacent gram windows coalesce), and rebuild the
+    document with those spans excised. Unlike whole-doc (q13) or
+    fixed-window passage dedup, this removes VARIABLE-length repeated
+    regions at any offset — boilerplate headers, licence blocks,
+    quoted chunks — while keeping the unique remainder of the doc.
+
+    Scale shape: grams shuffle as (16-byte md5, doc, pos) — never
+    text; the repeated-gram set is a HAVING over one hash agg
+    (map-side combinable); hits join back on the digest; span merge is
+    one per-doc window (islands via running max); the excision is a
+    per-doc range anti-join (equi on doc id + BETWEEN filter, so it
+    sort-merges on the doc key, no cartesian); the only text shuffle
+    is the final per-doc reassembly, already at output grain. Every
+    stage is linear in corpus size + hit count.
+
+    Output: (doc_id, n_tokens, covered_tokens, n_spans, clean_text)
+    — one row per input document, clean_text whitespace-normalized
+    ('' when the doc is entirely repeated material).
+    """
+    from pyspark.sql import Window
+
+    w_arr = (F.when(F.length(F.trim(F.col(text_col))) == 0,
+                    F.array().cast("array<string>"))
+              .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = df.select(F.col(id_col).alias("doc_id"), w_arr.alias("w"))
+
+    n = F.size("w")
+    grams_arr = (
+        F.when(n < k, F.array().cast("array<string>"))
+         .otherwise(F.transform(
+             F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+             lambda i: F.md5(F.concat_ws(
+                 " ", F.slice("w", (i + 1).cast("int"), k))))))
+    grams = base.select("doc_id", F.posexplode(grams_arr).alias("p", "gh"))
+
+    rep = (grams.groupBy("gh")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") >= min_count)
+                .select("gh"))
+    hits = grams.join(rep, "gh").select("doc_id", "p")
+
+    w_prev = (Window.partitionBy("doc_id").orderBy("p")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("p")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    # new island iff this gram window starts beyond the previous
+    # coverage frontier + 1 (adjacent windows coalesce: no token gap)
+    brk = (F.when(F.col("p") > F.coalesce(F.max("p").over(w_prev),
+                                          F.lit(-k - 1)) + k,
+                  F.lit(1)).otherwise(F.lit(0)))
+    spans = (hits.withColumn("_b", brk)
+                 .withColumn("_iid", F.sum("_b").over(w_run))
+                 .groupBy("doc_id", "_iid")
+                 .agg(F.min("p").alias("s"),
+                      (F.max("p") + F.lit(k - 1)).alias("e")))
+    spanstats = (spans.groupBy("doc_id")
+                      .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                           F.sum(F.col("e") - F.col("s") + 1).cast("long")
+                            .alias("covered_tokens")))
+
+    toks = base.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    sp = spans.select(F.col("doc_id").alias("_sd"), "s", "e")
+    kept = toks.join(sp, (toks["doc_id"] == sp["_sd"])
+                     & F.col("pos").between(F.col("s"), F.col("e")),
+                     "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+                   .agg(F.array_sort(F.collect_list(
+                            F.struct("pos", "word"))).alias("_s"))
+                   .select("doc_id",
+                           F.concat_ws(" ", F.transform(
+                               "_s", lambda s: s["word"]))
+                            .alias("clean_text")))
+
+    return (base.select("doc_id", n.cast("long").alias("n_tokens"))
+                .join(spanstats, "doc_id", "left")
+                .join(rebuilt, "doc_id", "left")
+                .select("doc_id", "n_tokens",
+                        F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                         .alias("covered_tokens"),
+                        F.coalesce("n_spans", F.lit(0)).cast("long")
+                         .alias("n_spans"),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text")))

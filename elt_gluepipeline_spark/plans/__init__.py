@@ -158,6 +158,14 @@ _DEPRIORITIZED = (
     "q80_split_drift",
     "q81_ivf_pq",
     "q82_rerank",
+    # --- post-rotation round-5 additions (head already at 50; these
+    # run under pytest/bench/tools gates; rotate in a later round) ---
+    "q152_repeated_spans",
+    "q153_semdedup",
+    "q154_rawfile_ingest",
+    "q155_ridge_fit",
+    "q156_unicode_nfc",
+    "q157_triangles",
 )
 
 

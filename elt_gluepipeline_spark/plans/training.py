@@ -3841,6 +3841,504 @@ FROM lineitem GROUP BY l_returnflag, l_linenumber
 """
 
 
+# --------------------------------------------------------------------------
+# Q152 — exact repeated-substring excision (token 5-gram granularity):
+# the corpus-level "remove every substring that appears twice" pass
+# from Lee et al.'s suffix-array dedup, re-expressed as the k-gram
+# approximation a shuffle engine can run: repeated grams found by one
+# hash agg over 16-byte digests, per-doc hit positions merged into
+# maximal spans by an islands window, spans excised by a per-doc range
+# anti-join, document rebuilt from the survivors. Complements q13
+# (whole-doc) and q126 (fixed-window passage): this one removes
+# VARIABLE-length repeats at ANY offset. Oracle replays every stage in
+# DuckDB with the same md5 gram digests and island arithmetic.
+# --------------------------------------------------------------------------
+
+def q152_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_ngram_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "doc_id", "text", k=5, min_count=2)
+
+
+Q152_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+  FROM documents
+), gl AS (
+  SELECT doc_id, list_transform(generate_series(1, len(w)-5+1),
+                 i -> md5(array_to_string(w[i:i+4], ' '))) AS g
+  FROM base WHERE len(w) >= 5
+), grams AS (
+  SELECT doc_id, generate_subscripts(g,1)-1 AS p, unnest(g) AS gh FROM gl
+), rep AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+), hit AS (
+  SELECT doc_id, p FROM grams JOIN rep USING (gh)
+), brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p > COALESCE(MAX(p) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -6) + 5
+              THEN 1 ELSE 0 END AS b
+  FROM hit
+), isl AS (
+  SELECT doc_id, p, SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+  FROM brk
+), spans AS (
+  SELECT doc_id, iid, MIN(p) AS s, MAX(p)+4 AS e
+  FROM isl GROUP BY doc_id, iid
+), toks AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w,1)-1 AS pos FROM base
+), kept AS (
+  SELECT t.doc_id, t.word, t.pos
+  FROM toks t LEFT JOIN spans sp
+    ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e
+  WHERE sp.s IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+), spanstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e-s+1) AS BIGINT) AS covered_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_tokens,
+       COALESCE(ss.covered_tokens, 0) AS covered_tokens,
+       COALESCE(ss.n_spans, 0) AS n_spans,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN spanstats ss USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q153 — SemDeDup (Abbas et al. 2023): semantic dedup via k-means
+# cells + within-cell cosine. The design point of the paper is that
+# the CLUSTERS bound the quadratic term: all-pairs cosine runs only
+# inside a cell (cell size ~ n/k, k grows with the corpus), never
+# globally — the same blocking discipline as the MinHash family but in
+# embedding space. Cells come from the persisted k-means artifact
+# (zero training jobs at serve, q67's fit/serve split); the keep
+# policy is min-id dominance (drop any vector with a smaller-id
+# neighbor at cos >= tau) so the survivor set is deterministic. The
+# oracle replays the full Lloyd fit (Q67's fixed-point CTE), the
+# within-cell pairwise cosines, and the dominance rule.
+# --------------------------------------------------------------------------
+
+def q153_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, kmeans_assign_serve
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    art = _km_artifact(spark, sf_dir)
+    if art is None:
+        return (emb.limit(0)
+                   .select("vec_id", F.lit(0).alias("cell"),
+                           F.lit(True).alias("keep"),
+                           F.lit(0.0).alias("max_cos")))
+    t = (kmeans_assign_serve(emb, art).select("vec_id", "cell")
+         .join(emb.select("vec_id",
+                          F.col("embedding").cast("array<double>")
+                           .alias("v")),
+               "vec_id"))
+    a, b = t.alias("a"), t.alias("b")
+    cos_r = (F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+             + F.lit(0.0))
+    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+              .select(F.col("a.vec_id").alias("id_a"),
+                      F.col("b.vec_id").alias("id_b"),
+                      cos_r.alias("cos")))
+    both = (pairs.select(F.col("id_a").alias("vec_id"),
+                         F.col("id_b").alias("nbr"), "cos")
+            .unionByName(pairs.select(
+                F.col("id_b").alias("vec_id"),
+                F.col("id_a").alias("nbr"), "cos")))
+    stats = (both.groupBy("vec_id")
+                 .agg(F.max("cos").alias("max_cos"),
+                      F.max(F.when((F.col("cos") >= 0.45)
+                                   & (F.col("nbr") < F.col("vec_id")),
+                                   True))
+                       .alias("_dom")))
+    return (t.join(stats, "vec_id", "left")
+             .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                     F.coalesce(~F.col("_dom"), F.lit(True)).alias("keep"),
+                     (F.coalesce("max_cos", F.lit(-1.0)) + 0.0)
+                      .alias("max_cos")))
+
+
+_Q153_ASG = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v AS cv,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(('0x' || substr(md5(vec_id || '#7'), 1, 15)) AS BIGINT),
+                    vec_id) - 1 AS cell
+  FROM e QUALIFY cell < 8
+),
+d1 AS (
+  SELECT e.vec_id, e.v, s.cell,
+         list_sum(list_transform(list_zip(e.v, s.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, v, cell
+  FROM (SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1)
+  WHERE rn = 1
+),
+u AS (SELECT cell, generate_subscripts(a.v, 1) AS i, unnest(a.v) AS x
+      FROM a1 a),
+upd AS (SELECT cell, i,
+               SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM u GROUP BY cell, i),
+cent2 AS (
+  SELECT sd.cell,
+         COALESCE(list(up.s / (1000000.0 * up.n) ORDER BY up.i)
+                    FILTER (WHERE up.i IS NOT NULL), sd.cv) AS cv
+  FROM seeds sd LEFT JOIN upd up ON sd.cell = up.cell
+  GROUP BY sd.cell, sd.cv
+),
+d2 AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_sum(list_transform(list_zip(e.v, c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM e CROSS JOIN cent2 c
+),
+asg AS (
+  SELECT vec_id, v, cell
+  FROM (SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2)
+  WHERE rn = 1
+)
+"""
+
+Q153_SQL = _Q153_ASG + """
+, p AS (
+  SELECT x.vec_id AS ia, y.vec_id AS ib,
+         ROUND(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) + 0.0 AS c
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
+bidir AS (
+  SELECT ia AS vec_id, ib AS nbr, c FROM p
+  UNION ALL
+  SELECT ib AS vec_id, ia AS nbr, c FROM p
+),
+stats AS (
+  SELECT vec_id, MAX(c) AS max_cos,
+         BOOL_OR(c >= 0.45 AND nbr < vec_id) AS dom
+  FROM bidir GROUP BY vec_id
+)
+SELECT t.vec_id, CAST(t.cell AS INTEGER) AS cell,
+       NOT COALESCE(s.dom, FALSE) AS keep,
+       COALESCE(s.max_cos, -1.0) + 0.0 AS max_cos
+FROM asg t LEFT JOIN stats s USING (vec_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q154 — raw-file corpus ingestion certified: documents staged as ONE
+# FILE PER DOC (doc_id as a hive partition key — the layout a scraped
+# corpus actually arrives in), then ingested back through BOTH
+# whole-file readers Spark offers: format("binaryFile") (content as
+# BLOB + file length) and text with wholetext=true (content as one
+# string row). Each path re-derives (doc_id from the partition dir,
+# byte size net of the writer's trailing newline, md5 of the decoded
+# text) and must hash-match the parquet base table — certifying
+# partition discovery, whole-file framing, and byte-exact UTF-8
+# decode on both readers. The write is executor-side (partitionBy),
+# no driver loop; the readers are the standard ingestion path for
+# 100 TB of raw .txt/.warc shards.
+# --------------------------------------------------------------------------
+
+def q154_rawfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = hashlib.md5(
+        f"rawtxt:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_rawtxt_{key}")
+    (docs.select("doc_id", F.col("text").alias("value"))
+         .write.partitionBy("doc_id").mode("overwrite").text(path))
+
+    # the text writer appends one line terminator per row; wholetext
+    # strips it on read, binaryFile (raw bytes) does not — so byte
+    # accounting happens on the newline-stripped decode on BOTH paths
+    def _decoded(col):
+        return F.regexp_replace(col, r"\n$", "")
+
+    bin_rows = (spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.txt").load(path)
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        _decoded(F.col("content").cast("string"))
+                        .alias("_t"))
+                .withColumn("src", F.lit("binary")))
+    txt_rows = (spark.read.option("wholetext", "true").text(path)
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        _decoded(F.col("value")).alias("_t"))
+                .withColumn("src", F.lit("wholetext")))
+    return (bin_rows.unionByName(txt_rows)
+            .select("src", "doc_id",
+                    F.octet_length("_t").cast("long").alias("n_bytes"),
+                    F.md5("_t").alias("text_md5")))
+
+
+Q154_SQL = """
+SELECT s.src, d.doc_id,
+       CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+       md5(d.text) AS text_md5
+FROM documents d CROSS JOIN (VALUES ('binary'), ('wholetext')) AS s(src)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q155 — distributed ridge regression via NORMAL EQUATIONS: the
+# canonical cluster-scale linear-model fit (quality classifiers,
+# calibration heads) — one pass aggregates X^T X / X^T y as nine
+# map-side-combinable sums (decimal-exact, so partitioning cannot
+# perturb them), the 3x3 ridge system is solved in closed form
+# (Cramer) as scalar EXPRESSIONS on the one-row aggregate — no
+# driver-side linear algebra, no collect — and a second pass scores
+# every row against the broadcast betas for the exact RMSE. Shuffle
+# traffic: 9 doubles. The oracle replays the identical sums, the
+# identical determinant expression tree, and the scoring pass.
+# --------------------------------------------------------------------------
+
+def q155_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import rnd0
+
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_quantity").cast("double").alias("x1"),
+                  F.col("l_discount").cast("double").alias("x2"),
+                  F.col("l_extendedprice").cast("double").alias("y"))
+    DEC = "decimal(38,10)"
+
+    def ds(c):
+        return F.sum(c.cast(DEC)).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    sums = d.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 ds(x1).alias("s1"), ds(x2).alias("s2"),
+                 ds(x1 * x1).alias("s11"), ds(x1 * x2).alias("s12"),
+                 ds(x2 * x2).alias("s22"), ds(y).alias("sy"),
+                 ds(x1 * y).alias("s1y"), ds(x2 * y).alias("s2y"))
+    A = sums.select("*",
+                    (F.col("n") + 1.0).alias("a11"),
+                    (F.col("s11") + 1.0).alias("a22"),
+                    (F.col("s22") + 1.0).alias("a33"),
+                    F.col("s1").alias("a12"), F.col("s2").alias("a13"),
+                    F.col("s12").alias("a23"))
+    a11, a22, a33 = F.col("a11"), F.col("a22"), F.col("a33")
+    a12, a13, a23 = F.col("a12"), F.col("a13"), F.col("a23")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (a11 * (a22 * a33 - a23 * a23)
+           - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13))
+    det0 = (sy * (a22 * a33 - a23 * a23)
+            - a12 * (s1y * a33 - a23 * s2y)
+            + a13 * (s1y * a23 - a22 * s2y))
+    det1 = (a11 * (s1y * a33 - a23 * s2y)
+            - sy * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * s2y - s1y * a13))
+    det2 = (a11 * (a22 * s2y - s1y * a23)
+            - a12 * (a12 * s2y - s1y * a13)
+            + sy * (a12 * a23 - a22 * a13))
+    betas = A.select(F.col("n").cast("long").alias("n_rows"),
+                     rnd0(det0 / det, 6).alias("b0"),
+                     rnd0(det1 / det, 6).alias("b1"),
+                     rnd0(det2 / det, 6).alias("b2"))
+    r = y - (F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2)
+    scored = d.crossJoin(F.broadcast(betas)) \
+              .withColumn("_rr", F.round(r * r, 4))
+    return (scored.groupBy("n_rows", "b0", "b1", "b2")
+                  .agg(rnd0(F.sqrt(F.sum(F.col("_rr").cast(DEC))
+                                    .cast("double") / F.col("n_rows")), 6)
+                       .alias("rmse")))
+
+
+Q155_SQL = """
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,10))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,10))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,10))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,10))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,10))) AS DOUBLE) AS s2y
+  FROM d
+), a AS (
+  SELECT s.*, n + 1.0 AS a11, s11 + 1.0 AS a22, s22 + 1.0 AS a33,
+         s1 AS a12, s2 AS a13, s12 AS a23
+  FROM s
+), b AS (
+  SELECT CAST(n AS BIGINT) AS n_rows,
+         ROUND((sy * (a22 * a33 - a23 * a23)
+                - a12 * (s1y * a33 - a23 * s2y)
+                + a13 * (s1y * a23 - a22 * s2y))
+               / (a11 * (a22 * a33 - a23 * a23)
+                  - a12 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * a23 - a22 * a13)), 6) + 0.0 AS b0,
+         ROUND((a11 * (s1y * a33 - a23 * s2y)
+                - sy * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * s2y - s1y * a13))
+               / (a11 * (a22 * a33 - a23 * a23)
+                  - a12 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * a23 - a22 * a13)), 6) + 0.0 AS b1,
+         ROUND((a11 * (a22 * s2y - s1y * a23)
+                - a12 * (a12 * s2y - s1y * a13)
+                + sy * (a12 * a23 - a22 * a13))
+               / (a11 * (a22 * a33 - a23 * a23)
+                  - a12 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * a23 - a22 * a13)), 6) + 0.0 AS b2
+  FROM a
+), r AS (
+  SELECT b.n_rows, b.b0, b.b1, b.b2,
+         ROUND((y - (b0 + b1 * x1 + b2 * x2))
+               * (y - (b0 + b1 * x1 + b2 * x2)), 4) AS rr
+  FROM d CROSS JOIN b
+)
+SELECT n_rows, b0, b1, b2,
+       ROUND(sqrt(CAST(SUM(CAST(rr AS DECIMAL(38,10))) AS DOUBLE)
+                  / n_rows), 6) + 0.0 AS rmse
+FROM r GROUP BY n_rows, b0, b1, b2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q156 — Unicode NFC normalization + accent folding certified: the
+# testdata corpus is pure ASCII, so the query first SYNTHESIZES
+# combining-mark text deterministically on both engines (every 'e'
+# gains U+0301), then normalizes it back. NFC must compose e+mark
+# into é (codepoint count shrinks by exactly the injected-mark
+# count), and the accent FOLD must round-trip to the original text
+# byte-for-byte — both md5-gated against DuckDB's native
+# nfc_normalize. Spark side is an Arrow-batched pandas UDF over
+# pandas' vectorized normalizer (Spark has no built-in NFC); this is
+# the canonicalization pass multilingual dedup keys require.
+# --------------------------------------------------------------------------
+
+def q156_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import fold_accents, nfc_normalize
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "e", "é").alias("_dd"))
+    return d.select(
+        "doc_id",
+        F.length("_dd").cast("long").alias("raw_chars"),
+        F.length(nfc_normalize(F.col("_dd"))).cast("long")
+         .alias("nfc_chars"),
+        F.md5(nfc_normalize(F.col("_dd"))).alias("nfc_md5"),
+        F.md5(fold_accents(F.col("_dd"))).alias("folded_md5"))
+
+
+Q156_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dd
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(dd) AS BIGINT) AS raw_chars,
+       CAST(length(nfc_normalize(dd)) AS BIGINT) AS nfc_chars,
+       md5(nfc_normalize(dd)) AS nfc_md5,
+       md5(text) AS folded_md5
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# Q157 — per-node triangle counting over the co-purchase graph
+# (operators.graph.triangle_counts): degree-oriented wedge join, the
+# algorithm that keeps hub nodes from exploding the candidate set
+# (each edge is oriented low->high (degree, id), so wedges are
+# enumerated from low-degree endpoints only; out-degree is O(sqrt m)).
+# Pure integer counts — the oracle replays orientation, wedge
+# generation, and closure exactly.
+# --------------------------------------------------------------------------
+
+def q157_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") >= "1997-01-01")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("s"),
+                     F.col("b.l_partkey").alias("d"))
+             .distinct())
+    t = triangle_counts(pairs)
+    return t.select(F.col("node").alias("part_key"),
+                    F.col("degree").cast("long").alias("degree"),
+                    "n_triangles")
+
+
+Q157_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node
+),
+ed AS (
+  SELECT e.a, e.b, da.degree AS dega, db.degree AS degb
+  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+),
+o AS (
+  SELECT CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+              THEN b ELSE a END AS v,
+         CASE WHEN (dega < degb) OR (dega = degb AND a < b)
+              THEN degb ELSE dega END AS degv
+  FROM ed
+),
+w AS (
+  SELECT o1.u, o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  WHERE (o1.degv < o2.degv) OR (o1.degv = o2.degv AND o1.v < o2.v)
+),
+t AS (SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+pn AS (
+  SELECT node, COUNT(*) AS nt
+  FROM (SELECT u AS node FROM t UNION ALL SELECT x AS node FROM t
+        UNION ALL SELECT y AS node FROM t)
+  GROUP BY node
+)
+SELECT d.node AS part_key, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(pn.nt, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN pn ON d.node = pn.node
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -3924,6 +4422,30 @@ SPECS = [
               "XML source certified: lineitem staged through the "
               "built-in XML reader/writer, re-aggregated, "
               "hash-matched vs parquet"),
+    QuerySpec("q152_repeated_spans", q152_repeated_spans, Q152_SQL,
+              "exact repeated-substring excision: corpus-wide "
+              "repeated 5-gram spans merged per-doc (islands window) "
+              "and cut out; rebuilt clean text string-gated"),
+    QuerySpec("q156_unicode_nfc", q156_unicode_nfc, Q156_SQL,
+              "Unicode NFC + accent folding (pandas-UDF normalizer "
+              "vs DuckDB nfc_normalize): synthesized combining marks "
+              "compose back, fold round-trips byte-exact"),
+    QuerySpec("q157_triangles", q157_triangles, Q157_SQL,
+              "degree-oriented triangle counting on the co-purchase "
+              "graph: wedge join bounded by orientation, per-node "
+              "exact integer counts"),
+    QuerySpec("q155_ridge_fit", q155_ridge_fit, Q155_SQL,
+              "distributed ridge regression: X^T X / X^T y as nine "
+              "decimal-exact map-combinable sums, closed-form Cramer "
+              "solve as expressions, broadcast-beta scoring pass"),
+    QuerySpec("q154_rawfile_ingest", q154_rawfile_ingest, Q154_SQL,
+              "raw one-file-per-doc corpus ingestion certified via "
+              "binaryFile AND wholetext readers: partition-key doc "
+              "ids, byte counts, and decoded-text md5 hash-gated"),
+    QuerySpec("q153_semdedup", q153_semdedup, Q153_SQL,
+              "SemDeDup: k-means cells (served from the artifact) "
+              "bound the within-cell cosine all-pairs; min-id "
+              "dominance keep policy; oracle replays fit + cosines"),
     QuerySpec("q24_fingerprint_dedup", q24_fingerprint_dedup, Q24_SQL,
               "normalized-text fingerprint dedup"),
     QuerySpec("q25_embedding_neardup", q25_embedding_neardup, Q25_SQL,

@@ -54,3 +54,25 @@ def test_drop_test_rows(spark):
                                "a string, b string")
     kept = df.filter(drop_test_rows([F.col("a"), F.col("b")]))
     assert sorted(r.b for r in kept.collect()) == ["fine", "x"]
+
+
+def test_nfc_and_fold_accents(spark):
+    from elt_gluepipeline_spark.functions.cleaning import (fold_accents,
+                                                           nfc_normalize)
+    from pyspark.sql import functions as F
+    rows = [(1, "café"),   # cafe + combining acute (NFD)
+            (2, "café"),          # café composed (NFC already)
+            (3, "plain"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r.id: (r.n, r.f, r.ln) for r in
+           df.select("id", nfc_normalize(F.col("t")).alias("n"),
+                     fold_accents(F.col("t")).alias("f"),
+                     F.length(nfc_normalize(F.col("t"))).alias("ln"))
+             .collect()}
+    # both input forms normalize to the SAME composed string...
+    assert out[1][0] == out[2][0] == "café"
+    assert out[1][2] == 4  # 5 codepoints composed down to 4
+    # ...and both fold to the bare ASCII skeleton
+    assert out[1][1] == out[2][1] == "cafe"
+    assert out[3] == ("plain", "plain", 5)
+    assert out[4] == (None, None, None)

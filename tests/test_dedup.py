@@ -194,3 +194,37 @@ def test_connected_components_fast_path_empty(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
     assert connected_components(empty).columns == ["id", "component"]
+
+
+def test_repeated_ngram_spans_handcrafted(spark):
+    from elt_gluepipeline_spark.operators.dedup import repeated_ngram_spans
+    # docs 1 and 2 share the 6-token run "a b c d e f" (two overlapping
+    # repeated 5-grams -> ONE merged span of 6 tokens in each); doc 3 is
+    # unique; doc 4 is an exact copy of doc 1 (fully covered -> empty);
+    # doc 5 is too short to shingle; doc 6 is blank.
+    rows = [
+        (1, "x a b c d e f y z q"),
+        (2, "m n a b c d e f o p"),
+        (3, "u v w just unique words here today"),
+        (4, "x a b c d e f y z q"),
+        (5, "tiny doc"),
+        (6, "   "),
+    ]
+    out = {r.doc_id: r for r in
+           repeated_ngram_spans(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               "doc_id", "text", k=5, min_count=2).collect()}
+    assert len(out) == 6
+    # docs 1 & 4 are identical -> every 5-gram repeats -> fully excised
+    assert out[1].covered_tokens == 10 and out[1].clean_text == ""
+    assert out[4].covered_tokens == 10 and out[4].n_spans == 1
+    # doc 2 shares only the middle run: grams starting at the 6-token
+    # overlap window... the shared contiguous run "a b c d e f" gives
+    # grams at positions 2 and 3 -> one island covering tokens 2..7
+    assert out[2].n_spans == 1
+    assert out[2].covered_tokens == 6
+    assert out[2].clean_text == "m n o p"
+    assert out[3].covered_tokens == 0 and out[3].n_spans == 0
+    assert out[3].clean_text == "u v w just unique words here today"
+    assert out[5].n_tokens == 2 and out[5].clean_text == "tiny doc"
+    assert out[6].n_tokens == 0 and out[6].clean_text == ""

@@ -57,3 +57,26 @@ def test_sql_twin_replays_bit_for_bit(spark):
     con.executemany("INSERT INTO edges VALUES (?, ?, ?)", rows)
     duck = dict(con.execute("WITH " + pagerank_sql().lstrip()).fetchall())
     assert duck == mine                # grid-exact: equality, no tolerance
+
+
+def test_triangle_counts_handcrafted(spark):
+    from elt_gluepipeline_spark.operators.graph import triangle_counts
+    # K3 {1,2,3} + tail 3-4 + isolated edge 5-6 + second triangle
+    # {3,4,5} sharing node 3 and edge 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)],
+        "s long, d long")
+    out = {r.node: (r.degree, r.n_triangles)
+           for r in triangle_counts(edges).collect()}
+    assert out == {1: (2, 1), 2: (2, 1), 3: (4, 2),
+                   4: (2, 1), 5: (3, 1), 6: (1, 0)}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from elt_gluepipeline_spark.operators.graph import triangle_counts
+    # a path graph has zero triangles everywhere
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "s long, d long")
+    rows = triangle_counts(edges).collect()
+    assert all(r.n_triangles == 0 for r in rows)
+    assert {r.node for r in rows} == {1, 2, 3, 4}
