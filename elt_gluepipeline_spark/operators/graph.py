@@ -139,11 +139,14 @@ def triangle_counts(edges: DataFrame, *, src: str = "s",
     a_first = ((F.col("dega") < F.col("degb"))
                | ((F.col("dega") == F.col("degb"))
                   & (F.col("a") < F.col("b"))))
+    # oriented feeds three consumers (both wedge sides + closure);
+    # localCheckpoint keeps the upstream edge construction — often an
+    # expensive distinct self-join — from re-running per consumer
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("degb")).otherwise(F.col("dega"))
-         .alias("degv"))
+         .alias("degv")).localCheckpoint(eager=False)
 
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"),
                          F.col("degv").alias("degx"))

@@ -148,3 +148,77 @@ def gopher_flags(df: DataFrame, text_col: str, *,
               .withColumn("uniq_ratio", uniq_ratio)
               .withColumn("rule_mask", mask.cast("int"))
               .withColumn("keep", mask == 0))
+
+
+# --------------------------------------------------------------------------
+# WARC framing (the container format a web crawl actually ships in)
+# --------------------------------------------------------------------------
+
+def build_warc_records(df: DataFrame, id_col: str, payload_col: str, *,
+                       bucket_col: str = "bucket") -> DataFrame:
+    """Assemble per-bucket WARC/1.0 blobs from (id, payload) rows:
+    each record is `WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<payload>\\r\\n\\r\\n`
+    with a correct Content-Length, records concatenated in id order.
+    The whole assembly is JVM expressions (sorted collect per bucket +
+    one concat fold) — the write side of a crawl-shard materializer.
+    """
+    rec = F.format_string(
+        "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "
+        "<urn:doc:%s>\r\nContent-Length: %s\r\n\r\n%s\r\n\r\n",
+        F.col("_id").cast("string"),
+        F.octet_length("_p").cast("string"), F.col("_p"))
+    per = df.select(F.col(bucket_col).alias("bucket"),
+                    F.col(id_col).alias("_id"),
+                    F.col(payload_col).alias("_p")) \
+            .select("bucket", F.struct("_id", rec.alias("_r")).alias("_s"))
+    return (per.groupBy("bucket")
+               .agg(F.array_sort(F.collect_list("_s")).alias("_a"))
+               .select("bucket",
+                       F.concat_ws("", F.transform("_a", lambda s: s["_r"]))
+                        .alias("warc")))
+
+
+def parse_warc_records(df: DataFrame, warc_col: str) -> DataFrame:
+    """Parse concatenated WARC/1.0 blobs back into one row per record
+    (mapInPandas, one-to-many). Framing is CONTENT-LENGTH DRIVEN — the
+    parser reads headers up to the blank line, takes exactly
+    Content-Length bytes of payload, then expects the record
+    terminator — so payloads that themselves contain 'WARC/1.0' (or
+    header-like lines) cannot desynchronize it, which is precisely
+    what a naive split-on-magic parser gets wrong.
+
+    Output: (rec_id string, payload string, payload_bytes long).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_p, out_n = [], [], []
+            for blob in pdf[warc_col]:
+                if blob is None:
+                    continue
+                data = blob.encode("utf-8") if isinstance(blob, str) \
+                    else bytes(blob)
+                pos = 0
+                while pos < len(data):
+                    head_end = data.index(b"\r\n\r\n", pos)
+                    headers = data[pos:head_end].decode("utf-8")
+                    lines = headers.split("\r\n")
+                    if lines[0] != "WARC/1.0":
+                        raise ValueError(f"bad WARC magic at {pos}")
+                    h = dict(l.split(": ", 1) for l in lines[1:])
+                    n = int(h["Content-Length"])
+                    body = data[head_end + 4:head_end + 4 + n]
+                    tail = data[head_end + 4 + n:head_end + 4 + n + 4]
+                    if tail != b"\r\n\r\n":
+                        raise ValueError(f"bad record terminator at {pos}")
+                    rid = h["WARC-Record-ID"].strip("<>")
+                    out_id.append(rid)
+                    out_p.append(body.decode("utf-8"))
+                    out_n.append(n)
+                    pos = head_end + 4 + n + 4
+            yield pd.DataFrame({"rec_id": out_id, "payload": out_p,
+                                "payload_bytes": out_n})
+
+    return df.mapInPandas(
+        gen, "rec_id string, payload string, payload_bytes long")

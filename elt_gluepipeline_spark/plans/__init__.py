@@ -166,6 +166,10 @@ _DEPRIORITIZED = (
     "q155_ridge_fit",
     "q156_unicode_nfc",
     "q157_triangles",
+    "q158_pmi_cooc",
+    "q159_inverted_index",
+    "q160_zipf_fit",
+    "q161_warc_roundtrip",
 )
 
 
