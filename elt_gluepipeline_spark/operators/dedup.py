@@ -922,3 +922,67 @@ def repeated_ngram_spans(df: DataFrame, id_col: str, text_col: str, *,
                          .alias("n_spans"),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                       k: int = 3, df_min: int = 2, df_max: int = 25,
+                       threshold: float = 0.3) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join over token k-gram
+    shingles — the SPARSE-vector complement to the dense embedding
+    near-dup (cosine_neardup_pairs): documents become idf-weighted
+    shingle vectors and pair scores come from an inverted-index join,
+    never a doc×doc product. The frequency cut (df_min..df_max) is
+    the standard sparse-join discipline: singleton shingles cannot
+    pair (dropped), and hot shingles — whose idf weight is negligible
+    but whose pair fan-out is df² — are pruned, bounding per-key join
+    output at df_max² while changing scores only marginally. Norms
+    are computed IN THE PRUNED SPACE so cosine stays a true cosine of
+    the vectors actually joined.
+
+    Determinism: every per-term product (w², w_a·w_b) is cast to
+    DECIMAL before summation, so dot products and norms are exact and
+    partition-order-independent; only the final divide/sqrt runs in
+    double (identical expression tree on both engines).
+
+    Output: (id_a, id_b, cosine) for pairs with cosine >= threshold.
+    """
+    DEC = "decimal(38,12)"
+    w_arr = (F.when(F.length(F.trim(F.col(text_col))) == 0,
+                    F.array().cast("array<string>"))
+              .otherwise(F.split(F.trim(F.lower(text_col)), r"\s+")))
+    base = df.select(F.col(id_col).alias("_id"), w_arr.alias("w"))
+    n = F.size("w")
+    grams = (F.when(n < k, F.array().cast("array<string>"))
+              .otherwise(F.transform(
+                  F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+                  lambda i: F.concat_ws(
+                      " ", F.slice("w", (i + 1).cast("int"), k)))))
+    sh = base.select("_id", F.explode(grams).alias("s"))
+    tf = sh.groupBy("_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+             .filter(F.col("_df").between(df_min, df_max)))
+    nd = base.filter(n >= k).agg(F.count(F.lit(1)).alias("N"))
+    kept = (tf.join(dfc, "s").crossJoin(F.broadcast(nd))
+              .select("_id", "s",
+                      (F.col("tf") * F.log(F.col("N") / F.col("_df")))
+                      .alias("wgt")))
+    norms = (kept.groupBy("_id")
+                 .agg(F.sqrt(F.sum((F.col("wgt") * F.col("wgt"))
+                                   .cast(DEC)).cast("double"))
+                      .alias("nrm")))
+    a = kept.select(F.col("_id").alias("id_a"), "s",
+                    F.col("wgt").alias("wa"))
+    b = kept.select(F.col("_id").alias("id_b"), "s",
+                    F.col("wgt").alias("wb"))
+    dots = (a.join(b, "s").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum((F.col("wa") * F.col("wb")).cast(DEC))
+                   .cast("double").alias("dot")))
+    cos = (F.round(F.col("dot")
+                   / (F.col("na") * F.col("nb")), 6) + 0.0)
+    return (dots.join(norms.select(F.col("_id").alias("id_a"),
+                                   F.col("nrm").alias("na")), "id_a")
+                .join(norms.select(F.col("_id").alias("id_b"),
+                                   F.col("nrm").alias("nb")), "id_b")
+                .select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))

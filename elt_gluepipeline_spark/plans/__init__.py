@@ -170,6 +170,10 @@ _DEPRIORITIZED = (
     "q159_inverted_index",
     "q160_zipf_fit",
     "q161_warc_roundtrip",
+    "q162_tfidf_cosine",
+    "q163_bm25",
+    "q164_distinct_n",
+    "q165_stream_enrich",
 )
 
 

@@ -4110,6 +4110,15 @@ def q154_rawfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (docs.select("doc_id", F.col("text").alias("value"))
              .write.partitionBy("doc_id").mode("overwrite").text(path))
 
+    # an EMPTY corpus stages a _SUCCESS with zero partition dirs; the
+    # whole-file readers would then see no doc_id partition column at
+    # all (schema error, not zero rows) — short-circuit to the empty
+    # result frame instead
+    import glob as _glob
+    if not _glob.glob(os.path.join(path, "doc_id=*")):
+        return spark.createDataFrame(
+            [], "src string, doc_id long, n_bytes long, text_md5 string")
+
     # the text writer appends one line terminator per row; wholetext
     # strips it on read, binaryFile (raw bytes) does not — so byte
     # accounting happens on the newline-stripped decode on BOTH paths
@@ -4548,9 +4557,10 @@ def q160_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, sxy = F.col("sxx"), F.col("sxy")
     alpha = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - alpha * sx) / n
-    return s.select(n.cast("long").alias("n_tokens_used"),
-                    (F.round(alpha, 6) + 0.0).alias("alpha"),
-                    (F.round(intercept, 6) + 0.0).alias("intercept"))
+    return (s.select(n.cast("long").alias("n_tokens_used"),
+                     (F.round(alpha, 6) + 0.0).alias("alpha"),
+                     (F.round(intercept, 6) + 0.0).alias("intercept"))
+             .filter(F.col("n_tokens_used") > 0))  # empty corpus → 0 rows
 
 
 Q160_SQL = """
@@ -4575,7 +4585,7 @@ SELECT CAST(n AS BIGINT) AS n_tokens_used,
        ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS alpha,
        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
          + 0.0 AS intercept
-FROM s
+FROM s WHERE n > 0
 """
 
 
@@ -4621,6 +4631,258 @@ WITH p AS (
 SELECT doc_id, CAST(strlen(payload) AS BIGINT) AS payload_bytes,
        md5(payload) AS payload_md5
 FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# Q162 — sparse TF-IDF cosine near-dup (operators.dedup
+# .tfidf_cosine_pairs): the inverted-index sparse-vector similarity
+# join — complements dense embedding cosine (q25) and set Jaccard
+# (q18) with the idf-WEIGHTED lexical score retrieval systems use.
+# Frequency cut bounds the per-shingle fan-out; all dot/norm sums are
+# decimal-exact. Oracle replays shingling, idf, pruning, and the
+# exact sums.
+# --------------------------------------------------------------------------
+
+def q162_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tfidf_cosine_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, "doc_id", "text",
+                              k=3, df_min=2, df_max=25, threshold=0.3)
+
+
+Q162_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+), gl AS (
+  SELECT doc_id, list_transform(generate_series(1, len(w)-3+1),
+                 i -> array_to_string(w[i:i+2], ' ')) AS g
+  FROM base WHERE len(w) >= 3
+), sh AS (SELECT doc_id, unnest(g) AS s FROM gl),
+tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY doc_id, s),
+dfc AS (SELECT s, COUNT(*) AS dfq FROM tf GROUP BY s
+        HAVING COUNT(*) BETWEEN 2 AND 25),
+nd AS (SELECT COUNT(*) AS N FROM base WHERE len(w) >= 3),
+kept AS (
+  SELECT tf.doc_id, tf.s, tf.tf * ln(nd.N / dfc.dfq) AS wgt
+  FROM tf JOIN dfc USING (s) CROSS JOIN nd
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(wgt * wgt AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM kept GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CAST(a.wgt * b.wgt AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(dot / (na.nrm * nb.nrm), 6) + 0.0 AS cosine
+FROM dots
+JOIN norms na ON dots.id_a = na.doc_id
+JOIN norms nb ON dots.id_b = nb.doc_id
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) + 0.0 >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q163 — BM25 retrieval scoring over the corpus (the serve side of
+# q159's inverted index): Lucene-form idf, k1=1.2 / b=0.75 length
+# normalization, query = the corpus's own top-3 tokens (chosen
+# deterministically by (freq desc, tok) so the oracle picks the same
+# ones). Per-term contributions are cast to DECIMAL before the
+# per-doc sum, so scores are partition-order-independent; final
+# top-20 via sort+limit (TakeOrderedAndProject — never a global
+# row_number window). avgdl and every df/tf are exact integers.
+# --------------------------------------------------------------------------
+
+def q163_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K1, B = 1.2, 0.75
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+                .filter(F.col("tok") != ""))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("N"),
+                   F.sum("dl").alias("sum_dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"),
+                                F.sum("tf").alias("freq"))
+    wq = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    qterms = (dfc.withColumn("_r", F.row_number().over(wq))
+                 .filter(F.col("_r") <= 3).select("tok", "dfq"))
+
+    j = (tf.join(F.broadcast(qterms), "tok")
+           .join(dl, "doc_id").crossJoin(F.broadcast(stats)))
+    avgdl = F.col("sum_dl") / F.col("N")
+    idf = F.log((F.col("N") - F.col("dfq") + 0.5)
+                / (F.col("dfq") + 0.5) + 1.0)
+    term = (idf * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)))
+    scored = (j.select("doc_id", term.cast("decimal(38,12)").alias("_t"))
+                .groupBy("doc_id")
+                .agg((F.round(F.sum("_t").cast("double"), 6) + 0.0)
+                     .alias("score")))
+    return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+                  .select("doc_id", "score"))
+
+
+Q163_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0)
+  WHERE tok <> ''
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS N, SUM(dl) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfc AS (SELECT tok, COUNT(*) AS dfq, SUM(tf) AS freq FROM tf GROUP BY tok),
+qterms AS (
+  SELECT tok, dfq FROM dfc
+  QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) <= 3
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(CAST(SUM(CAST(
+           ln((stats.N - qterms.dfq + 0.5) / (qterms.dfq + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                             / (stats.sum_dl / stats.N)))
+           AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0 AS score
+  FROM tf JOIN qterms USING (tok)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q164 — distinct-n diversity metrics (the generated-data diversity
+# check: distinct n-grams / total n-grams for n=1..3, corpus-wide,
+# plus per-n entropy). Low distinct-n flags mode collapse / template
+# spam in synthetic corpora. One explode per n, each a pure hash agg;
+# entropy terms are per-distinct-gram logs cast to DECIMAL before the
+# sum, so the float total is partition-order-independent.
+# --------------------------------------------------------------------------
+
+def q164_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w_arr = (F.when(F.length(F.trim(F.col("text"))) == 0,
+                    F.array().cast("array<string>"))
+              .otherwise(F.split(F.trim(F.lower("text")), r"\s+")))
+    base = docs.select(w_arr.alias("w"))
+    def gram_expr(n):
+        # NB: a 2-arg lambda would make Spark pass (element, index) —
+        # close over n with a single-arg lambda only
+        sz = F.size("w")
+        return (F.when(sz < n, F.array().cast("array<string>"))
+                 .otherwise(F.transform(
+                     F.sequence(F.lit(0), F.greatest(sz - n, F.lit(-1))),
+                     lambda i: F.concat_ws(
+                         " ", F.slice("w", (i + 1).cast("int"), n)))))
+
+    outs = []
+    for n in (1, 2, 3):
+        grams = gram_expr(n)
+        g = base.select(F.explode(grams).alias("g"))
+        cnt = g.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        tot = F.sum("c")
+        ent_term = (-(F.col("c") * F.log("c"))).cast("decimal(38,10)")
+        outs.append(
+            cnt.agg(F.lit(n).cast("int").alias("n"),
+                    tot.cast("long").alias("total_ngrams"),
+                    F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+                    (F.round(F.count(F.lit(1)) / tot, 6) + 0.0)
+                     .alias("distinct_ratio"),
+                    (F.round(
+                        F.sum(ent_term).cast("double") / tot + F.log(tot),
+                        6) + 0.0).alias("entropy_nats")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    # scalar agg over an EMPTY gram table yields a NULL-total row;
+    # the oracle's GROUP BY n yields none — drop it (empty corpus → 0)
+    return out.filter(F.col("total_ngrams").isNotNull())
+
+
+Q164_SQL = """
+WITH base AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+),
+g1 AS (SELECT unnest(w) AS g FROM base),
+g2 AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                     i -> array_to_string(w[i:i+1], ' '))) AS g
+       FROM base WHERE len(w) >= 2),
+g3 AS (SELECT unnest(list_transform(generate_series(1, len(w)-2),
+                     i -> array_to_string(w[i:i+2], ' '))) AS g
+       FROM base WHERE len(w) >= 3),
+m AS (
+  SELECT 1 AS n, g FROM g1 UNION ALL
+  SELECT 2 AS n, g FROM g2 UNION ALL
+  SELECT 3 AS n, g FROM g3
+),
+cnt AS (SELECT n, g, COUNT(*) AS c FROM m GROUP BY n, g)
+SELECT CAST(n AS INTEGER) AS n,
+       CAST(SUM(c) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+       ROUND(COUNT(*) / SUM(c), 6) + 0.0 AS distinct_ratio,
+       ROUND(CAST(SUM(CAST(-(c * ln(c)) AS DECIMAL(38,10))) AS DOUBLE)
+             / SUM(c) + ln(SUM(c)), 6) + 0.0 AS entropy_nats
+FROM cnt GROUP BY n
+"""
+
+
+# --------------------------------------------------------------------------
+# Q165 — stream-static dimension enrichment (the single most common
+# production streaming shape: a fact stream broadcast-joined to a
+# slowly-changing dimension BEFORE aggregation). The dim (customer ×
+# nation) is a bounded BATCH table broadcast into every micro-batch;
+# the stream side never shuffles for the join, and the per-nation
+# revenue rollup runs through the streaming state store via
+# AvailableNow. The oracle is the plain batch join+rollup — streaming
+# execution must converge to it exactly.
+# --------------------------------------------------------------------------
+
+def q165_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream import run_rollup_available_now
+
+    ev = read_table_stream(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    dim = (cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+               .select(F.col("c_custkey").alias("user_id"),
+                       F.col("n_name").alias("nation")))
+    enriched = (ev.filter(F.col("event_type") == "purchase")
+                  .join(F.broadcast(dim), "user_id", "left"))
+    agg = (enriched.groupBy(F.coalesce("nation", F.lit("unknown"))
+                             .alias("nation"))
+                   .agg(F.count(F.lit(1)).alias("n_purchases"),
+                        dsum("value").alias("revenue")))
+    return run_rollup_available_now(agg, state_partitions=4)
+
+
+Q165_SQL = """
+SELECT COALESCE(n.n_name, 'unknown') AS nation,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'purchase'
+GROUP BY COALESCE(n.n_name, 'unknown')
 """
 
 
@@ -4711,6 +4973,20 @@ SPECS = [
               "exact repeated-substring excision: corpus-wide "
               "repeated 5-gram spans merged per-doc (islands window) "
               "and cut out; rebuilt clean text string-gated"),
+    QuerySpec("q165_stream_enrich", q165_stream_enrich, Q165_SQL,
+              "stream-static dimension enrichment: fact stream "
+              "broadcast-joined to customer x nation before a "
+              "state-store rollup; converges to the batch oracle"),
+    QuerySpec("q163_bm25", q163_bm25, Q163_SQL,
+              "BM25 retrieval scoring (Lucene idf, k1/b length "
+              "normalization), decimal-exact per-doc term sums, "
+              "top-20 via TakeOrdered"),
+    QuerySpec("q164_distinct_n", q164_distinct_n, Q164_SQL,
+              "distinct-n diversity + n-gram entropy for n=1..3 "
+              "(mode-collapse / template-spam check)"),
+    QuerySpec("q162_tfidf_cosine", q162_tfidf_cosine, Q162_SQL,
+              "sparse TF-IDF cosine near-dup: inverted-index join "
+              "with frequency cut, decimal-exact dots/norms"),
     QuerySpec("q161_warc_roundtrip", q161_warc_roundtrip, Q161_SQL,
               "WARC/1.0 round-trip: JVM-side record assembly with "
               "Content-Length framing; content-length-driven parser "

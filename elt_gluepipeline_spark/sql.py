@@ -30,6 +30,7 @@ STREAMING_QUERIES = frozenset({
     "q65_stream_upsert", "q69_stream_sliding", "q74_stream_incremental_agg",
     "q106_stream_session_window", "q110_stream_attribution_outer",
     "q117_stream_append_rollup", "q136_stream_hll",
+    "q165_stream_enrich",
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative
@@ -43,8 +44,11 @@ EAGER_QUERIES = frozenset({
     "q134_json_roundtrip", "q135_orc_roundtrip",  # stage-write at build
     "q141_index_append",                       # index write at build
     "q144_shard_writer",                       # shard write at build
+    "q145_copurchase_pagerank",                # rank-vector collects per iter
     "q149_component_split",                    # component driver loop
     "q151_xml_roundtrip",                      # stage-write at build
+    "q153_semdedup",                           # k-means artifact load-or-fit
+    "q154_rawfile_ingest",                     # file-per-doc stage at build
 })
 
 

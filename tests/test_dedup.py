@@ -228,3 +228,25 @@ def test_repeated_ngram_spans_handcrafted(spark):
     assert out[3].clean_text == "u v w just unique words here today"
     assert out[5].n_tokens == 2 and out[5].clean_text == "tiny doc"
     assert out[6].n_tokens == 0 and out[6].clean_text == ""
+
+
+def test_tfidf_cosine_pairs_handcrafted(spark):
+    from elt_gluepipeline_spark.operators.dedup import tfidf_cosine_pairs
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact clone of 1
+        (3, "one two three four five six seven"),     # disjoint
+        (4, "alpha beta gamma delta nine ten eleven"),  # partial overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.cosine
+           for r in tfidf_cosine_pairs(docs, "doc_id", "text",
+                                       k=3, df_min=2, df_max=25,
+                                       threshold=0.01).collect()}
+    # identical docs -> cosine exactly 1.0 after rounding
+    assert out[(1, 2)] == 1.0
+    # partial overlap -> a true fraction, symmetric across the clones
+    assert 0.0 < out[(1, 4)] < 1.0
+    assert out[(1, 4)] == out[(2, 4)]
+    # doc 3 shares no shingle with anyone -> never appears
+    assert not any(3 in p for p in out)
