@@ -259,3 +259,69 @@ SELECT ROUND(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M * scale!r} / s
              ELSE {HLL_ALPHA * HLL_M * HLL_M * scale!r} / s END,
              4) AS n_hll
 FROM est"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) sketch: the distinct-count sketch
+# that, unlike HLL, supports SET OPERATIONS — a union sketch is just
+# the k smallest of the merged hash sets, and the Jaccard of two sets
+# is estimated by the overlap inside the union sketch. State is k
+# hashes per group (mergeable, map-side combinable via bottom-k).
+# Hashes are md5-derived uniforms, so every kept hash — and therefore
+# the ESTIMATE itself, including its deterministic error — is exactly
+# replayable in the DuckDB oracle (same discipline as the Bloom/CMS/
+# HLL family: probabilistic operating point, exact arithmetic).
+# ---------------------------------------------------------------------------
+
+_KMV_DEN = float(16 ** 15)  # 60 bits of md5 → uniform in [0, 1)
+
+
+def kmv_hash(key: Column) -> Column:
+    """Portable uniform-[0,1) hash of a string key (md5 top 60 bits)."""
+    return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+             .cast("double") / F.lit(_KMV_DEN))
+
+
+def kmv_fit(df: DataFrame, key_col: str, group_cols: list[str], *,
+            k: int = 64) -> DataFrame:
+    """Bottom-k sketch per group: the k smallest DISTINCT key hashes.
+    Output (group_cols..., h double, rk int) — the sketch table."""
+    from pyspark.sql import Window
+
+    h = (df.select(*group_cols, kmv_hash(F.col(key_col)).alias("h"))
+           .distinct())
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (h.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= k))
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], *,
+                 k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from a kmv_fit table:
+    (k-1)/h_k when the sketch is full, else the exact kept count."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.max("h").alias("_hmax"),
+        F.count(F.lit(1)).alias("_n"))
+    est = (F.when(F.col("_n") >= k, (k - 1) / F.col("_hmax"))
+            .otherwise(F.col("_n").cast("double")))
+    return agg.select(*group_cols,
+                      (F.round(est, 4) + 0.0).alias("n_kmv"))
+
+
+def kmv_sql(key_expr: str, group_cols: str, from_clause: str, *,
+            k: int = 64) -> str:
+    """DuckDB oracle twin of kmv_fit + kmv_estimate."""
+    return f"""
+SELECT {group_cols},
+       ROUND(CASE WHEN COUNT(*) >= {k}
+                  THEN ({k} - 1) / MAX(h)
+                  ELSE CAST(COUNT(*) AS DOUBLE) END, 4) + 0.0 AS n_kmv
+FROM (
+  SELECT {group_cols}, h,
+         ROW_NUMBER() OVER (PARTITION BY {group_cols} ORDER BY h) AS rk
+  FROM (SELECT DISTINCT {group_cols},
+               CAST(('0x' || substr(md5({key_expr}), 1, 15)) AS BIGINT)
+                 / {_KMV_DEN!r} AS h
+        {from_clause})
+) WHERE rk <= {k}
+GROUP BY {group_cols}"""

@@ -174,6 +174,8 @@ _DEPRIORITIZED = (
     "q163_bm25",
     "q164_distinct_n",
     "q165_stream_enrich",
+    "q166_kmv_distinct",
+    "q167_kmv_jaccard",
 )
 
 

@@ -4886,6 +4886,137 @@ GROUP BY COALESCE(n.n_name, 'unknown')
 """
 
 
+# --------------------------------------------------------------------------
+# Q166 / Q167 — KMV (bottom-k) sketches (operators.sketches.kmv_*):
+# the distinct-count sketch that, unlike HLL, supports SET ALGEBRA.
+# q166 gates the per-group estimate against the exact count; q167
+# gates KMV's signature capability — Jaccard similarity of two sets
+# from their merged bottom-k sketch (union sketch = k smallest of the
+# merged hashes; J ≈ in-both fraction inside it) — against the exact
+# Jaccard. md5-derived hashes make both engines' sketches identical
+# hash-for-hash, so the deterministic estimation error is itself
+# oracle-certified.
+# --------------------------------------------------------------------------
+
+def q166_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_estimate, kmv_fit
+
+    ev = read_table(spark, sf_dir, "events")
+    sk = kmv_fit(ev.select("event_type",
+                           F.col("user_id").cast("string").alias("uid")),
+                 "uid", ["event_type"], k=64)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    exact = (ev.groupBy("event_type")
+               .agg(F.countDistinct(F.col("user_id").cast("string"))
+                     .alias("n_exact")))
+    return (est.join(exact, "event_type")
+               .select("event_type", "n_exact", "n_kmv",
+                       (F.round(F.abs(F.col("n_kmv") - F.col("n_exact"))
+                                / F.col("n_exact"), 6) + 0.0)
+                        .alias("rel_err")))
+
+
+def _q166_sql() -> str:
+    from ..operators.sketches import kmv_sql
+    inner = kmv_sql("CAST(user_id AS VARCHAR)", "event_type",
+                    "FROM events", k=64)
+    return f"""
+WITH kmv AS ({inner}),
+exact AS (SELECT event_type,
+                 COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_exact
+          FROM events GROUP BY event_type)
+SELECT k.event_type, e.n_exact, k.n_kmv,
+       ROUND(ABS(k.n_kmv - e.n_exact) / e.n_exact, 6) + 0.0 AS rel_err
+FROM kmv k JOIN exact e ON k.event_type = e.event_type
+"""
+
+
+Q166_SQL = _q166_sql()
+
+
+def q167_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sketches import kmv_hash
+
+    K = 64
+    ev = read_table(spark, sf_dir, "events")
+    hset = (ev.select("event_type",
+                      kmv_hash(F.col("user_id").cast("string")).alias("h"))
+              .distinct())
+    types = hset.select("event_type").distinct()
+    prs = (types.select(F.col("event_type").alias("ta"))
+                .join(types.select(F.col("event_type").alias("tb")),
+                      F.col("ta") < F.col("tb")))
+    tagged = (prs.join(hset, F.col("event_type") == F.col("ta"))
+                 .select("ta", "tb", "h", F.lit(1).alias("ina"),
+                         F.lit(0).alias("inb"))
+              .unionByName(
+                  prs.join(hset, F.col("event_type") == F.col("tb"))
+                     .select("ta", "tb", "h", F.lit(0).alias("ina"),
+                             F.lit(1).alias("inb"))))
+    u = (tagged.groupBy("ta", "tb", "h")
+               .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb")))
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    top = u.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
+    kmv = (top.groupBy("ta", "tb")
+              .agg((F.sum(F.col("ina") * F.col("inb"))
+                    / F.count(F.lit(1))).alias("_j")))
+    exact = (u.groupBy("ta", "tb")
+              .agg((F.sum(F.col("ina") * F.col("inb"))
+                    / F.count(F.lit(1))).alias("_je")))
+    return (exact.join(kmv, ["ta", "tb"])
+                 .select(F.col("ta").alias("type_a"),
+                         F.col("tb").alias("type_b"),
+                         (F.round("_je", 6) + 0.0).alias("j_exact"),
+                         (F.round("_j", 6) + 0.0).alias("j_kmv"),
+                         (F.round(F.abs(F.col("_j") - F.col("_je")), 6)
+                          + 0.0).alias("abs_err")))
+
+
+def _q167_sql() -> str:
+    from ..operators.sketches import _KMV_DEN
+    return f"""
+WITH hset AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / {_KMV_DEN!r} AS h
+  FROM events
+),
+types AS (SELECT DISTINCT event_type FROM hset),
+prs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        FROM types a JOIN types b ON a.event_type < b.event_type),
+u AS (
+  SELECT ta, tb, h, MAX(ina) AS ina, MAX(inb) AS inb
+  FROM (
+    SELECT p.ta, p.tb, s.h, 1 AS ina, 0 AS inb
+    FROM prs p JOIN hset s ON s.event_type = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, s.h, 0 AS ina, 1 AS inb
+    FROM prs p JOIN hset s ON s.event_type = p.tb
+  ) GROUP BY ta, tb, h
+),
+top AS (
+  SELECT * FROM (
+    SELECT ta, tb, ina, inb,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+    FROM u) WHERE rk <= 64
+),
+kmv AS (SELECT ta, tb, SUM(ina * inb) / COUNT(*) AS j FROM top
+        GROUP BY ta, tb),
+exact AS (SELECT ta, tb, SUM(ina * inb) / COUNT(*) AS je FROM u
+          GROUP BY ta, tb)
+SELECT e.ta AS type_a, e.tb AS type_b,
+       ROUND(e.je, 6) + 0.0 AS j_exact,
+       ROUND(k.j, 6) + 0.0 AS j_kmv,
+       ROUND(ABS(k.j - e.je), 6) + 0.0 AS abs_err
+FROM exact e JOIN kmv k ON e.ta = k.ta AND e.tb = k.tb
+"""
+
+
+Q167_SQL = _q167_sql()
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -4973,6 +5104,12 @@ SPECS = [
               "exact repeated-substring excision: corpus-wide "
               "repeated 5-gram spans merged per-doc (islands window) "
               "and cut out; rebuilt clean text string-gated"),
+    QuerySpec("q166_kmv_distinct", q166_kmv_distinct, Q166_SQL,
+              "KMV bottom-k distinct sketch: (k-1)/h_k estimate, "
+              "hash-for-hash oracle replay incl. its exact error"),
+    QuerySpec("q167_kmv_jaccard", q167_kmv_jaccard, Q167_SQL,
+              "KMV set algebra: Jaccard of user sets from the merged "
+              "bottom-k union sketch vs exact Jaccard"),
     QuerySpec("q165_stream_enrich", q165_stream_enrich, Q165_SQL,
               "stream-static dimension enrichment: fact stream "
               "broadcast-joined to customer x nation before a "

@@ -28,7 +28,14 @@ FLOAT_HEAVY = ["q02_clv", "q03_clv_tiered", "q07_loyalty_impact",
                # lift divisions — each must survive re-partitioning
                "q118_linear_attribution", "q120_histogram_quantiles",
                "q123_basket_affinity", "q125_share_shift",
-               "q124_cohort_ltv"]
+               "q124_cohort_ltv",
+               # round-5-late float-bearing additions: Cramer-solve
+               # regressions, log-space PMI, idf-weighted dots, BM25
+               # term sums, entropy sums, within-cell cosines — all
+               # built on decimal-exact partial sums, pinned here
+               "q153_semdedup", "q155_ridge_fit", "q158_pmi_cooc",
+               "q160_zipf_fit", "q162_tfidf_cosine", "q163_bm25",
+               "q164_distinct_n"]
 
 
 def _fingerprint(df) -> list[str]:
