@@ -1471,3 +1471,52 @@ def media_probe(assets: DataFrame) -> DataFrame:
                 for k, v in out.items()})
 
     return assets.mapInPandas(_probe, schema=PROBE_SCHEMA)
+
+
+def audio_frame_stats(assets: DataFrame, *, frame: int = 128) -> DataFrame:
+    """Per-frame audio statistics over REAL decoded WAV payloads: the
+    VAD-shaped features (frame energy/RMS, zero-crossing count) a
+    speech-data pipeline computes before segment filtering. Decode is
+    the real RIFF/PCM parser (decode_wav); framing and stats are
+    vectorized numpy inside mapInPandas (one-to-many: one row per
+    frame, trailing partial frame INCLUDED with its true length).
+
+    sum_sq is emitted as an exact int64 of the integer PCM samples —
+    the hash-stable quantity an oracle can replay sample-for-sample.
+    (RMS is derived by the CALLER as a JVM-side round(sqrt(...)) so
+    rounding semantics match the SQL oracle; Python's round() is
+    banker's and would diverge on exact ties.)
+
+    Output: (asset_id, frame_idx, n_in_frame, sum_sq, n_zero_cross).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fis, ns, sqs, zcs = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _, _, _, samples = decode_wav(bytes(payload))
+                x = samples[:, 0].astype(np.int64)    # mono channel 0
+                n = x.shape[0]
+                for f in range(0, n, frame):
+                    seg = x[f:f + frame]
+                    m = seg.shape[0]
+                    ss = int(np.dot(seg, seg))
+                    # strict sign flips between adjacent samples of
+                    # the frame (zeros break a flip, deterministic)
+                    zc = int(np.count_nonzero(seg[:-1] * seg[1:] < 0))
+                    ids.append(int(aid)); fis.append(f // frame)
+                    ns.append(m); sqs.append(ss); zcs.append(zc)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fis, dtype="int64"),
+                "n_in_frame": pd.Series(ns, dtype="int64"),
+                "sum_sq": pd.Series(sqs, dtype="int64"),
+                "n_zero_cross": pd.Series(zcs, dtype="int64")})
+
+    return assets.mapInPandas(
+        _stats, "asset_id long, frame_idx long, n_in_frame long, "
+                "sum_sq long, n_zero_cross long")

@@ -176,6 +176,7 @@ _DEPRIORITIZED = (
     "q165_stream_enrich",
     "q166_kmv_distinct",
     "q167_kmv_jaccard",
+    "q168_audio_stats",
 )
 
 

@@ -5017,6 +5017,70 @@ FROM exact e JOIN kmv k ON e.ta = k.ta AND e.tb = k.tb
 Q167_SQL = _q167_sql()
 
 
+# --------------------------------------------------------------------------
+# Q168 — per-frame audio statistics over REAL WAV decode (the VAD
+# shape: frame energy + zero-crossing rate before speech-segment
+# filtering). Signals are synthesized per doc as an exact integer
+# phase-mixed sawtooth, encoded through the real RIFF writer, decoded
+# by the real parser, framed at 128 samples (trailing partial frame
+# kept), and reduced to EXACT int64 sums — the oracle replays every
+# sample from the closed-form signal with generate_series. RMS is a
+# JVM-side round(sqrt(sum/n)) on both engines.
+# --------------------------------------------------------------------------
+
+def q168_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_frame_stats, encode_wav
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + did % 257
+                i = np.arange(n, dtype=np.int64)
+                x = ((i * 7 + did) % 101 - 50).astype(np.int16)
+                payloads.append(encode_wav(x, 8000))
+                ids.append(did)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "payload": payloads})
+
+    assets = docs.mapInPandas(_synth, "asset_id long, payload binary")
+    stats = audio_frame_stats(assets, frame=128)
+    return stats.select(
+        "asset_id", "frame_idx", "n_in_frame", "sum_sq", "n_zero_cross",
+        (F.round(F.sqrt(F.col("sum_sq") / F.col("n_in_frame")), 4) + 0.0)
+         .alias("rms"))
+
+
+Q168_SQL = """
+WITH base AS (
+  SELECT doc_id AS asset_id, 256 + doc_id % 257 AS n FROM documents
+), samp AS (
+  SELECT asset_id, i, (i * 7 + asset_id) % 101 - 50 AS x
+  FROM (SELECT asset_id, unnest(generate_series(0, n - 1)) AS i FROM base)
+), fr AS (
+  SELECT asset_id, i // 128 AS frame_idx, i, x,
+         lag(x) OVER (PARTITION BY asset_id ORDER BY i) AS xp,
+         (i % 128) AS off
+  FROM samp
+)
+SELECT asset_id, frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+       CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+       CAST(COUNT(*) FILTER (WHERE off > 0 AND xp * x < 0) AS BIGINT)
+         AS n_zero_cross,
+       ROUND(sqrt(CAST(SUM(x * x) AS BIGINT)
+                  / CAST(COUNT(*) AS BIGINT)), 4) + 0.0 AS rms
+FROM fr GROUP BY asset_id, frame_idx
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -5104,6 +5168,10 @@ SPECS = [
               "exact repeated-substring excision: corpus-wide "
               "repeated 5-gram spans merged per-doc (islands window) "
               "and cut out; rebuilt clean text string-gated"),
+    QuerySpec("q168_audio_stats", q168_audio_stats, Q168_SQL,
+              "per-frame audio energy + zero-crossing (VAD shape) "
+              "over real WAV encode/decode; exact int64 sums, "
+              "oracle replays every sample"),
     QuerySpec("q166_kmv_distinct", q166_kmv_distinct, Q166_SQL,
               "KMV bottom-k distinct sketch: (k-1)/h_k estimate, "
               "hash-for-hash oracle replay incl. its exact error"),
