@@ -1520,3 +1520,48 @@ def audio_frame_stats(assets: DataFrame, *, frame: int = 128) -> DataFrame:
     return assets.mapInPandas(
         _stats, "asset_id long, frame_idx long, n_in_frame long, "
                 "sum_sq long, n_zero_cross long")
+
+
+def raster_block_sums(assets: DataFrame, *, factor: int = 2) -> DataFrame:
+    """Block-pooled statistics over REAL decoded BMPs: decode each
+    payload (decode_bmp — header/palette/padding handled), then sum
+    every factor×factor pixel block as EXACT int64 — the
+    area-interpolation resize expressed in its hash-stable integer
+    form (the caller derives the float mean with a JVM-side round so
+    both engines agree). One row per block (mapInPandas one-to-many);
+    decode + pooling are vectorized numpy, map-only, zero shuffle.
+
+    Output: (asset_id, block_r, block_c, n_px, block_sum).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, brs, bcs, ns, sums = [], [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                _, _, _, gray = decode_bmp(bytes(p))
+                # decoded luminance is float64 within 1e-12 of the
+                # integer palette value — rint recovers it exactly
+                px = np.rint(gray).astype(np.int64)
+                h, w = px.shape
+                oh, ow = h // factor, w // factor
+                blocks = px[:oh * factor, :ow * factor] \
+                    .reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+                for br in range(oh):
+                    for bc in range(ow):
+                        ids.append(int(aid)); brs.append(br); bcs.append(bc)
+                        ns.append(factor * factor)
+                        sums.append(int(blocks[br, bc]))
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "block_r": pd.Series(brs, dtype="int64"),
+                "block_c": pd.Series(bcs, dtype="int64"),
+                "n_px": pd.Series(ns, dtype="int64"),
+                "block_sum": pd.Series(sums, dtype="int64")})
+
+    return assets.mapInPandas(
+        _pool, "asset_id long, block_r long, block_c long, "
+               "n_px long, block_sum long")

@@ -177,6 +177,7 @@ _DEPRIORITIZED = (
     "q166_kmv_distinct",
     "q167_kmv_jaccard",
     "q168_audio_stats",
+    "q169_image_pool",
 )
 
 

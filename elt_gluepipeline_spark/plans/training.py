@@ -5081,6 +5081,64 @@ FROM fr GROUP BY asset_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Q169 — image block pooling over REAL BMP decode: per-doc gradient
+# rasters (pixel = (r*W + c + doc_id) % 251) round-trip the real
+# encoder/decoder, then pool into 2x2 blocks as EXACT integer sums —
+# the area-interpolation resize in its hash-stable form (q30/q22
+# certified the multimodal PLUMBING; this certifies a real pixel
+# TRANSFORM). Oracle rebuilds every pixel from the synthesis closed
+# form and replays the block sums.
+# --------------------------------------------------------------------------
+
+def q169_image_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, raster_block_sums
+
+    W, H = 16, 8
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r = np.arange(H, dtype=np.int64)[:, None]
+                c = np.arange(W, dtype=np.int64)[None, :]
+                img = ((r * W + c + did) % 251).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+                ids.append(did)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "payload": payloads})
+
+    assets = docs.mapInPandas(_synth, "asset_id long, payload binary")
+    pooled = raster_block_sums(assets, factor=2)
+    return pooled.select(
+        "asset_id", "block_r", "block_c", "n_px", "block_sum",
+        (F.round(F.col("block_sum") / F.col("n_px"), 4) + 0.0)
+         .alias("block_mean"))
+
+
+Q169_SQL = """
+WITH px AS (
+  SELECT d.doc_id AS asset_id, r.r, c.c,
+         (r.r * 16 + c.c + d.doc_id) % 251 AS v
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS r) r,
+       (SELECT unnest(generate_series(0, 15)) AS c) c
+)
+SELECT asset_id, r // 2 AS block_r, c // 2 AS block_c,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS block_sum,
+       ROUND(CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 4) + 0.0
+         AS block_mean
+FROM px GROUP BY asset_id, r // 2, c // 2
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -5168,6 +5226,9 @@ SPECS = [
               "exact repeated-substring excision: corpus-wide "
               "repeated 5-gram spans merged per-doc (islands window) "
               "and cut out; rebuilt clean text string-gated"),
+    QuerySpec("q169_image_pool", q169_image_pool, Q169_SQL,
+              "2x2 block pooling over real BMP decode: exact integer "
+              "block sums, oracle rebuilds every pixel"),
     QuerySpec("q168_audio_stats", q168_audio_stats, Q168_SQL,
               "per-frame audio energy + zero-crossing (VAD shape) "
               "over real WAV encode/decode; exact int64 sums, "
