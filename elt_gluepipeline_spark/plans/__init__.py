@@ -178,6 +178,8 @@ _DEPRIORITIZED = (
     "q167_kmv_jaccard",
     "q168_audio_stats",
     "q169_image_pool",
+    "q170_prefix_join",
+    "q171_lsh_recall",
 )
 
 

@@ -5139,6 +5139,119 @@ FROM px GROUP BY asset_id, r // 2, c // 2
 """
 
 
+# --------------------------------------------------------------------------
+# Q170 — COMPLETE exact similarity join via prefix filtering
+# (operators.dedup.prefix_filter_jaccard_pairs, the AllPairs/PPJoin
+# rule): the third member of the near-dup triangle — hard blocking
+# (q18: fast, boundary misses), LSH banding (q41: probabilistic
+# recall), PREFIX FILTER (this: every pair >= t, GUARANTEED). The
+# oracle replays df-ranked prefixes, the candidate join, and the
+# exact verify.
+# Q171 — sketch-quality certification: q41's LSH pair set measured
+# against q170's complete ground truth. Precision must be exactly 1
+# (LSH verifies with the same exact Jaccard); recall is the banding's
+# deterministic operating point — both hash-gated, so the quality of
+# the probabilistic index is itself under the correctness gate.
+# --------------------------------------------------------------------------
+
+def q170_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text",
+                                        k=3, threshold=0.3)
+    return pairs.select("id_a", "id_b",
+                        (F.round("jaccard", 6) + 0.0).alias("jaccard"))
+
+
+_Q170_BODY = """
+base AS (
+  SELECT doc_id,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+), nz AS (
+  SELECT doc_id, shingles FROM base WHERE len(shingles) > 0
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM nz
+), dfreq AS (
+  SELECT s, COUNT(*) AS dfc FROM inv GROUP BY s
+), ranked AS (
+  SELECT i.doc_id, i.s,
+         ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.dfc, i.s) AS rn,
+         len(z.shingles) AS n
+  FROM inv i JOIN dfreq d USING (s) JOIN nz z USING (doc_id)
+), pfx AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rn <= floor((1.0 - 0.3) * n) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), szs AS (
+  SELECT doc_id, len(shingles) AS n FROM nz
+), ver AS (
+  SELECT cm.id_a, cm.id_b,
+         cm.c / (na.n + nb.n - cm.c) AS jaccard
+  FROM common cm
+  JOIN szs na ON na.doc_id = cm.id_a
+  JOIN szs nb ON nb.doc_id = cm.id_b
+  JOIN cand cd ON cd.id_a = cm.id_a AND cd.id_b = cm.id_b
+)
+"""
+
+Q170_SQL = f"""
+WITH {_Q170_BODY}
+SELECT id_a, id_b, ROUND(jaccard, 6) + 0.0 AS jaccard
+FROM ver WHERE jaccard >= 0.3
+"""
+
+
+def q171_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    truth = prefix_filter_jaccard_pairs(docs, "doc_id", "text",
+                                        k=3, threshold=0.3) \
+        .select("id_a", "id_b")
+    found = q41_minhash_portable(spark, sf_dir).select("id_a", "id_b")
+    hit = found.join(truth, ["id_a", "id_b"], "left_semi")
+    stats = (truth.agg(F.count(F.lit(1)).alias("n_true"))
+             .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+             .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    return (stats.select(
+        "n_true", "n_found", "n_hit",
+        (F.round(F.col("n_hit") / F.col("n_true"), 6) + 0.0)
+         .alias("recall"),
+        (F.round(F.col("n_hit") / F.col("n_found"), 6) + 0.0)
+         .alias("precision"))
+        .filter(F.col("n_true") > 0))  # empty corpus → 0 rows
+
+
+Q171_SQL = f"""
+WITH {_Q170_BODY},
+truth AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.3),
+found AS (SELECT id_a, id_b FROM ({Q41_SQL})),
+hit AS (SELECT f.id_a, f.id_b FROM found f
+        JOIN truth t ON f.id_a = t.id_a AND f.id_b = t.id_b)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit)
+             / (SELECT COUNT(*) FROM truth), 6) + 0.0 AS recall,
+       ROUND((SELECT COUNT(*) FROM hit)
+             / (SELECT COUNT(*) FROM found), 6) + 0.0 AS precision
+WHERE (SELECT COUNT(*) FROM truth) > 0
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -5226,6 +5339,14 @@ SPECS = [
               "exact repeated-substring excision: corpus-wide "
               "repeated 5-gram spans merged per-doc (islands window) "
               "and cut out; rebuilt clean text string-gated"),
+    QuerySpec("q170_prefix_join", q170_prefix_join, Q170_SQL,
+              "COMPLETE exact Jaccard join via prefix filtering "
+              "(AllPairs rule): guaranteed recall, df-ranked prefix "
+              "index, candidate-bounded verify"),
+    QuerySpec("q171_lsh_recall", q171_lsh_recall, Q171_SQL,
+              "LSH quality certification: q41's pair set vs the "
+              "complete prefix-join truth — precision/recall of the "
+              "probabilistic index under the hash gate"),
     QuerySpec("q169_image_pool", q169_image_pool, Q169_SQL,
               "2x2 block pooling over real BMP decode: exact integer "
               "block sums, oracle rebuilds every pixel"),

@@ -250,3 +250,25 @@ def test_tfidf_cosine_pairs_handcrafted(spark):
     assert out[(1, 4)] == out[(2, 4)]
     # doc 3 shares no shingle with anyone -> never appears
     assert not any(3 in p for p in out)
+
+
+def test_prefix_filter_join_is_complete(spark):
+    from pyspark.sql import functions as F
+    from elt_gluepipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs, shingle_base, blocked_jaccard_pairs)
+    # prefix filtering must find EVERY pair >= t — compare against the
+    # unblocked SSJoin ground truth (single trivial block)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "a b c d e f g h", "a b c d e f g h",      # exact clones
+            "a b c d e f x y", "p q r s t u v w",      # near + unrelated
+            "p q r s t u zz ww", "only two",           # near + short
+        ])], "doc_id long, text string")
+    t = 0.3
+    got = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+           prefix_filter_jaccard_pairs(docs, "doc_id", "text",
+                                       k=3, threshold=t).collect()}
+    want = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+            blocked_jaccard_pairs(docs, "doc_id", "text",
+                                  [F.lit(1)], k=3, threshold=t).collect()}
+    assert got == want and (0, 1) in got and got[(0, 1)] == 1.0
