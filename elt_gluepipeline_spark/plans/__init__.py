@@ -180,6 +180,7 @@ _DEPRIORITIZED = (
     "q169_image_pool",
     "q170_prefix_join",
     "q171_lsh_recall",
+    "q172_keep_best",
 )
 
 

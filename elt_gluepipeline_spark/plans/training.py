@@ -5252,6 +5252,87 @@ WHERE (SELECT COUNT(*) FROM truth) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# Q172 — keep-BEST-copy dedup policy: near-dup components (q56's
+# graph) where the survivor is the argmax-length member (ties to the
+# lower id), not the min-id one — the curation policy real pipelines
+# want (the longest copy of a near-dup cluster usually carries the
+# least truncation). One window over the component-tagged corpus;
+# singletons are their own component and always survive. Oracle:
+# q56's recursive reachability walk + the identical argmax window.
+# --------------------------------------------------------------------------
+
+def q172_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = q18_ngram_jaccard(spark, sf_dir)
+    comps = (connected_components(pairs)
+             .select(F.col("id").alias("doc_id"), "component"))
+    n_tok = (F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+              .otherwise(F.size(F.split(F.trim("text"), r"\s+"))))
+    tagged = (docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
+                  .join(comps, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("component", "doc_id")
+                           .alias("component"), "n_tokens"))
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"),
+                                                F.asc("doc_id"))
+    return tagged.withColumn("keep", F.row_number().over(w) == 1) \
+                 .select("doc_id", "component", "n_tokens", "keep")
+
+
+Q172_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10)
+              AS BIGINT) AS len_bucket,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, lang, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  = 0 THEN 0.0
+             ELSE len(list_intersect(a.shingles, b.shingles))
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        END >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+tagged AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, component, n_tokens,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep
+FROM tagged
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -5339,6 +5420,10 @@ SPECS = [
               "exact repeated-substring excision: corpus-wide "
               "repeated 5-gram spans merged per-doc (islands window) "
               "and cut out; rebuilt clean text string-gated"),
+    QuerySpec("q172_keep_best", q172_keep_best, Q172_SQL,
+              "keep-best-copy dedup: argmax-length survivor per "
+              "near-dup component (the real curation policy), "
+              "recursive-CTE oracle"),
     QuerySpec("q170_prefix_join", q170_prefix_join, Q170_SQL,
               "COMPLETE exact Jaccard join via prefix filtering "
               "(AllPairs rule): guaranteed recall, df-ranked prefix "

@@ -49,6 +49,7 @@ EAGER_QUERIES = frozenset({
     "q151_xml_roundtrip",                      # stage-write at build
     "q153_semdedup",                           # k-means artifact load-or-fit
     "q154_rawfile_ingest",                     # file-per-doc stage at build
+    "q172_keep_best",                          # component driver loop
 })
 
 
