@@ -77,13 +77,15 @@ _BATCH = 65_536
 def _mix_np(x):
     """Vectorized splitmix64 over a uint64 numpy array — bit-identical
     to the scalar `_splitmix64` (pinned by test); numpy unsigned ops
-    wrap modulo 2^64 exactly like the masked Python arithmetic."""
+    wrap modulo 2^64 exactly like the masked Python arithmetic (the
+    wraparound is the algorithm, so the overflow warning is noise)."""
     import numpy as np
 
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
 
 class _SeedGenReader(DataSourceReader):
