@@ -140,15 +140,18 @@ def triangle_counts(edges: DataFrame, *, src: str = "s",
                | ((F.col("dega") == F.col("degb"))
                   & (F.col("a") < F.col("b"))))
     # oriented feeds three consumers (both wedge sides + closure);
-    # cache() keeps the upstream edge construction — often an
+    # the persist keeps the upstream edge construction — often an
     # expensive distinct self-join — from re-running per consumer.
     # (NOT localCheckpoint: under AQE its toRdd conversion executes
-    # the upstream stages at BUILD time; cache stays fully lazy)
-    oriented = ed.select(
+    # the upstream stages at BUILD time; persist stays fully lazy.)
+    # Registered with the operator-cache registry so harnesses can
+    # release it between queries (ADVICE r5 leak fix).
+    from ._cache import register_cache
+    oriented = register_cache(ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("degb")).otherwise(F.col("dega"))
-         .alias("degv")).cache()
+         .alias("degv")))
 
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"),
                          F.col("degv").alias("degx"))

@@ -88,6 +88,12 @@ def cap_per_domain(df: DataFrame, domain_col: str, key_col: str, *,
     domains (the window only needs a per-domain top-k, and row_number
     over a sorted partition spills gracefully). Emits the per-domain
     total alongside the rank so the drop rate is auditable.
+
+    ``key_col`` must be unique per row: the md5-order tiebreak is the
+    raw key as a STRING (always non-null, any key type — a long cast
+    was silently NULL for non-numeric keys, ADVICE r5), so distinct
+    keys give a total, partitioning-independent order; duplicate keys
+    would make the kept set nondeterministic.
     """
     order = F.md5(F.concat(F.col(key_col).cast("string"),
                            F.lit(f"#{seed}")))
@@ -97,7 +103,7 @@ def cap_per_domain(df: DataFrame, domain_col: str, key_col: str, *,
                     "rk",
                     F.row_number().over(
                         w.orderBy(order.asc(),
-                                  F.col(key_col).cast("long").asc()))))
+                                  F.col(key_col).cast("string").asc()))))
     return ranked.filter(F.col("rk") <= k)
 
 

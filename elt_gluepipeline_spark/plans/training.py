@@ -2752,9 +2752,18 @@ _ARTIFACT_MEMO: dict = {}
 
 def _fitted_artifact(spark: SparkSession, sf_dir: str, kind: str, fit):
     """Memoized load-or-fit-and-persist for a dataset-keyed artifact
-    (the serve half of every fit/serve split). The cache key folds in
-    the embeddings file's mtime, so a regenerated dataset refits; the
-    memo makes it one disk load per process."""
+    (the serve half of every fit/serve split).
+
+    REFIT POLICY (this is the contract that keeps corpus-scaled
+    artifacts like q153's k=ceil(n/256) cells honest as data grows):
+    the cache key folds in the dataset's modification state — the
+    file's mtime, or for a directory dataset the entry count plus the
+    newest file mtime inside it — so ANY rewrite or append under the
+    same path produces a new key and a fresh fit against the grown
+    corpus (new n → new k). An unchanged dataset loads the persisted
+    artifact; the memo makes that one disk read per process. Pinned by
+    tests/test_artifact_refit.py: growing the corpus under the same
+    path refits with a larger k."""
     import hashlib
     import os
 
@@ -2764,7 +2773,16 @@ def _fitted_artifact(spark: SparkSession, sf_dir: str, kind: str, fit):
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     key_src = f"{kind}:{src}"
     try:
-        key_src += f"@{os.stat(src).st_mtime_ns}"
+        st = os.stat(src)
+        key_src += f"@{st.st_mtime_ns}"
+        if os.path.isdir(src):
+            # dir mtime only tracks entry create/delete — an in-place
+            # part-file rewrite (same names) would be invisible, so
+            # fold in the children's newest mtime and count too
+            with os.scandir(src) as it:
+                stats = [e.stat() for e in it]
+            key_src += f"#{len(stats)}" + \
+                f"@{max((s.st_mtime_ns for s in stats), default=0)}"
     except OSError:
         pass
     key = hashlib.md5(key_src.encode()).hexdigest()[:16]
@@ -2880,9 +2898,15 @@ def q141_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = _pq_artifact(spark, sf_dir)
     if art is None:
         return _empty_pairs(q, "vec_id", "adc_dist")
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # Path is keyed by (dataset, Spark application): the app id makes
+    # it private to this session, so two concurrent builds on the same
+    # dataset — or two users on a shared host — can't interleave the
+    # overwrite/append sequence into each other's index (ADVICE r5).
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "\x1f"
+         + spark.sparkContext.applicationId).encode()).hexdigest()[:12]
     index_path = os.path.join(tempfile.gettempdir(),
-                              f"spark_graft_pqindex_{key}")
+                              f"spark_graft_pqindex_{os.getpid()}_{key}")
     is_new = F.pmod("vec_id", F.lit(10)) == 0
     pq_encode(emb.filter(~is_new), art) \
         .write.mode("overwrite").parquet(index_path)

@@ -249,10 +249,12 @@ def read_csv_tolerant(spark: SparkSession, path: str, schema,
 
     full = StructType(list(schema.fields)
                       + [StructField(corrupt_col, StringType(), True)])
-    df = (spark.read.option("header", True)
-               .option("mode", "PERMISSIVE")
-               .option("columnNameOfCorruptRecord", corrupt_col)
-               .schema(full).csv(path)).cache()
+    from ..operators._cache import register_cache
+    df = register_cache(
+        spark.read.option("header", True)
+             .option("mode", "PERMISSIVE")
+             .option("columnNameOfCorruptRecord", corrupt_col)
+             .schema(full).csv(path))
     df.count()  # materialize the corrupt column before filtering on it
     clean = (df.filter(F.col(corrupt_col).isNull())
                .select(*[f.name for f in schema.fields]))

@@ -24,3 +24,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Operator-internal persists (prefix join, triangles, tolerant
+    CSV) are registry-tracked; dropping them after every test keeps
+    the shared session's storage memory flat across the suite."""
+    yield
+    from elt_gluepipeline_spark.operators._cache import (
+        release_operator_caches)
+    release_operator_caches()

@@ -18,6 +18,8 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from elt_gluepipeline_spark.operators._cache import (  # noqa: E402
+    release_operator_caches)
 from elt_gluepipeline_spark.plans import registry  # noqa: E402
 from elt_gluepipeline_spark.session import get_spark  # noqa: E402
 
@@ -55,6 +57,7 @@ def main() -> int:
         t0 = time.time()
         sdf = spec.build(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
+        release_operator_caches()
         if spec.oracle is None:
             print(f"  {name:28s} rows={len(sdf):7d} (rows-only) {t_spark:5.1f}s")
             continue
