@@ -1099,3 +1099,94 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                              - F.col("_c")))
                   .filter(F.col("jaccard") >= threshold)
                   .select("id_a", "id_b", "jaccard"))
+
+
+def crossdoc_span_dedup(df: DataFrame, id_col: str, text_col: str, *,
+                        k: int = 5) -> DataFrame:
+    """Corpus-wide exact substring dedup WITH A SURVIVOR: every token
+    k-gram window that occurs more than once anywhere in the corpus
+    keeps exactly one canonical occurrence — the lexicographically
+    first (doc_id, position) — and is excised from every other
+    occurrence. This is the keep-one semantic of suffix-array
+    substring dedup in "Deduplicating Training Data Makes Language
+    Models Better" (one copy of boilerplate survives for the model to
+    learn from), whereas ``repeated_ngram_spans`` excises ALL
+    occurrences (the remove-boilerplate-entirely policy). Both are
+    real curation policies; pipelines pick per corpus.
+
+    Scale shape: identical to repeated_ngram_spans — grams shuffle as
+    (md5, doc, pos), the survivor is one map-side-combinable min-
+    struct per digest (no window over the corpus), non-survivor hits
+    join back on the digest, span-merge is a per-doc window, and
+    excision is a per-doc range anti-join. Linear in corpus + hit
+    count; the hot-gram pathology of a postings self-join cannot occur
+    because grams only ever meet their own digest's aggregate row.
+
+    Output: (doc_id, n_tokens, dropped_tokens, n_spans, clean_text),
+    one row per input document.
+    """
+    from pyspark.sql import Window
+
+    w_arr = (F.when(F.length(F.trim(F.col(text_col))) == 0,
+                    F.array().cast("array<string>"))
+              .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = df.select(F.col(id_col).alias("doc_id"), w_arr.alias("w"))
+
+    n = F.size("w")
+    grams_arr = (
+        F.when(n < k, F.array().cast("array<string>"))
+         .otherwise(F.transform(
+             F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+             lambda i: F.md5(F.concat_ws(
+                 " ", F.slice("w", (i + 1).cast("int"), k))))))
+    grams = base.select("doc_id", F.posexplode(grams_arr).alias("p", "gh"))
+
+    surv = (grams.groupBy("gh")
+                 .agg(F.count(F.lit(1)).alias("_c"),
+                      F.min(F.struct(F.col("doc_id"), F.col("p")))
+                       .alias("sv"))
+                 .filter(F.col("_c") >= 2)
+                 .select("gh", "sv"))
+    bad = (grams.join(surv, "gh")
+                .filter(~((F.col("doc_id") == F.col("sv.doc_id"))
+                          & (F.col("p") == F.col("sv.p"))))
+                .select("doc_id", "p"))
+
+    w_prev = (Window.partitionBy("doc_id").orderBy("p")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("p")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    brk = (F.when(F.col("p") > F.coalesce(F.max("p").over(w_prev),
+                                          F.lit(-k - 1)) + k,
+                  F.lit(1)).otherwise(F.lit(0)))
+    spans = (bad.withColumn("_b", brk)
+                .withColumn("_iid", F.sum("_b").over(w_run))
+                .groupBy("doc_id", "_iid")
+                .agg(F.min("p").alias("s"),
+                     (F.max("p") + F.lit(k - 1)).alias("e")))
+    spanstats = (spans.groupBy("doc_id")
+                      .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                           F.sum(F.col("e") - F.col("s") + 1).cast("long")
+                            .alias("dropped_tokens")))
+
+    toks = base.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    sp = spans.select(F.col("doc_id").alias("_sd"), "s", "e")
+    kept = toks.join(sp, (toks["doc_id"] == sp["_sd"])
+                     & F.col("pos").between(F.col("s"), F.col("e")),
+                     "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+                   .agg(F.array_sort(F.collect_list(
+                            F.struct("pos", "word"))).alias("_s"))
+                   .select("doc_id",
+                           F.concat_ws(" ", F.transform(
+                               "_s", lambda s: s["word"]))
+                            .alias("clean_text")))
+    return (base.select("doc_id", n.cast("long").alias("n_tokens"))
+                .join(spanstats, "doc_id", "left")
+                .join(rebuilt, "doc_id", "left")
+                .select("doc_id", "n_tokens",
+                        F.coalesce("dropped_tokens", F.lit(0))
+                         .alias("dropped_tokens"),
+                        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text")))

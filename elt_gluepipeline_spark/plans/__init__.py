@@ -179,6 +179,12 @@ _DEPRIORITIZED = (
     "q129_table_digest",
     "q130_generated_rollup",
     "q131_hll_portable",
+    # --- rotated out when the round-6 additions q173-q176 took head
+    # slots (all four have r04/r05 driver rows on file) --------------
+    "q76_product_quantize",
+    "q77_pq_adc",
+    "q138_sequence_pack",
+    "q139_greedy_pack",
 )
 
 

@@ -5357,6 +5357,378 @@ FROM tagged
 """
 
 
+# --------------------------------------------------------------------------
+# Q173 — corpus-wide exact substring dedup WITH A SURVIVOR
+# (operators.dedup.crossdoc_span_dedup): every repeated token 5-gram
+# keeps its lexicographically-first (doc, pos) occurrence and is
+# excised everywhere else — the keep-one policy of Lee et al.'s
+# suffix-array dedup, complementing q152's excise-ALL policy. The
+# oracle encodes the survivor as min(doc_id*1e6 + p) (positions are
+# far below 1e6, so the encoding IS the lexicographic struct order
+# the Spark plan uses).
+# --------------------------------------------------------------------------
+
+def q173_crossdoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import crossdoc_span_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return crossdoc_span_dedup(docs, "doc_id", "text", k=5)
+
+
+Q173_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+  FROM documents
+), gl AS (
+  SELECT doc_id, list_transform(generate_series(1, len(w)-5+1),
+                 i -> md5(array_to_string(w[i:i+4], ' '))) AS g
+  FROM base WHERE len(w) >= 5
+), grams AS (
+  SELECT doc_id, generate_subscripts(g,1)-1 AS p, unnest(g) AS gh FROM gl
+), surv AS (
+  SELECT gh, MIN(doc_id*1000000 + p) AS skey
+  FROM grams GROUP BY gh HAVING count(*) >= 2
+), bad AS (
+  SELECT g.doc_id, g.p
+  FROM grams g JOIN surv s USING (gh)
+  WHERE g.doc_id*1000000 + g.p <> s.skey
+), brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p > COALESCE(MAX(p) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -6) + 5
+              THEN 1 ELSE 0 END AS b
+  FROM bad
+), isl AS (
+  SELECT doc_id, p, SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+  FROM brk
+), spans AS (
+  SELECT doc_id, iid, MIN(p) AS s, MAX(p)+4 AS e
+  FROM isl GROUP BY doc_id, iid
+), spanstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e-s+1) AS BIGINT) AS dropped_tokens
+  FROM spans GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w,1)-1 AS pos FROM base
+), kept AS (
+  SELECT t.doc_id, t.word, t.pos
+  FROM toks t LEFT JOIN spans sp
+    ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e
+  WHERE sp.s IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_tokens,
+       COALESCE(ss.dropped_tokens, 0) AS dropped_tokens,
+       COALESCE(ss.n_spans, 0) AS n_spans,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN spanstats ss USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q174 — PII redaction pass: detect + mask emails / IPv4s / US-style
+# phone numbers with JVM-regex chains (no Python in the hot path).
+# The corpus is synthetic, so deterministic PII-shaped strings are
+# fabricated per doc (doc_id-derived email for every doc, IP for even
+# ids, phone for ids % 3 == 0) and then redacted — the gate certifies
+# detection counts AND the masked text byte-for-byte across engines.
+# Patterns stay in the Java∩RE2 common subset (\b, \d, bounded
+# classes) so both engines see identical match sets.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def q174_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(F.lit("user"), did.cast("string"),
+                     F.lit("@example.com"))
+    ip = F.when(did % 2 == 0,
+                F.concat(F.lit("10.0."), (did % 256).cast("string"),
+                         F.lit("."),
+                         (F.floor(did / 256) % 256).cast("string")))
+    phone = F.when(did % 3 == 0,
+                   F.concat(F.lit("555-"),
+                            F.lpad((did % 1000).cast("string"), 3, "0"),
+                            F.lit("-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0")))
+    fab = F.concat_ws(" ", F.col("text"), email, ip, phone)
+    d = docs.select("doc_id", fab.alias("_t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("_t", _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("_t", F.lit(_PII_EMAIL), F.lit(0)))
+         .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("_t", F.lit(_PII_IP), F.lit(0)))
+         .cast("long").alias("n_ip"),
+        F.size(F.regexp_extract_all("_t", F.lit(_PII_PHONE), F.lit(0)))
+         .cast("long").alias("n_phone"),
+        red.alias("redacted"))
+
+
+Q174_SQL = r"""
+WITH fab AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                     CAST(CAST(floor(doc_id / 256) AS BIGINT) % 256 AS VARCHAR)
+                   END,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM fab
+"""
+
+
+# --------------------------------------------------------------------------
+# Q175 — logistic regression via TWO fixed IRLS iterations, fully
+# declarative (the classification sibling of q155's ridge): label
+# y = (l_returnflag = 'R'), features (1, quantity/50, discount*10).
+# Iteration 1 from beta=0 collapses to a closed-form weighted
+# least-squares (W = 1/4); iteration 2 recomputes per-row weights
+# p(1-p) against the broadcast beta and re-solves. Every sum is a
+# rounded-then-DECIMAL reduction, both normal-equation solves are the
+# same 3x3 cofactor expressions q155 uses, and zero rows are
+# collected — each iteration is ONE scan + one scalar broadcast, so
+# iteration count (not data) bounds plan depth at any corpus size.
+# --------------------------------------------------------------------------
+
+def q175_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import rnd0
+
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
+        (F.col("l_discount").cast("double") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"))
+    DEC = "decimal(38,10)"
+
+    def ds(c):
+        return F.sum(F.round(c, 10).cast(DEC)).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+
+    def solve3(m11, m12, m13, m22, m23, m33, t0, t1, t2, scale):
+        det = (m11 * (m22 * m33 - m23 * m23)
+               - m12 * (m12 * m33 - m23 * m13)
+               + m13 * (m12 * m23 - m22 * m13))
+        det0 = (t0 * (m22 * m33 - m23 * m23)
+                - m12 * (t1 * m33 - m23 * t2)
+                + m13 * (t1 * m23 - m22 * t2))
+        det1 = (m11 * (t1 * m33 - m23 * t2)
+                - t0 * (m12 * m33 - m23 * m13)
+                + m13 * (m12 * t2 - t1 * m13))
+        det2 = (m11 * (m22 * t2 - t1 * m23)
+                - m12 * (m12 * t2 - t1 * m13)
+                + t0 * (m12 * m23 - m22 * m13))
+        return (rnd0(det0 / det, scale), rnd0(det1 / det, scale),
+                rnd0(det2 / det, scale))
+
+    s = d.agg(F.count(F.lit(1)).cast("double").alias("n"),
+              ds(x1).alias("s1"), ds(x2).alias("s2"),
+              ds(x1 * x1).alias("s11"), ds(x1 * x2).alias("s12"),
+              ds(x2 * x2).alias("s22"), ds(y).alias("sy"),
+              ds(x1 * y).alias("s1y"), ds(x2 * y).alias("s2y"))
+    c = F.col
+    # beta1 = 4 * (X'X)^-1 X'(y - 1/2): the exact first IRLS step
+    b0a, b1a, b2a = solve3(c("n"), c("s1"), c("s2"), c("s11"), c("s12"),
+                           c("s22"),
+                           4.0 * (c("sy") - 0.5 * c("n")),
+                           4.0 * (c("s1y") - 0.5 * c("s1")),
+                           4.0 * (c("s2y") - 0.5 * c("s2")), 12)
+    beta1 = s.select(b0a.alias("c0"), b1a.alias("c1"), b2a.alias("c2"))
+
+    it2 = (d.crossJoin(F.broadcast(beta1))
+             .withColumn("u", F.round(c("c0") + c("c1") * x1
+                                      + c("c2") * x2, 12))
+             .withColumn("p", F.round(1.0 / (1.0 + F.exp(-c("u"))), 9))
+             .withColumn("wt", F.round(c("p") * (1.0 - c("p")), 12))
+             .withColumn("g", F.round(c("wt") * c("u")
+                                      + (y - c("p")), 12)))
+    wt, g = c("wt"), c("g")
+    s2f = it2.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  ds(wt).alias("m11"), ds(wt * x1).alias("m12"),
+                  ds(wt * x2).alias("m13"), ds(wt * x1 * x1).alias("m22"),
+                  ds(wt * x1 * x2).alias("m23"),
+                  ds(wt * x2 * x2).alias("m33"),
+                  ds(g).alias("t0"), ds(g * x1).alias("t1"),
+                  ds(g * x2).alias("t2"),
+                  ds(c("p")).alias("sp"))
+    b0, b1, b2 = solve3(c("m11"), c("m12"), c("m13"), c("m22"), c("m23"),
+                        c("m33"), c("t0"), c("t1"), c("t2"), 6)
+    return s2f.select("n_rows", b0.alias("b0"), b1.alias("b1"),
+                      b2.alias("b2"),
+                      rnd0(c("sp") / c("n_rows"), 6).alias("mean_p")) \
+              .filter(c("n_rows") > 0)
+
+
+Q175_SQL = """
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+         CAST(l_discount AS DOUBLE) * 10.0 AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(ROUND(x1 * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(ROUND(x1 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(ROUND(x2 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(ROUND(y, 10) AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x1 * y, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(ROUND(x2 * y, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s2y
+  FROM d
+), b1 AS (
+  SELECT
+    (ROUND(((4.0 * (sy - 0.5 * n)) * (s11 * s22 - s12 * s12)
+      - s1 * ((4.0 * (s1y - 0.5 * s1)) * s22 - s12 * (4.0 * (s2y - 0.5 * s2)))
+      + s2 * ((4.0 * (s1y - 0.5 * s1)) * s12 - s11 * (4.0 * (s2y - 0.5 * s2))))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)), 12) + 0.0) AS c0,
+    (ROUND((n * ((4.0 * (s1y - 0.5 * s1)) * s22 - s12 * (4.0 * (s2y - 0.5 * s2)))
+      - (4.0 * (sy - 0.5 * n)) * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * (4.0 * (s2y - 0.5 * s2)) - (4.0 * (s1y - 0.5 * s1)) * s2))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)), 12) + 0.0) AS c1,
+    (ROUND((n * (s11 * (4.0 * (s2y - 0.5 * s2)) - (4.0 * (s1y - 0.5 * s1)) * s12)
+      - s1 * (s1 * (4.0 * (s2y - 0.5 * s2)) - (4.0 * (s1y - 0.5 * s1)) * s2)
+      + (4.0 * (sy - 0.5 * n)) * (s1 * s12 - s11 * s2))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)), 12) + 0.0) AS c2
+  FROM s
+), it2 AS (
+  SELECT x1, x2, y, u, p,
+         ROUND(p * (1.0 - p), 12) AS wt,
+         ROUND(ROUND(p * (1.0 - p), 12) * u + (y - p), 12) AS g
+  FROM (SELECT d.*, u, ROUND(1.0 / (1.0 + exp(-u)), 9) AS p
+        FROM (SELECT d.*, ROUND(c0 + c1 * x1 + c2 * x2, 12) AS u
+              FROM d CROSS JOIN b1) d)
+), s2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(wt, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m11,
+         CAST(SUM(CAST(ROUND(wt * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m12,
+         CAST(SUM(CAST(ROUND(wt * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m13,
+         CAST(SUM(CAST(ROUND(wt * x1 * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m22,
+         CAST(SUM(CAST(ROUND(wt * x1 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m23,
+         CAST(SUM(CAST(ROUND(wt * x2 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m33,
+         CAST(SUM(CAST(ROUND(g, 10) AS DECIMAL(38,10))) AS DOUBLE) AS t0,
+         CAST(SUM(CAST(ROUND(g * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(ROUND(g * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS t2,
+         CAST(SUM(CAST(ROUND(p, 10) AS DECIMAL(38,10))) AS DOUBLE) AS sp
+  FROM it2
+)
+SELECT n_rows,
+  (ROUND((t0 * (m22 * m33 - m23 * m23) - m12 * (t1 * m33 - m23 * t2)
+    + m13 * (t1 * m23 - m22 * t2))
+    / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+       + m13 * (m12 * m23 - m22 * m13)), 6) + 0.0) AS b0,
+  (ROUND((m11 * (t1 * m33 - m23 * t2) - t0 * (m12 * m33 - m23 * m13)
+    + m13 * (m12 * t2 - t1 * m13))
+    / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+       + m13 * (m12 * m23 - m22 * m13)), 6) + 0.0) AS b1,
+  (ROUND((m11 * (m22 * t2 - t1 * m23) - m12 * (m12 * t2 - t1 * m13)
+    + t0 * (m12 * m23 - m22 * m13))
+    / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+       + m13 * (m12 * m23 - m22 * m13)), 6) + 0.0) AS b2,
+  (ROUND(sp / n_rows, 6) + 0.0) AS mean_p
+FROM s2
+WHERE n_rows > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Q176 — per-dimension embedding standardization (z-score): corpus
+# moments per dimension from one decimal-exact pass, standardized
+# values served for an id-bounded slice. The feature-normalization
+# step in front of any distance-based ANN/clustering stage; moments
+# are map-side-combinable aggregates, the serve join broadcasts 8
+# stat rows, and nothing about the plan changes at 100 TB.
+# --------------------------------------------------------------------------
+
+def q176_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import rnd0
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id",
+                    F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("dim", "v"))
+    DEC = "decimal(38,12)"
+    v = F.col("v")
+    st = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sv"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("svv"))
+    st = st.select(
+        "dim",
+        F.round(F.col("sv") / F.col("n"), 12).alias("mu"),
+        F.round(F.sqrt(F.greatest(
+            F.col("svv") / F.col("n")
+            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")),
+            F.lit(0.0))), 12).alias("sd"))
+    z = F.when(F.col("sd") == 0.0, F.lit(0.0)) \
+         .otherwise(rnd0((v - F.col("mu")) / F.col("sd"), 6))
+    return (ex.filter(F.col("vec_id") < 50)
+              .join(F.broadcast(st), "dim")
+              .select("vec_id", F.col("dim").cast("long").alias("dim"),
+                      z.alias("z")))
+
+
+Q176_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), st0 AS (
+  SELECT dim, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS svv
+  FROM ex GROUP BY dim
+), st AS (
+  SELECT dim, ROUND(sv / n, 12) AS mu,
+         ROUND(sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0)), 12) AS sd
+  FROM st0
+)
+SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+       CASE WHEN s.sd = 0.0 THEN 0.0
+            ELSE (ROUND((e.v - s.mu) / s.sd, 6) + 0.0) END AS z
+FROM ex e JOIN st s USING (dim)
+WHERE e.vec_id < 50
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -5666,4 +6038,20 @@ SPECS = [
     QuerySpec("q82_rerank", q82_rerank, Q82_SQL,
               "retrieve-then-rerank: IVFADC shortlist + exact cosine "
               "rerank (both stages oracle-replayed)"),
+    QuerySpec("q173_crossdoc_dedup", q173_crossdoc_dedup, Q173_SQL,
+              "corpus-wide exact substring dedup with a SURVIVOR: "
+              "repeated 5-gram spans keep their first (doc,pos) "
+              "occurrence, excised everywhere else (Lee et al. "
+              "keep-one policy; q152 is the excise-all sibling)"),
+    QuerySpec("q174_pii_redact", q174_pii_redact, Q174_SQL,
+              "PII detection + masking (email/IPv4/phone) via JVM "
+              "regex chains; counts and redacted text both "
+              "gate-certified byte-for-byte"),
+    QuerySpec("q175_logistic_fit", q175_logistic_fit, Q175_SQL,
+              "logistic regression, two declarative IRLS iterations "
+              "(closed-form 3x3 solves, decimal-exact sums, zero "
+              "collects — iteration count bounds plan depth)"),
+    QuerySpec("q176_embed_standardize", q176_embed_standardize, Q176_SQL,
+              "per-dimension embedding z-score: one-pass decimal "
+              "moments, broadcast serve join"),
 ]
