@@ -1190,3 +1190,77 @@ def crossdoc_span_dedup(df: DataFrame, id_col: str, text_col: str, *,
                         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
+
+
+def winnowing_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                    k: int = 4, w: int = 5, min_shared: int = 2,
+                    max_fp_df: int = 100) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, slide
+    a window of ``w`` consecutive grams, and select the RIGHTMOST
+    MINIMUM hash of each window as a fingerprint. Any shared substring
+    of length >= w+k-1 tokens is guaranteed to contribute at least one
+    shared fingerprint, so the selected ~1/w fraction of grams gives
+    deterministic partial-overlap detection — unlike MinHash (whole-doc
+    similarity) or ``repeated_ngram_spans`` (which keeps every gram).
+
+    The rightmost-min selection is ONE window min over an integer
+    encoding ``h * 2^20 + (2^20-1 - pos)`` (hash in the high bits,
+    reversed position in the low bits, so ties break to the LARGEST
+    position), replayable verbatim in ANSI SQL. Positions must stay
+    below 2^20 tokens per document — loudly asserted cheap via the
+    encoding itself (ANSI overflow would throw, not corrupt).
+
+    Pair generation joins per-doc fingerprint sets through the
+    fingerprint value with a document-frequency cap (``max_fp_df``,
+    the same hot-key discipline as tfidf_cosine_pairs): a fingerprint
+    shared by more documents than the cap is boilerplate, not
+    overlap signal, and would otherwise drive df^2 pair work.
+
+    Output: (id_a, id_b, shared_fps) for pairs sharing at least
+    ``min_shared`` fingerprints, id_a < id_b.
+
+    Reference parity: none — the reference Glue pipeline has no text
+    corpus; this is the LLM-curation extension family.
+    """
+    from pyspark.sql import Window
+
+    toks = (F.when(F.length(F.trim(F.col(text_col))) == 0,
+                   F.array().cast("array<string>"))
+             .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    n = F.size("t")
+    grams_arr = (
+        F.when(n < k, F.array().cast("array<string>"))
+         .otherwise(F.transform(
+             F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+             lambda i: F.concat_ws(
+                 " ", F.slice("t", (i + 1).cast("int"), k)))))
+    grams = base.select("doc_id", F.size(grams_arr).alias("n_g"),
+                        F.posexplode(grams_arr).alias("p", "g"))
+    # 40-bit portable hash leaves room for the 20-bit position suffix
+    h40 = F.pmod(portable_hash60(F.col("g")), F.lit(1 << 40))
+    keyed = grams.select(
+        "doc_id", "n_g", "p",
+        (h40 * F.lit(1 << 20)
+         + (F.lit((1 << 20) - 1) - F.col("p"))).alias("key"))
+    win = (Window.partitionBy("doc_id").orderBy("p")
+                 .rowsBetween(0, w - 1))
+    sel = (keyed.withColumn("mk", F.min("key").over(win))
+                .filter(F.col("p") <= F.greatest(F.col("n_g") - w,
+                                                 F.lit(0)))
+                .select("doc_id",
+                        F.shiftright(F.col("mk"), 20).alias("fp"))
+                .distinct())
+    live = (sel.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter((F.col("_df") >= 2) & (F.col("_df") <= max_fp_df))
+               .select("fp"))
+    s = sel.join(live, "fp")
+    a = s.select(F.col("doc_id").alias("id_a"), "fp")
+    b = s.select(F.col("doc_id").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+             .filter(F.col("shared_fps") >= min_shared))

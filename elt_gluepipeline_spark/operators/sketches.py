@@ -325,3 +325,57 @@ FROM (
         {from_clause})
 ) WHERE rk <= {k}
 GROUP BY {group_cols}"""
+
+
+def decimal_histogram_quantiles(df: DataFrame, group_cols: list[str],
+                                value_col: str,
+                                quantiles: list[float]) -> DataFrame:
+    """Mergeable quantile sketch via a DECIMAL-DIGIT histogram: each
+    positive value (exact cents, ``round(v*100)`` as BIGINT) lands in
+    the bucket (digit-count, first-two-digits) of its cents string —
+    a base-10 log histogram with <= ~10% relative bucket width, i.e.
+    quantile estimates within one leading-two-digit step of truth.
+    The quantile estimate is the LOWER BOUND of the first bucket whose
+    cumulative count reaches ceil(q*n).
+
+    Why this bucketing instead of floor(log(v)/log(gamma)) (DDSketch):
+    string length + substring are bit-identical in every engine, while
+    log-boundary values can land in different buckets across libm
+    implementations — the oracle gate needs determinism, and the
+    accuracy guarantee is the same flavor (relative-error buckets).
+
+    Scale shape: the state per group is at most 9*19 bucket counts
+    regardless of row count, merged by addition (map-side combine);
+    the quantile extraction is a window over those bounded buckets.
+    Equivalent role to Spark's approx_percentile / t-digest, but with
+    a deterministic, engine-replayable definition.
+
+    Output: one row per group: n plus one ``p<q>`` column per
+    requested quantile (value units, rounded to 2).
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    d = (df.filter(F.col(value_col) > 0)
+           .select(*group_cols, cents.alias("_c")))
+    s = F.col("_c").cast("string")
+    bucket = (F.length(s) * 100
+              + F.substring(s, 1, 2).cast("int")).alias("bucket")
+    lower = (F.substring(s, 1, 2).cast("double")
+             * F.pow(F.lit(10.0), F.length(s) - 2)).alias("lower_cents")
+    hist = (d.select(*group_cols, bucket, lower)
+              .groupBy(*group_cols, "bucket", "lower_cents")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    wg = Window.partitionBy(*group_cols)
+    wcum = (Window.partitionBy(*group_cols).orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    hist = (hist.withColumn("n", F.sum("cnt").over(wg))
+                .withColumn("cum", F.sum("cnt").over(wcum)))
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in quantiles:
+        name = f"p{int(round(q * 100))}"
+        thr = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(F.round(F.min(
+            F.when(F.col("cum") >= thr, F.col("lower_cents"))) / 100.0,
+            2).alias(name))
+    return hist.groupBy(*group_cols).agg(*aggs)

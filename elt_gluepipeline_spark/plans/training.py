@@ -3941,43 +3941,70 @@ LEFT JOIN agg a USING (doc_id)
 
 
 # --------------------------------------------------------------------------
-# Q153 — SemDeDup (Abbas et al. 2023): semantic dedup via k-means
-# cells + within-cell cosine. The design point of the paper is that
-# the CLUSTERS bound the quadratic term: all-pairs cosine runs only
-# inside a cell (cell size ~ n/k, k grows with the corpus), never
-# globally — the same blocking discipline as the MinHash family but in
-# embedding space. Cells come from the persisted k-means artifact
-# (zero training jobs at serve, q67's fit/serve split); the keep
-# policy is min-id dominance (drop any vector with a smaller-id
-# neighbor at cos >= tau) so the survivor set is deterministic. The
-# oracle replays the full Lloyd fit (Q67's fixed-point CTE), the
-# within-cell pairwise cosines, and the dominance rule.
+# Q153 — SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+# cells + within-cell cosine. The cells must do two jobs at once:
+# (a) be SEMANTIC (near-dups land together — k-means geometry), and
+# (b) stay BOUNDED as the corpus grows (else within-cell all-pairs is
+# quadratic). Fitting k-means with k ∝ n satisfies (b) for the pair
+# stage but makes ASSIGNMENT itself Θ(n·k) = Θ(n²/256): the r6
+# constant-dup-rate sweep measured that design at 3.1x cost for 4x
+# data — nearest-centroid against a corpus-scaled centroid set is the
+# hidden quadratic term. The scale-correct composition: a FIXED
+# k-means layer (k=8, the memory-budget coarse quantizer) for
+# semantic geometry, sub-split by masked sign-LSH bits where the mask
+# width grows as b = #{i : n > 2048·2^i} — pure integer comparisons,
+# bit-identical in every engine, no log() boundary hazards. Expected
+# cell size stays in [128, 256]; assignment is n·(8 centroids + 24
+# fixed hyperplanes) = Θ(n). The keep policy is min-id dominance
+# (drop any vector with a smaller-id neighbor at cos >= tau). The
+# oracle replays the Lloyd fit (k=8), the plane signs, the mask
+# derivation, the within-cell cosines, and the dominance rule.
+# Recall note: sub-splitting can separate a near-dup pair whose signs
+# differ on an unmasked plane — the same within-cell-only tradeoff
+# the paper's clusters already make, certified samplable the q171 way.
 # --------------------------------------------------------------------------
 
-def _semdedup_k(n: int) -> int:
-    """SemDeDup's cluster count SCALES WITH THE CORPUS (the paper's
-    design point): k = max(8, ceil(n/256)) caps expected cell size at
-    ~256 vectors, so within-cell all-pairs stays LINEAR in n as the
-    corpus grows — a fixed k would make it quadratic (measured: 10.7x
-    cost at 4x data with k=8; 1.0x with this rule)."""
-    return max(8, -(-n // 256))
+_SEMDEDUP_K = 8          # fixed coarse k-means layer (memory budget)
+_SEMDEDUP_PLANES_N = 24  # fixed hyperplane pool; the MASK grows, not this
+_SEMDEDUP_CELL = 2048    # target pre-split corpus per km-cell octant
+
+
+def _semdedup_bits(n: int) -> int:
+    """Masked sub-split width: b = #{i in [0,24) : n > 2048*2^i}.
+    Doubling the corpus adds one bit, so expected cell size stays in
+    [128, 256] — and the rule is integer comparisons only, identical
+    in Spark and DuckDB (ceil(log2(...)) would be libm-dependent at
+    exact powers of two)."""
+    return sum(1 for i in range(_SEMDEDUP_PLANES_N)
+               if n > _SEMDEDUP_CELL * (1 << i))
 
 
 def _semdedup_artifact(spark: SparkSession, sf_dir: str):
-    """Corpus-size-scaled k-means cells for q153 (cache kind 'semk' —
-    distinct from q67's fixed-k=8 'km' artifact)."""
+    """Fixed-k coarse cells for q153 (cache kind 'semk'; k=8, seed 7 —
+    distinct artifact from q67's 'km' so the two queries stay
+    independently cacheable). The corpus-scaled piece of the cell id
+    (the LSH mask) is derived IN-PLAN from a count aggregate, so it
+    needs no artifact and no refit policy; the k-means artifact still
+    refits whenever the dataset changes (mtime/child-count keying,
+    pinned by test_artifact_refit)."""
     from ..operators.similarity import fit_kmeans_artifact
 
     def fit():
         emb = read_table(spark, sf_dir, "embeddings")
-        k = _semdedup_k(emb.count())
-        return fit_kmeans_artifact(emb, k=k, n_iter=2, seed=7)
+        return fit_kmeans_artifact(emb, k=_SEMDEDUP_K, n_iter=2, seed=7)
 
-    return _fitted_artifact(spark, sf_dir, "semk", fit)
+    # kind 'semk8' (not the r5 'semk'): the fit params changed to
+    # fixed k=8, and the artifact key must change with them so a
+    # cache written by the old dynamic-k rule can never be served
+    return _fitted_artifact(spark, sf_dir, "semk8", fit)
+
+
+_SEM_PLANES = _hyperplanes(EMB_DIM, _SEMDEDUP_PLANES_N, 7)
 
 
 def q153_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine, kmeans_assign_serve
+    from ..operators.similarity import (cosine, kmeans_assign_serve,
+                                        signature_col)
 
     emb = read_table(spark, sf_dir, "embeddings")
     art = _semdedup_artifact(spark, sf_dir)
@@ -3986,11 +4013,24 @@ def q153_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select("vec_id", F.lit(0).alias("cell"),
                            F.lit(True).alias("keep"),
                            F.lit(0.0).alias("max_cos")))
+    cnt = emb.agg(F.count(F.lit(1)).alias("_n"))
+    b = None
+    for i in range(_SEMDEDUP_PLANES_N):
+        term = F.when(F.col("_n") > F.lit(_SEMDEDUP_CELL * (1 << i)),
+                      1).otherwise(0)
+        b = term if b is None else b + term
+    mask = F.pow(F.lit(2.0), b).cast("long") - F.lit(1).cast("long")
     t = (kmeans_assign_serve(emb, art).select("vec_id", "cell")
          .join(emb.select("vec_id",
                           F.col("embedding").cast("array<double>")
                            .alias("v")),
-               "vec_id"))
+               "vec_id")
+         .crossJoin(F.broadcast(cnt.select(mask.alias("_mask"))))
+         .withColumn("cell",
+                     F.col("cell").cast("long") * F.lit(1 << 24)
+                     + signature_col(F.col("v"), _SEM_PLANES)
+                        .bitwiseAND(F.col("_mask")))
+         .select("vec_id", "cell", "v"))
     a, b = t.alias("a"), t.alias("b")
     cos_r = (F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
              + F.lit(0.0))
@@ -4017,17 +4057,26 @@ def q153_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("max_cos")))
 
 
-_Q153_ASG = """
+_Q153_SIG = "\n         + ".join(
+    f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, plane in enumerate(_SEM_PLANES))
+_Q153_BITS = "\n         + ".join(
+    f"(CASE WHEN _n > {_SEMDEDUP_CELL * (1 << i)} THEN 1 ELSE 0 END)"
+    for i in range(_SEMDEDUP_PLANES_N))
+
+_Q153_ASG = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-kk AS (
-  SELECT GREATEST(8, CAST(ceil(COUNT(*) / 256.0) AS BIGINT)) AS k FROM e
+msk AS (
+  SELECT CAST(power(2, {_Q153_BITS}) AS BIGINT) - 1 AS mask
+  FROM (SELECT COUNT(*) AS _n FROM e)
 ),
 seeds AS (
   SELECT v AS cv,
          ROW_NUMBER() OVER (
            ORDER BY CAST(('0x' || substr(md5(vec_id || '#7'), 1, 15)) AS BIGINT),
                     vec_id) - 1 AS cell
-  FROM e QUALIFY cell < (SELECT k FROM kk)
+  FROM e QUALIFY cell < {_SEMDEDUP_K}
 ),
 d1 AS (
   SELECT e.vec_id, e.v, s.cell,
@@ -4061,12 +4110,18 @@ d2 AS (
                                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
   FROM e CROSS JOIN cent2 c
 ),
-asg AS (
+asg0 AS (
   SELECT vec_id, v, cell
   FROM (SELECT vec_id, v, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
         FROM d2)
   WHERE rn = 1
+),
+asg AS (
+  SELECT vec_id, v,
+         cell * 16777216
+           + (({_Q153_SIG}) & (SELECT mask FROM msk)) AS cell
+  FROM asg0
 )
 """
 
@@ -5729,6 +5784,206 @@ WHERE e.vec_id < 50
 """
 
 
+# --------------------------------------------------------------------------
+# Q177 — winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken
+# 2003, the MOSS algorithm): rightmost-min-per-window k-gram selection
+# gives ~1/w of the grams with a GUARANTEE that any shared run of
+# >= w+k-1 tokens yields a shared fingerprint — deterministic partial-
+# overlap detection, the policy between MinHash (whole-doc) and
+# repeated-span excision (every gram). Selection is one window min
+# over the integer encoding h*2^20 + (2^20-1-p); pairs join through a
+# df-capped fingerprint index (hot boilerplate fingerprints excluded,
+# the same discipline as tfidf_cosine_pairs).
+# --------------------------------------------------------------------------
+
+def q177_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnowing_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnowing_pairs(docs, "doc_id", "text", k=4, w=5,
+                           min_shared=2, max_fp_df=100)
+
+
+Q177_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), gl AS (
+  SELECT doc_id, list_transform(generate_series(1, len(t)-4+1),
+                 i -> array_to_string(t[i:i+3], ' ')) AS g
+  FROM base WHERE len(t) >= 4
+), grams AS (
+  SELECT doc_id, len(g) AS n_g, generate_subscripts(g,1)-1 AS p,
+         unnest(g) AS gr
+  FROM gl
+), keyed AS (
+  SELECT doc_id, n_g, p,
+         (CAST(('0x' || substr(md5(gr),1,15)) AS BIGINT)
+          % 1099511627776) * 1048576 + (1048575 - p) AS key
+  FROM grams
+), mins AS (
+  SELECT doc_id, n_g, p,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk
+  FROM keyed
+), sel AS (
+  SELECT DISTINCT doc_id, mk // 1048576 AS fp
+  FROM mins WHERE p <= greatest(n_g - 5, 0)
+), live AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 100
+), s AS (
+  SELECT sel.doc_id, sel.fp FROM sel JOIN live USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM s a JOIN s b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q178 — DSIR-style importance weights (Xie et al. 2023): hashed-
+# unigram bucket distributions for the TARGET slice (lang='en') vs
+# the raw corpus, Laplace-smoothed; each document scores the sum of
+# per-token log probability ratios. The data-SELECTION step of a
+# pretraining pipeline — downstream resampling keeps target-like
+# documents. 512 bucket-stat rows broadcast to the scoring join.
+# --------------------------------------------------------------------------
+
+def q178_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_importance_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(docs, "doc_id", "text",
+                                   F.col("lang") == "en", n_buckets=512)
+
+
+Q178_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+), bk AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(word),1,15)) AS BIGINT) % 512 AS b
+  FROM toks
+), doc_b AS (
+  SELECT doc_id, b, count(*) AS n_db FROM bk GROUP BY 1, 2
+), stats AS (
+  SELECT b, count(*) AS c_raw, SUM(is_t) AS c_tgt FROM bk GROUP BY 1
+), tot AS (
+  SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM stats
+), rates AS (
+  SELECT b, ROUND(ln(((c_tgt + 1.0) / (t_tgt + 512.0))
+                  / ((c_raw + 1.0) / (t_raw + 512.0))), 12) AS term
+  FROM stats CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(n_db) AS BIGINT) AS n_tokens,
+       (ROUND(CAST(SUM(CAST(n_db * term AS DECIMAL(38,12))) AS DOUBLE),
+              6) + 0.0) AS log_weight
+FROM doc_b JOIN rates USING (b)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q179 — Jensen-Shannon divergence between the unigram distributions
+# of two corpus slices (lang='en' vs the rest): the bounded, symmetric
+# drift measure for monitoring domain-mixture shift between corpus
+# snapshots. One shuffle on word; per-word terms decimal-summed.
+# --------------------------------------------------------------------------
+
+def q179_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import js_divergence_slices
+
+    docs = read_table(spark, sf_dir, "documents")
+    return js_divergence_slices(docs, "text", F.col("lang") == "en")
+
+
+Q179_SQL = r"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_p,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE length(trim(text)) > 0
+), wc AS (
+  SELECT word, SUM(in_p) AS cp, SUM(1 - in_p) AS cq
+  FROM toks GROUP BY word
+), tot AS (
+  SELECT SUM(cp) AS np, SUM(cq) AS nq FROM wc
+), terms AS (
+  SELECT word, cp, cq, np, nq,
+         CASE WHEN cp > 0 THEN (cp/np) * ln((cp/np)
+              / ((cp/np + cq/nq) / 2.0)) ELSE 0.0 END AS tp,
+         CASE WHEN cq > 0 THEN (cq/nq) * ln((cq/nq)
+              / ((cp/np + cq/nq) / 2.0)) ELSE 0.0 END AS tq
+  FROM wc CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(MAX(np) AS BIGINT) AS tokens_p,
+       CAST(MAX(nq) AS BIGINT) AS tokens_q,
+       (ROUND(CAST(SUM(CAST(ROUND(0.5 * tp + 0.5 * tq, 12)
+                            AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0)
+         AS js_nats
+FROM terms
+HAVING MAX(np) > 0 AND MAX(nq) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Q180 — mergeable histogram-quantile sketch over line revenue:
+# decimal-digit buckets (length, first-two-digits of exact cents) so
+# the bucketing is bit-identical across engines (log-boundary values
+# are libm-dependent; string digits are not), bounded state per group
+# (<= 9*19 buckets no matter the row count), quantile = lower bound
+# of the first bucket reaching ceil(q*n). The deterministic stand-in
+# for approx_percentile/t-digest in the sketch family.
+# --------------------------------------------------------------------------
+
+def q180_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import decimal_histogram_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return decimal_histogram_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        quantiles=[0.5, 0.95, 0.99])
+
+
+Q180_SQL = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice > 0
+), h AS (
+  SELECT l_returnflag,
+         length(CAST(c AS VARCHAR)) * 100
+           + CAST(substr(CAST(c AS VARCHAR), 1, 2) AS INT) AS bucket,
+         CAST(substr(CAST(c AS VARCHAR), 1, 2) AS DOUBLE)
+           * power(10, length(CAST(c AS VARCHAR)) - 2) AS lower_cents,
+         count(*) AS cnt
+  FROM d GROUP BY 1, 2, 3
+), w AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY l_returnflag) AS n,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM h
+)
+SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN lower_cents END)
+             / 100.0, 2) AS p50,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN lower_cents END)
+             / 100.0, 2) AS p95,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN lower_cents END)
+             / 100.0, 2) AS p99
+FROM w
+GROUP BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -6054,4 +6309,19 @@ SPECS = [
     QuerySpec("q176_embed_standardize", q176_embed_standardize, Q176_SQL,
               "per-dimension embedding z-score: one-pass decimal "
               "moments, broadcast serve join"),
+    QuerySpec("q177_winnowing", q177_winnowing, Q177_SQL,
+              "winnowing fingerprint overlap (MOSS): rightmost-min-"
+              "per-window gram selection, df-capped pair join — "
+              "guaranteed detection of shared runs >= w+k-1 tokens"),
+    QuerySpec("q178_dsir_weights", q178_dsir_weights, Q178_SQL,
+              "DSIR importance weights: hashed-unigram bucket "
+              "distributions target-vs-raw, per-doc log-ratio scores "
+              "(broadcast 512-row stats join)"),
+    QuerySpec("q179_js_drift", q179_js_drift, Q179_SQL,
+              "Jensen-Shannon divergence between corpus slices' "
+              "unigram distributions (domain-mixture drift monitor)"),
+    QuerySpec("q180_quantile_sketch", q180_quantile_sketch, Q180_SQL,
+              "mergeable decimal-digit histogram quantiles (p50/p95/"
+              "p99) — deterministic, engine-replayable t-digest "
+              "stand-in with bounded per-group state"),
 ]

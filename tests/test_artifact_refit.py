@@ -1,12 +1,15 @@
 """Refit policy for dataset-keyed artifacts (judge r6 item #3).
 
-q153's SemDeDup cells are fitted with k = ceil(n/256) — a CORPUS-
-SCALED hyperparameter — so the fit/serve split is only sound if a
-grown corpus under the SAME path triggers a refit with the new k.
-The contract (plans/training.py:_fitted_artifact) keys the persisted
-artifact on the dataset's modification state (file mtime; for a
-directory, child count + newest child mtime), so any rewrite/append
-produces a fresh fit.
+q153's SemDeDup coarse cells come from a k-means artifact fitted on
+the corpus; the fit/serve split is only sound if a grown or rewritten
+corpus under the SAME path triggers a refit. The contract
+(plans/training.py:_fitted_artifact) keys the persisted artifact on
+the dataset's modification state (file mtime; for a directory, child
+count + newest child mtime), so any rewrite/append produces a fresh
+fit. The corpus-SCALED piece of the q153 cell id (the sign-LSH mask
+width b) is derived in-plan from a count aggregate every run, so it
+needs no artifact and no refit policy at all — that derivation is
+pinned here against its Python twin.
 """
 
 from __future__ import annotations
@@ -30,14 +33,14 @@ def _write_embeddings(spark, sf_dir: str, n: int) -> None:
 
 
 def test_semdedup_artifact_refits_on_corpus_growth(spark, tmp_path):
-    from elt_gluepipeline_spark.plans.training import (_semdedup_artifact,
-                                                       _semdedup_k)
+    from elt_gluepipeline_spark.plans.training import (_SEMDEDUP_K,
+                                                       _semdedup_artifact)
 
     sf_dir = str(tmp_path / "ds")
     os.makedirs(sf_dir)
     _write_embeddings(spark, sf_dir, 2500)
     art1 = _semdedup_artifact(spark, sf_dir)
-    assert art1.k == _semdedup_k(2500) and len(art1.books[0]) == art1.k
+    assert art1.k == _SEMDEDUP_K and len(art1.books[0]) == art1.k
 
     # grow the corpus UNDER THE SAME PATH (the scenario the refit
     # policy exists for); sleep past filesystem mtime granularity so
@@ -46,10 +49,28 @@ def test_semdedup_artifact_refits_on_corpus_growth(spark, tmp_path):
     shutil.rmtree(f"{sf_dir}/embeddings.parquet")
     _write_embeddings(spark, sf_dir, 10000)
     art2 = _semdedup_artifact(spark, sf_dir)
-    assert art2.k == _semdedup_k(10000)
-    assert art2.k > art1.k
+    assert art2.k == _SEMDEDUP_K
+    # refit happened: centroids reflect the new data
+    assert art2.books != art1.books
 
-    # unchanged corpus -> artifact is LOADED, not refit (same k, and
-    # the memo/persisted copy round-trips identical centroids)
+    # unchanged corpus -> artifact is LOADED, not refit (same
+    # centroids round-trip from the memo/persisted copy)
     art3 = _semdedup_artifact(spark, sf_dir)
     assert art3.k == art2.k and art3.books == art2.books
+
+
+def test_semdedup_mask_width_rule():
+    """b = #{i : n > 2048*2^i}: doubling the corpus adds one bit, so
+    expected cell size stays in [128, 256] — and the rule is integer
+    comparisons only (no libm log boundaries)."""
+    from elt_gluepipeline_spark.plans.training import _semdedup_bits
+
+    assert _semdedup_bits(0) == 0
+    assert _semdedup_bits(2048) == 0
+    assert _semdedup_bits(2049) == 1
+    assert _semdedup_bits(4096) == 1
+    assert _semdedup_bits(4097) == 2
+    assert _semdedup_bits(1 << 20) == 9
+    # doubling adds exactly one bit across the whole range
+    for n in [3000, 10_000, 1_000_000, 50_000_000]:
+        assert _semdedup_bits(2 * n) == _semdedup_bits(n) + 1

@@ -78,8 +78,16 @@ def build_scaled(spark, src: str, out: str, factor: int,
         scaled.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
     def perturb_text(d, i):
+        # suffix every WORD with a replica tag: token count, shingle
+        # structure, and per-shingle document frequency are identical
+        # to the base corpus (so the N× corpus is N independent copies
+        # of the same similarity graph — output grows N×), while no
+        # k-gram survives across replicas. (The earlier interleaved-
+        # filler variant halved effective shingle width and densified
+        # shingle DFs, making the scaled corpus intrinsically harder —
+        # it measured corpus hardness, not plan cost.)
         return d.withColumn(
-            "text", F.regexp_replace("text", r"\s+", f" zqx{i} "))
+            "text", F.regexp_replace("text", r"(\S+)", f"$1zq{i}"))
 
     def perturb_vec(d, i):
         n = F.size("embedding")
