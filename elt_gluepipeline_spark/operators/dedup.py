@@ -1204,12 +1204,16 @@ def winnowing_pairs(df: DataFrame, id_col: str, text_col: str, *,
     deterministic partial-overlap detection — unlike MinHash (whole-doc
     similarity) or ``repeated_ngram_spans`` (which keeps every gram).
 
-    The rightmost-min selection is ONE window min over an integer
-    encoding ``h * 2^20 + (2^20-1 - pos)`` (hash in the high bits,
-    reversed position in the low bits, so ties break to the LARGEST
-    position), replayable verbatim in ANSI SQL. Positions must stay
-    below 2^20 tokens per document — loudly asserted cheap via the
-    encoding itself (ANSI overflow would throw, not corrupt).
+    The rightmost-min selection works on the integer encoding
+    ``h * 2^20 + (2^20-1 - pos)`` (hash in the high bits, reversed
+    position in the low bits, so ties break to the LARGEST position)
+    and runs ENTIRELY IN THE ARRAY DOMAIN — per-document
+    transform/slice/array_min, one map-only pass, no explode-then-
+    window (a window min over per-doc partitions measured 22s at
+    sf0.1 vs ~3s for this form: millions of 1-row-per-gram window
+    frames lose to one array pass per document). Positions must stay
+    below 2^20 tokens per document — loudly enforced by the encoding
+    itself (ANSI overflow would throw, not corrupt).
 
     Pair generation joins per-doc fingerprint sets through the
     fingerprint value with a document-frequency cap (``max_fp_df``,
@@ -1223,7 +1227,7 @@ def winnowing_pairs(df: DataFrame, id_col: str, text_col: str, *,
     Reference parity: none — the reference Glue pipeline has no text
     corpus; this is the LLM-curation extension family.
     """
-    from pyspark.sql import Window
+    from ._cache import register_cache
 
     toks = (F.when(F.length(F.trim(F.col(text_col))) == 0,
                    F.array().cast("array<string>"))
@@ -1236,22 +1240,28 @@ def winnowing_pairs(df: DataFrame, id_col: str, text_col: str, *,
              F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
              lambda i: F.concat_ws(
                  " ", F.slice("t", (i + 1).cast("int"), k)))))
-    grams = base.select("doc_id", F.size(grams_arr).alias("n_g"),
-                        F.posexplode(grams_arr).alias("p", "g"))
     # 40-bit portable hash leaves room for the 20-bit position suffix
-    h40 = F.pmod(portable_hash60(F.col("g")), F.lit(1 << 40))
-    keyed = grams.select(
-        "doc_id", "n_g", "p",
-        (h40 * F.lit(1 << 20)
-         + (F.lit((1 << 20) - 1) - F.col("p"))).alias("key"))
-    win = (Window.partitionBy("doc_id").orderBy("p")
-                 .rowsBetween(0, w - 1))
-    sel = (keyed.withColumn("mk", F.min("key").over(win))
-                .filter(F.col("p") <= F.greatest(F.col("n_g") - w,
-                                                 F.lit(0)))
-                .select("doc_id",
-                        F.shiftright(F.col("mk"), 20).alias("fp"))
-                .distinct())
+    keys_arr = F.transform(
+        grams_arr,
+        lambda g, i: (F.pmod(portable_hash60(g), F.lit(1 << 40))
+                      * F.lit(1 << 20)
+                      + (F.lit((1 << 20) - 1) - i.cast("long"))))
+    keyed = base.select("doc_id", keys_arr.alias("ks"))
+    ng = F.size("ks")
+    sel_arr = (
+        F.when(ng == 0, F.array().cast("array<bigint>"))
+         .otherwise(F.array_distinct(F.transform(
+             F.sequence(F.lit(0), F.greatest(ng - w, F.lit(0))),
+             lambda s: F.shiftright(
+                 F.array_min(F.slice("ks", (s + 1).cast("int"), w)),
+                 20)))))
+    # the fingerprint set feeds THREE consumers below (df-count, pair
+    # side A, pair side B); persist it or the gram+hash+min subtree
+    # recomputes per consumer (registry-tracked, released by bench/
+    # gate/test harnesses)
+    sel = register_cache(
+        keyed.select("doc_id", F.explode(sel_arr).alias("fp"))
+             .distinct())
     live = (sel.groupBy("fp")
                .agg(F.count(F.lit(1)).alias("_df"))
                .filter((F.col("_df") >= 2) & (F.col("_df") <= max_fp_df))

@@ -35,6 +35,13 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+# NOTE (r6, measured): expanding these literal-vector folds into
+# element_at chains to "stay in codegen" is NOT faster — ANSI bounds/
+# null checks on 24 planes x 64 element_at nodes cost more than the
+# HOF's tight single-pass loop (micro-bench: 0.16s expanded vs 0.10s
+# HOF over 40k rows x 24 planes, identical outputs). Keep the HOFs.
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, v: acc + v))

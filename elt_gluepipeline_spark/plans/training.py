@@ -4003,8 +4003,9 @@ _SEM_PLANES = _hyperplanes(EMB_DIM, _SEMDEDUP_PLANES_N, 7)
 
 
 def q153_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import (cosine, kmeans_assign_serve,
-                                        signature_col)
+    from ..operators._cache import register_cache
+    from ..operators.similarity import (dot, kmeans_assign_serve,
+                                        l2_norm, signature_col)
 
     emb = read_table(spark, sf_dir, "embeddings")
     art = _semdedup_artifact(spark, sf_dir)
@@ -4020,19 +4021,25 @@ def q153_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       1).otherwise(0)
         b = term if b is None else b + term
     mask = F.pow(F.lit(2.0), b).cast("long") - F.lit(1).cast("long")
-    t = (kmeans_assign_serve(emb, art).select("vec_id", "cell")
-         .join(emb.select("vec_id",
-                          F.col("embedding").cast("array<double>")
-                           .alias("v")),
-               "vec_id")
-         .crossJoin(F.broadcast(cnt.select(mask.alias("_mask"))))
-         .withColumn("cell",
-                     F.col("cell").cast("long") * F.lit(1 << 24)
-                     + signature_col(F.col("v"), _SEM_PLANES)
-                        .bitwiseAND(F.col("_mask")))
-         .select("vec_id", "cell", "v"))
+    # norms project ONCE per vector (not once per pair — same doubles,
+    # sqrt(dot(v,v)) either way); t feeds BOTH self-join sides and the
+    # final keep join, so it is registry-cached or the assignment +
+    # signature subtree would run three times
+    t = register_cache(
+        kmeans_assign_serve(emb, art).select("vec_id", "cell")
+        .join(emb.select("vec_id",
+                         F.col("embedding").cast("array<double>")
+                          .alias("v")),
+              "vec_id")
+        .crossJoin(F.broadcast(cnt.select(mask.alias("_mask"))))
+        .withColumn("cell",
+                    F.col("cell").cast("long") * F.lit(1 << 24)
+                    + signature_col(F.col("v"), _SEM_PLANES)
+                       .bitwiseAND(F.col("_mask")))
+        .select("vec_id", "cell", "v", l2_norm(F.col("v")).alias("_nm")))
     a, b = t.alias("a"), t.alias("b")
-    cos_r = (F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    cos_r = (F.round(dot(F.col("a.v"), F.col("b.v"))
+                     / (F.col("a._nm") * F.col("b._nm")), 6)
              + F.lit(0.0))
     pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -5580,37 +5587,42 @@ FROM fab
 # iteration count (not data) bounds plan depth at any corpus size.
 # --------------------------------------------------------------------------
 
-def q175_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _irls_ds(c):
+    """Rounded-then-DECIMAL sum: the engine/partition-stable reduction
+    every IRLS moment uses."""
+    return F.sum(F.round(c, 10).cast("decimal(38,10)")).cast("double")
+
+
+def _solve3(m11, m12, m13, m22, m23, m33, t0, t1, t2, scale):
+    """Closed-form 3x3 normal-equation solve by cofactor expansion,
+    each coefficient rounded to ``scale`` (shared by q155/q175/q181)."""
     from ..functions.deterministic import rnd0
 
-    li = read_table(spark, sf_dir, "lineitem")
-    d = li.select(
-        (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
-        (F.col("l_discount").cast("double") * 10.0).alias("x2"),
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"))
-    DEC = "decimal(38,10)"
+    det = (m11 * (m22 * m33 - m23 * m23)
+           - m12 * (m12 * m33 - m23 * m13)
+           + m13 * (m12 * m23 - m22 * m13))
+    det0 = (t0 * (m22 * m33 - m23 * m23)
+            - m12 * (t1 * m33 - m23 * t2)
+            + m13 * (t1 * m23 - m22 * t2))
+    det1 = (m11 * (t1 * m33 - m23 * t2)
+            - t0 * (m12 * m33 - m23 * m13)
+            + m13 * (m12 * t2 - t1 * m13))
+    det2 = (m11 * (m22 * t2 - t1 * m23)
+            - m12 * (m12 * t2 - t1 * m13)
+            + t0 * (m12 * m23 - m22 * m13))
+    return (rnd0(det0 / det, scale), rnd0(det1 / det, scale),
+            rnd0(det2 / det, scale))
 
-    def ds(c):
-        return F.sum(F.round(c, 10).cast(DEC)).cast("double")
 
+def _logistic_irls2(d: DataFrame) -> DataFrame:
+    """Two declarative IRLS iterations over (x1, x2, y) — returns ONE
+    row (n_rows, b0, b1, b2, mean_p); zero rows on empty input. Each
+    iteration is one scan + one scalar broadcast, so iteration count
+    (not data) bounds plan depth at any corpus size."""
+    from ..functions.deterministic import rnd0
+
+    ds = _irls_ds
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
-
-    def solve3(m11, m12, m13, m22, m23, m33, t0, t1, t2, scale):
-        det = (m11 * (m22 * m33 - m23 * m23)
-               - m12 * (m12 * m33 - m23 * m13)
-               + m13 * (m12 * m23 - m22 * m13))
-        det0 = (t0 * (m22 * m33 - m23 * m23)
-                - m12 * (t1 * m33 - m23 * t2)
-                + m13 * (t1 * m23 - m22 * t2))
-        det1 = (m11 * (t1 * m33 - m23 * t2)
-                - t0 * (m12 * m33 - m23 * m13)
-                + m13 * (m12 * t2 - t1 * m13))
-        det2 = (m11 * (m22 * t2 - t1 * m23)
-                - m12 * (m12 * t2 - t1 * m13)
-                + t0 * (m12 * m23 - m22 * m13))
-        return (rnd0(det0 / det, scale), rnd0(det1 / det, scale),
-                rnd0(det2 / det, scale))
-
     s = d.agg(F.count(F.lit(1)).cast("double").alias("n"),
               ds(x1).alias("s1"), ds(x2).alias("s2"),
               ds(x1 * x1).alias("s11"), ds(x1 * x2).alias("s12"),
@@ -5618,11 +5630,11 @@ def q175_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
               ds(x1 * y).alias("s1y"), ds(x2 * y).alias("s2y"))
     c = F.col
     # beta1 = 4 * (X'X)^-1 X'(y - 1/2): the exact first IRLS step
-    b0a, b1a, b2a = solve3(c("n"), c("s1"), c("s2"), c("s11"), c("s12"),
-                           c("s22"),
-                           4.0 * (c("sy") - 0.5 * c("n")),
-                           4.0 * (c("s1y") - 0.5 * c("s1")),
-                           4.0 * (c("s2y") - 0.5 * c("s2")), 12)
+    b0a, b1a, b2a = _solve3(c("n"), c("s1"), c("s2"), c("s11"),
+                            c("s12"), c("s22"),
+                            4.0 * (c("sy") - 0.5 * c("n")),
+                            4.0 * (c("s1y") - 0.5 * c("s1")),
+                            4.0 * (c("s2y") - 0.5 * c("s2")), 12)
     beta1 = s.select(b0a.alias("c0"), b1a.alias("c1"), b2a.alias("c2"))
 
     it2 = (d.crossJoin(F.broadcast(beta1))
@@ -5641,12 +5653,21 @@ def q175_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ds(g).alias("t0"), ds(g * x1).alias("t1"),
                   ds(g * x2).alias("t2"),
                   ds(c("p")).alias("sp"))
-    b0, b1, b2 = solve3(c("m11"), c("m12"), c("m13"), c("m22"), c("m23"),
-                        c("m33"), c("t0"), c("t1"), c("t2"), 6)
+    b0, b1, b2 = _solve3(c("m11"), c("m12"), c("m13"), c("m22"),
+                         c("m23"), c("m33"), c("t0"), c("t1"), c("t2"), 6)
     return s2f.select("n_rows", b0.alias("b0"), b1.alias("b1"),
                       b2.alias("b2"),
                       rnd0(c("sp") / c("n_rows"), 6).alias("mean_p")) \
               .filter(c("n_rows") > 0)
+
+
+def q175_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
+        (F.col("l_discount").cast("double") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"))
+    return _logistic_irls2(d)
 
 
 Q175_SQL = """
@@ -5814,23 +5835,19 @@ WITH base AS (
   SELECT doc_id, list_transform(generate_series(1, len(t)-4+1),
                  i -> array_to_string(t[i:i+3], ' ')) AS g
   FROM base WHERE len(t) >= 4
-), grams AS (
-  SELECT doc_id, len(g) AS n_g, generate_subscripts(g,1)-1 AS p,
-         unnest(g) AS gr
-  FROM gl
 ), keyed AS (
-  SELECT doc_id, n_g, p,
-         (CAST(('0x' || substr(md5(gr),1,15)) AS BIGINT)
-          % 1099511627776) * 1048576 + (1048575 - p) AS key
-  FROM grams
-), mins AS (
-  SELECT doc_id, n_g, p,
-         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
-                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk
-  FROM keyed
+  SELECT doc_id,
+         list_transform(generate_series(1, len(g)),
+           i -> (CAST(('0x' || substr(md5(g[i]),1,15)) AS BIGINT)
+                 % 1099511627776) * 1048576
+                + (1048575 - (i - 1))) AS ks
+  FROM gl
 ), sel AS (
-  SELECT DISTINCT doc_id, mk // 1048576 AS fp
-  FROM mins WHERE p <= greatest(n_g - 5, 0)
+  SELECT DISTINCT doc_id, unnest(
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(ks) - 5, 0) + 1),
+             s -> list_min(ks[s:s+4]) // 1048576))) AS fp
+  FROM keyed WHERE len(ks) > 0
 ), live AS (
   SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 100
 ), s AS (
@@ -5981,6 +5998,138 @@ SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
              / 100.0, 2) AS p99
 FROM w
 GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q181 — model-based quality filter: FIT a logistic classifier on the
+# corpus itself (features: type-token ratio + English-stopword ratio,
+# label: lang='en'), then SCORE and flag every document — the
+# fasttext-style "model-based quality/language filtering" step of a
+# pretraining pipeline, composed entirely from declarative pieces:
+# q14's feature projection, q175's two-IRLS-iteration fit (shared
+# _logistic_irls2), one broadcast of the 1-row coefficient frame, one
+# scoring scan. Train and serve are the same job with zero collects;
+# at 100 TB the fit is two scans and the scoring one more.
+# --------------------------------------------------------------------------
+
+def q181_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = docs.select("doc_id", "lang",
+                       tokens(t).alias("_tok"),
+                       tokens(F.lower(t)).alias("_ltok"))
+    nt = F.size("_tok")
+    uniq = F.when(nt == 0, F.lit(0.0)) \
+            .otherwise(F.size(F.array_distinct("_tok")) / nt)
+    n_stop = F.size(F.filter("_ltok", lambda x: x.isin(*EN_STOPWORDS)))
+    stop = F.when(F.size("_ltok") == 0, F.lit(0.0)) \
+            .otherwise(n_stop / F.size("_ltok"))
+    feats = base.select(
+        "doc_id",
+        F.round(uniq, 9).alias("x1"),
+        F.round(stop, 9).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"))
+    beta = _logistic_irls2(feats.select("x1", "x2", "y")) \
+        .select("b0", "b1", "b2")
+    u = F.round(F.col("b0") + F.col("b1") * F.col("x1")
+                + F.col("b2") * F.col("x2"), 12)
+    score = F.round(1.0 / (1.0 + F.exp(-u)), 6) + F.lit(0.0)
+    return (feats.crossJoin(F.broadcast(beta))
+                 .select("doc_id", score.alias("score"))
+                 .withColumn("keep", F.col("score") >= 0.5))
+
+
+Q181_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltok
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN len(tok) = 0 THEN 0.0
+                    ELSE len(list_distinct(tok)) / len(tok) END, 9) AS x1,
+         ROUND(CASE WHEN len(ltok) = 0 THEN 0.0
+                    ELSE len(list_filter(ltok, x -> x IN ({_STOP_SQL})))
+                         / len(ltok) END, 9) AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM toks
+), d AS (
+  SELECT x1, x2, y FROM feats
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(ROUND(x1 * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(ROUND(x1 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(ROUND(x2 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(ROUND(y, 10) AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x1 * y, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(ROUND(x2 * y, 10) AS DECIMAL(38,10))) AS DOUBLE) AS s2y
+  FROM d
+), b1c AS (
+  SELECT
+    (ROUND(((4.0 * (sy - 0.5 * n)) * (s11 * s22 - s12 * s12)
+      - s1 * ((4.0 * (s1y - 0.5 * s1)) * s22 - s12 * (4.0 * (s2y - 0.5 * s2)))
+      + s2 * ((4.0 * (s1y - 0.5 * s1)) * s12 - s11 * (4.0 * (s2y - 0.5 * s2))))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)), 12) + 0.0) AS c0,
+    (ROUND((n * ((4.0 * (s1y - 0.5 * s1)) * s22 - s12 * (4.0 * (s2y - 0.5 * s2)))
+      - (4.0 * (sy - 0.5 * n)) * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * (4.0 * (s2y - 0.5 * s2)) - (4.0 * (s1y - 0.5 * s1)) * s2))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)), 12) + 0.0) AS c1,
+    (ROUND((n * (s11 * (4.0 * (s2y - 0.5 * s2)) - (4.0 * (s1y - 0.5 * s1)) * s12)
+      - s1 * (s1 * (4.0 * (s2y - 0.5 * s2)) - (4.0 * (s1y - 0.5 * s1)) * s2)
+      + (4.0 * (sy - 0.5 * n)) * (s1 * s12 - s11 * s2))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)), 12) + 0.0) AS c2
+  FROM s
+), it2 AS (
+  SELECT x1, x2, y, u, p,
+         ROUND(p * (1.0 - p), 12) AS wt,
+         ROUND(ROUND(p * (1.0 - p), 12) * u + (y - p), 12) AS g
+  FROM (SELECT d.*, u, ROUND(1.0 / (1.0 + exp(-u)), 9) AS p
+        FROM (SELECT d.*, ROUND(c0 + c1 * x1 + c2 * x2, 12) AS u
+              FROM d CROSS JOIN b1c) d)
+), s2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(wt, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m11,
+         CAST(SUM(CAST(ROUND(wt * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m12,
+         CAST(SUM(CAST(ROUND(wt * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m13,
+         CAST(SUM(CAST(ROUND(wt * x1 * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m22,
+         CAST(SUM(CAST(ROUND(wt * x1 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m23,
+         CAST(SUM(CAST(ROUND(wt * x2 * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS m33,
+         CAST(SUM(CAST(ROUND(g, 10) AS DECIMAL(38,10))) AS DOUBLE) AS t0,
+         CAST(SUM(CAST(ROUND(g * x1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(ROUND(g * x2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS t2
+  FROM it2
+), betas AS (
+  SELECT
+    (ROUND((t0 * (m22 * m33 - m23 * m23) - m12 * (t1 * m33 - m23 * t2)
+      + m13 * (t1 * m23 - m22 * t2))
+      / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+         + m13 * (m12 * m23 - m22 * m13)), 6) + 0.0) AS b0,
+    (ROUND((m11 * (t1 * m33 - m23 * t2) - t0 * (m12 * m33 - m23 * m13)
+      + m13 * (m12 * t2 - t1 * m13))
+      / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+         + m13 * (m12 * m23 - m22 * m13)), 6) + 0.0) AS b1,
+    (ROUND((m11 * (m22 * t2 - t1 * m23) - m12 * (m12 * t2 - t1 * m13)
+      + t0 * (m12 * m23 - m22 * m13))
+      / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+         + m13 * (m12 * m23 - m22 * m13)), 6) + 0.0) AS b2
+  FROM s2 WHERE n_rows > 0
+), scored AS (
+  SELECT f.doc_id,
+         (ROUND(1.0 / (1.0 + exp(-ROUND(b0 + b1 * f.x1 + b2 * f.x2, 12))),
+                6) + 0.0) AS score
+  FROM feats f CROSS JOIN betas
+)
+SELECT doc_id, score, score >= 0.5 AS keep
+FROM scored
 """
 
 
@@ -6324,4 +6473,9 @@ SPECS = [
               "mergeable decimal-digit histogram quantiles (p50/p95/"
               "p99) — deterministic, engine-replayable t-digest "
               "stand-in with bounded per-group state"),
+    QuerySpec("q181_quality_filter", q181_quality_filter, Q181_SQL,
+              "model-based quality filter: logistic fit on corpus "
+              "features (TTR + stopword ratio vs lang label), then "
+              "score+flag every doc — fit and serve in one "
+              "declarative job"),
 ]
