@@ -353,8 +353,17 @@ def decimal_histogram_quantiles(df: DataFrame, group_cols: list[str],
     Output: one row per group: n plus one ``p<q>`` column per
     requested quantile (value units, rounded to 2).
     """
-    from pyspark.sql import Window
+    hist = decimal_histogram(df, group_cols, value_col)
+    return quantiles_from_histogram(hist, group_cols, quantiles)
 
+
+def decimal_histogram(df: DataFrame, group_cols: list[str],
+                      value_col: str) -> DataFrame:
+    """The sketch-STATE half of ``decimal_histogram_quantiles``:
+    (group, bucket, lower_cents, cnt) counts. A plain groupBy-count,
+    so it runs unchanged as a STREAMING aggregation (complete-mode
+    drain) — counts merge by addition, the defining property of the
+    sketch."""
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     d = (df.filter(F.col(value_col) > 0)
            .select(*group_cols, cents.alias("_c")))
@@ -363,9 +372,18 @@ def decimal_histogram_quantiles(df: DataFrame, group_cols: list[str],
               + F.substring(s, 1, 2).cast("int")).alias("bucket")
     lower = (F.substring(s, 1, 2).cast("double")
              * F.pow(F.lit(10.0), F.length(s) - 2)).alias("lower_cents")
-    hist = (d.select(*group_cols, bucket, lower)
+    return (d.select(*group_cols, bucket, lower)
               .groupBy(*group_cols, "bucket", "lower_cents")
               .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantiles_from_histogram(hist: DataFrame, group_cols: list[str],
+                             quantiles: list[float]) -> DataFrame:
+    """The EXTRACTION half: cumulative counts over the (bounded)
+    bucket set, quantile = lower bound of the first bucket reaching
+    ceil(q*n)."""
+    from pyspark.sql import Window
+
     wg = Window.partitionBy(*group_cols)
     wcum = (Window.partitionBy(*group_cols).orderBy("bucket")
                   .rowsBetween(Window.unboundedPreceding, 0))

@@ -185,13 +185,14 @@ _DEPRIORITIZED = (
     "q77_pq_adc",
     "q138_sequence_pack",
     "q139_greedy_pack",
-    # --- rotated out for q177-q181 (all five hash-green in
+    # --- rotated out for q177-q182 (all six hash-green in
     # CORRECTNESS_r05) ------------------------------------------------
     "q63_repetition",
     "q73_incremental_agg",
     "q92_measure_profile",
     "q94_priority_argmax",
     "q96_bitmap_distinct",
+    "q102_price_histogram",
 )
 
 

@@ -6002,6 +6002,62 @@ GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# Q182 — STREAMING quantile sketch: the decimal-digit histogram's
+# bucket counts are a plain streaming groupBy-count (bounded state:
+# <= 9*19 buckets per group, merged by addition — the defining sketch
+# property), drained with Trigger.AvailableNow through the real
+# streaming runtime, then quantiles extracted from the final
+# histogram. Proves the q180 sketch serves the continuous-ingest
+# path: a production deployment keeps the bucket-count aggregation
+# running and reads quantiles off the sink at any time. The oracle
+# replays the whole histogram + extraction in batch SQL — streaming
+# drain result == batch result is exactly the certification.
+# --------------------------------------------------------------------------
+
+def q182_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (decimal_histogram,
+                                      quantiles_from_histogram)
+    from ..streaming.stream import run_rollup_available_now
+
+    src = read_table_stream(spark, sf_dir, "events")
+    hist = decimal_histogram(src, ["event_type"], "value")
+    final_hist = run_rollup_available_now(hist, state_partitions=4)
+    return quantiles_from_histogram(final_hist, ["event_type"],
+                                    [0.5, 0.95, 0.99])
+
+
+Q182_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value > 0
+), h AS (
+  SELECT event_type,
+         length(CAST(c AS VARCHAR)) * 100
+           + CAST(substr(CAST(c AS VARCHAR), 1, 2) AS INT) AS bucket,
+         CAST(substr(CAST(c AS VARCHAR), 1, 2) AS DOUBLE)
+           * power(10, length(CAST(c AS VARCHAR)) - 2) AS lower_cents,
+         count(*) AS cnt
+  FROM d GROUP BY 1, 2, 3
+), w AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM h
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN lower_cents END)
+             / 100.0, 2) AS p50,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN lower_cents END)
+             / 100.0, 2) AS p95,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN lower_cents END)
+             / 100.0, 2) AS p99
+FROM w
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Q181 — model-based quality filter: FIT a logistic classifier on the
 # corpus itself (features: type-token ratio + English-stopword ratio,
 # label: lang='en'), then SCORE and flag every document — the
@@ -6478,4 +6534,9 @@ SPECS = [
               "features (TTR + stopword ratio vs lang label), then "
               "score+flag every doc — fit and serve in one "
               "declarative job"),
+    QuerySpec("q182_stream_quantiles", q182_stream_quantiles, Q182_SQL,
+              "STREAMING decimal-histogram quantile sketch: bucket "
+              "counts as a bounded-state streaming aggregation "
+              "(AvailableNow drain), quantiles extracted from the "
+              "final histogram; batch SQL replays it exactly"),
 ]

@@ -30,7 +30,7 @@ STREAMING_QUERIES = frozenset({
     "q65_stream_upsert", "q69_stream_sliding", "q74_stream_incremental_agg",
     "q106_stream_session_window", "q110_stream_attribution_outer",
     "q117_stream_append_rollup", "q136_stream_hll",
-    "q165_stream_enrich",
+    "q165_stream_enrich", "q182_stream_quantiles",
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative

@@ -138,3 +138,26 @@ def test_quantile_sketch_state_is_bounded(spark):
     assert len(out) == 1 and out[0].n == 100000
     exact = 50000 * 0.37
     assert exact * 0.9 <= out[0].p50 <= exact * 1.01
+
+
+def test_decimal_histogram_merges_by_addition(spark):
+    """The sketch property the streaming drain (q182) relies on:
+    histograms of disjoint partitions re-aggregate to the histogram
+    of the whole — so quantiles extracted from merged state equal the
+    batch answer."""
+    import pyspark.sql.functions as F
+    from elt_gluepipeline_spark.operators.sketches import (
+        decimal_histogram, decimal_histogram_quantiles,
+        quantiles_from_histogram)
+
+    df = spark.range(1, 5001).select(
+        F.lit("g").alias("grp"), (F.col("id") * 1.7).alias("val"))
+    h1 = decimal_histogram(df.filter(F.col("val") <= 4000), ["grp"], "val")
+    h2 = decimal_histogram(df.filter(F.col("val") > 4000), ["grp"], "val")
+    merged = (h1.unionByName(h2)
+                .groupBy("grp", "bucket", "lower_cents")
+                .agg(F.sum("cnt").alias("cnt")))
+    got = quantiles_from_histogram(merged, ["grp"], [0.5, 0.99]).first()
+    want = decimal_histogram_quantiles(df, ["grp"], "val",
+                                       quantiles=[0.5, 0.99]).first()
+    assert got.asDict() == want.asDict()
