@@ -4256,6 +4256,10 @@ def q155_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = li.select(F.col("l_quantity").cast("double").alias("x1"),
                   F.col("l_discount").cast("double").alias("x2"),
                   F.col("l_extendedprice").cast("double").alias("y"))
+    # spread the per-row decimal work across cores even when the
+    # input is one parquet file = one partition (same rationale as
+    # _logistic_irls2; partition-order-safe decimal sums)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     DEC = "decimal(38,10)"
 
     def ds(c):
@@ -5621,6 +5625,13 @@ def _logistic_irls2(d: DataFrame) -> DataFrame:
     (not data) bounds plan depth at any corpus size."""
     from ..functions.deterministic import rnd0
 
+    # parallelize the per-row arithmetic (round/exp chains + decimal
+    # conversions) regardless of the input's FILE layout: a small-SF
+    # corpus arrives as one parquet file = one partition, and the
+    # heavy iteration-2 stage would run on one core (measured 10.8s
+    # single-partition vs ~1s spread at sf0.1). Partition-order-safe:
+    # every sum is rounded-then-DECIMAL by construction.
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     ds = _irls_ds
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
     s = d.agg(F.count(F.lit(1)).cast("double").alias("n"),
