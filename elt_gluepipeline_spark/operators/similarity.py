@@ -1033,3 +1033,43 @@ def ivf_pq_topk_serve(queries: DataFrame, candidates: DataFrame,
                         [F.col("adc_dist").asc(), F.col("neighbor_id")],
                         k_neighbors)
     return top.select("query_id", "neighbor_id", "adc_dist")
+
+
+def hard_negative_mine(queries: DataFrame, candidates: DataFrame, k: int, *,
+                       dup_threshold: float = 0.98,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       round_to: int = 6) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k MOST similar candidates that are NOT near-duplicates — the
+    informative negatives sit just below the duplicate band, and a
+    plain kNN would hand back the query's own clones as "negatives"
+    (catastrophic for a contrastive objective; the synthetic corpus'
+    clone groups make the exclusion observable). Same broadcast-query
+    scored stage as ``knn_bruteforce`` (norms projected once per
+    side), with the dup band ``cosine >= dup_threshold`` excluded
+    BEFORE the per-query top-k — filtering after a plain top-k would
+    silently under-fill.
+
+    Output: (query_id, neighbor_id, cosine, neg_rank), neg_rank 1..k.
+    """
+    from .windows import top_n_per_key
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("q_vec")) \
+               .withColumn("_qn", l2_norm(F.col("q_vec")))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("c_vec")) \
+                  .withColumn("_cn", l2_norm(F.col("c_vec")))
+    scored = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+               .withColumn("cosine",
+                           F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                                   / (F.col("_qn") * F.col("_cn")), round_to)
+                           + F.lit(0.0))
+               .filter(F.col("cosine") < dup_threshold))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(), F.col("neighbor_id")))
+    return (scored.withColumn("neg_rank", F.row_number().over(w))
+                  .filter(F.col("neg_rank") <= k)
+                  .select("query_id", "neighbor_id", "cosine",
+                          F.col("neg_rank").cast("long").alias("neg_rank")))

@@ -193,6 +193,8 @@ _DEPRIORITIZED = (
     "q94_priority_argmax",
     "q96_bitmap_distinct",
     "q102_price_histogram",
+    "q105_transition_matrix",
+    "q132_png_probe",
 )
 
 

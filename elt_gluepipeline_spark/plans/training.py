@@ -6069,6 +6069,85 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Q183 — STREAMING benchmark decontamination: the q58 containment
+# check moved to the ingest path — incoming corpus documents (the
+# stream) are shingled and joined against the STATIC benchmark
+# shingle index (broadcast into every micro-batch; the stream side
+# never shuffles for the join), shared-shingle counts accumulate in
+# the state store, and flagged pairs read off the drain. This is how
+# a production crawl pipeline decontaminates LIVE instead of in a
+# nightly batch. Same corpus/bench split, same threshold, same output
+# as q58 — so the BATCH oracle certifies the STREAMING path
+# end-to-end (drain == batch is the whole point).
+# --------------------------------------------------------------------------
+
+def q183_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+    from ..streaming.stream import run_rollup_available_now
+
+    docs_s = read_table_stream(spark, sf_dir, "documents")
+    docs_b = read_table(spark, sf_dir, "documents")
+    bench_sh = (docs_b.filter(F.col("doc_id") % 10 == 0)
+                      .select(F.col("doc_id").alias("bench_id"),
+                              F.explode(word_shingles(F.col("text"), 3))
+                               .alias("sh")))
+    bsizes = (bench_sh.groupBy("bench_id")
+                      .agg(F.count(F.lit(1)).alias("n_b")))
+    stream_sh = (docs_s.filter(F.col("doc_id") % 10 != 0)
+                       .select(F.col("doc_id").alias("corpus_id"),
+                               F.explode(word_shingles(F.col("text"), 3))
+                                .alias("sh")))
+    shared = (stream_sh.join(F.broadcast(bench_sh), "sh")
+                       .groupBy("corpus_id", "bench_id")
+                       .agg(F.count(F.lit(1)).alias("shared")))
+    final = run_rollup_available_now(shared, state_partitions=4)
+    return (final.join(F.broadcast(bsizes), "bench_id")
+                 .withColumn("containment", F.col("shared") / F.col("n_b"))
+                 .filter(F.col("containment") >= 0.5)
+                 .select("corpus_id", "bench_id", "containment"))
+
+
+# --------------------------------------------------------------------------
+# Q184 — hard-negative mining for contrastive training: per query
+# vector, the top-k MOST similar candidates that are NOT
+# near-duplicates (cosine < 0.98). A plain kNN hands back the query's
+# own clones as "negatives" — catastrophic for a contrastive
+# objective; the corpus' clone groups make the exclusion observable
+# in the output. Exclusion runs BEFORE the per-query top-k (filtering
+# a plain top-k after the fact would under-fill). Broadcast-query
+# scored stage, norms projected once per side.
+# --------------------------------------------------------------------------
+
+def q184_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_mine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return hard_negative_mine(queries, emb, k=5, dup_threshold=0.98)
+
+
+Q184_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 16),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c_vec
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.q_vec, c.c_vec)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) + 0.0 AS cosine
+  FROM q JOIN c ON q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+               AS neg_rank
+      FROM scored WHERE cosine < 0.98)
+WHERE neg_rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Q181 — model-based quality filter: FIT a logistic classifier on the
 # corpus itself (features: type-token ratio + English-stopword ratio,
 # label: lang='en'), then SCORE and flag every document — the
@@ -6550,4 +6629,14 @@ SPECS = [
               "counts as a bounded-state streaming aggregation "
               "(AvailableNow drain), quantiles extracted from the "
               "final histogram; batch SQL replays it exactly"),
+    QuerySpec("q183_stream_decontaminate", q183_stream_decontaminate,
+              Q58_SQL,
+              "STREAMING benchmark decontamination: corpus stream "
+              "shingle-joined to the broadcast static benchmark "
+              "index, shared counts through the state store — the "
+              "q58 batch oracle certifies the live-ingest path"),
+    QuerySpec("q184_hard_negatives", q184_hard_negatives, Q184_SQL,
+              "hard-negative mining: top-k most-similar NON-duplicate "
+              "candidates per query (dup band excluded before the "
+              "top-k) — the contrastive-training data op"),
 ]

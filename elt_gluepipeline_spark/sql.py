@@ -31,6 +31,7 @@ STREAMING_QUERIES = frozenset({
     "q106_stream_session_window", "q110_stream_attribution_outer",
     "q117_stream_append_rollup", "q136_stream_hll",
     "q165_stream_enrich", "q182_stream_quantiles",
+    "q183_stream_decontaminate",
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative

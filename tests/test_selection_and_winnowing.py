@@ -161,3 +161,30 @@ def test_decimal_histogram_merges_by_addition(spark):
     want = decimal_histogram_quantiles(df, ["grp"], "val",
                                        quantiles=[0.5, 0.99]).first()
     assert got.asDict() == want.asDict()
+
+
+def test_hard_negative_mine_excludes_clones(spark):
+    """Clones (cosine 1.0) must never appear as negatives; the
+    returned set is the top-k below the duplicate band, fully filled
+    when enough non-dup candidates exist."""
+    import pyspark.sql.functions as F
+    from elt_gluepipeline_spark.operators.similarity import (
+        hard_negative_mine)
+
+    rows = []
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows.append((0, base))            # query
+    rows.append((1, base))            # exact clone -> excluded
+    rows.append((2, [0.8, 0.6, 0.0, 0.0]))   # hard negative (cos 0.8)
+    rows.append((3, [0.0, 1.0, 0.0, 0.0]))   # easy negative (cos 0.0)
+    rows.append((4, [0.5, 0.5, 0.0, 0.0]))   # medium (cos ~0.707)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = hard_negative_mine(df.filter(F.col("vec_id") == 0), df, k=3,
+                             dup_threshold=0.98).collect()
+    got = [(r.neighbor_id, r.neg_rank) for r in out]
+    assert (1, 1) not in dict((n, r) for n, r in got).items()
+    assert all(r.neighbor_id != 1 for r in out)       # clone excluded
+    assert [r.neighbor_id for r in out] == [2, 4, 3]  # hardest first
+    assert [r.neg_rank for r in out] == [1, 2, 3]
