@@ -195,6 +195,7 @@ _DEPRIORITIZED = (
     "q102_price_histogram",
     "q105_transition_matrix",
     "q132_png_probe",
+    "q133_bpe_encode",
 )
 
 

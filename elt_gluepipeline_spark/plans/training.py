@@ -6148,6 +6148,112 @@ WHERE neg_rank <= 5
 
 
 # --------------------------------------------------------------------------
+# Q185 — end-to-end curation FUNNEL: the composed pipeline a real
+# pretraining-data team runs (langid -> Gopher quality rules -> exact
+# dedup keep-first), reported as per-stage survival (n_docs,
+# n_tokens) so attrition is auditable stage by stage. One scan
+# computes every stage flag (flags are cheap column predicates); the
+# only shuffle is the dedup canonical-per-digest aggregate over the
+# stage-2 survivors; the four stage rows come from conditional
+# aggregates unpivoted with stack(). Composes q15's langid, q148's
+# rule mask, and q24's canonical digest — each already independently
+# hash-certified; this certifies their COMPOSITION.
+# --------------------------------------------------------------------------
+
+def q185_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import fingerprint_md5, langid_en_heuristic
+    from ..operators.webtext import gopher_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    g = gopher_flags(docs, "text").select(
+        "doc_id", "n_words", F.col("keep").alias("_gk"))
+    flags = (docs.select(
+                "doc_id",
+                (langid_en_heuristic(F.col("text")) == "en").alias("p1"),
+                fingerprint_md5(F.col("text")).alias("dig"))
+             .join(g, "doc_id")
+             .withColumn("p2", F.col("p1") & F.col("_gk")))
+    canon = (flags.filter(F.col("p2"))
+                  .groupBy("dig")
+                  .agg(F.min("doc_id").alias("_mid")))
+    f = (flags.join(canon, "dig", "left")
+              .withColumn("p3", F.col("p2")
+                          & (F.col("doc_id") == F.col("_mid"))))
+    nw = F.col("n_words").cast("long")
+    agg = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(nw).alias("t0"),
+        F.sum(F.when(F.col("p1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("p1"), nw).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("p2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("p2"), nw).otherwise(0)).alias("t2"),
+        F.sum(F.when(F.col("p3"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("p3"), nw).otherwise(0)).alias("t3"))
+    return agg.filter(F.col("n0") > 0).select(F.expr(
+        "stack(4, 0, 'ingest', n0, t0, 1, 'langid_en', n1, t1, "
+        "2, 'gopher_rules', n2, t2, 3, 'exact_dedup', n3, t3) "
+        "AS (stage_ord, stage, n_docs, n_tokens)"))
+
+
+Q185_SQL = f"""
+WITH t AS (
+  SELECT doc_id, trim(text) AS text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dig
+  FROM documents
+), s AS (
+  SELECT doc_id, dig,
+         CASE WHEN text = '' THEN 0 ELSE len(toks) END AS n_words,
+         len(regexp_replace(text, '\\s+', '', 'g')) AS chars_no_ws,
+         len(list_intersect(toks, ['the', 'a', 'of', 'to', 'and']))
+           AS stop_hits,
+         len(list_distinct(toks)) AS n_uniq,
+         CASE WHEN len(ltoks) = 0 THEN 0.0
+              ELSE len(list_filter(ltoks, x -> x IN ({_STOP_SQL})))
+                   / len(ltoks) END AS stop_ratio
+  FROM t
+), fl AS (
+  SELECT doc_id, dig, n_words,
+         stop_ratio >= 0.12 AS p1,
+         (stop_ratio >= 0.12) AND (
+           ((n_words < 15 OR n_words > 100000)::INT
+            + (CASE WHEN n_words > 0
+                    THEN CAST(chars_no_ws AS DOUBLE) / n_words
+                    ELSE 0.0 END < 2.0
+               OR CASE WHEN n_words > 0
+                       THEN CAST(chars_no_ws AS DOUBLE) / n_words
+                       ELSE 0.0 END > 10.0)::INT
+            + (stop_hits < 1)::INT
+            + (CASE WHEN n_words > 0
+                    THEN CAST(n_uniq AS DOUBLE) / n_words
+                    ELSE 0.0 END < 0.2)::INT) = 0) AS p2
+  FROM s
+), canon AS (
+  SELECT dig, MIN(doc_id) AS mid FROM fl WHERE p2 GROUP BY dig
+), f AS (
+  SELECT fl.*, fl.p2 AND fl.doc_id = canon.mid AS p3
+  FROM fl LEFT JOIN canon ON fl.dig = canon.dig
+)
+SELECT 0 AS stage_ord, 'ingest' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM f HAVING COUNT(*) > 0
+UNION ALL
+SELECT 1, 'langid_en', CAST(SUM(p1::INT) AS BIGINT),
+       CAST(SUM(CASE WHEN p1 THEN n_words ELSE 0 END) AS BIGINT)
+FROM f HAVING COUNT(*) > 0
+UNION ALL
+SELECT 2, 'gopher_rules', CAST(SUM(p2::INT) AS BIGINT),
+       CAST(SUM(CASE WHEN p2 THEN n_words ELSE 0 END) AS BIGINT)
+FROM f HAVING COUNT(*) > 0
+UNION ALL
+SELECT 3, 'exact_dedup', CAST(SUM(COALESCE(p3, FALSE)::INT) AS BIGINT),
+       CAST(SUM(CASE WHEN COALESCE(p3, FALSE) THEN n_words ELSE 0 END)
+            AS BIGINT) FROM f HAVING COUNT(*) > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Q181 — model-based quality filter: FIT a logistic classifier on the
 # corpus itself (features: type-token ratio + English-stopword ratio,
 # label: lang='en'), then SCORE and flag every document — the
@@ -6639,4 +6745,9 @@ SPECS = [
               "hard-negative mining: top-k most-similar NON-duplicate "
               "candidates per query (dup band excluded before the "
               "top-k) — the contrastive-training data op"),
+    QuerySpec("q185_curation_funnel", q185_curation_funnel, Q185_SQL,
+              "end-to-end curation funnel (langid -> Gopher rules -> "
+              "exact dedup) with per-stage doc/token survival — "
+              "certifies the COMPOSITION of independently-gated "
+              "stages; one scan + one dedup shuffle"),
 ]
