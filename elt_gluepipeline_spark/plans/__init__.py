@@ -196,6 +196,8 @@ _DEPRIORITIZED = (
     "q105_transition_matrix",
     "q132_png_probe",
     "q133_bpe_encode",
+    "q134_json_roundtrip",
+    "q135_orc_roundtrip",
 )
 
 

@@ -6254,6 +6254,169 @@ SELECT 3, 'exact_dedup', CAST(SUM(COALESCE(p3, FALSE)::INT) AS BIGINT),
 
 
 # --------------------------------------------------------------------------
+# Q186 — vocabulary coverage curve: rank tokens by corpus frequency
+# and report, at each vocab-size decile, what fraction of all token
+# OCCURRENCES the vocabulary prefix covers — the curve that sizes a
+# tokenizer's vocab (where it flattens, stop adding entries). One
+# token-keyed shuffle to count; the ranked cumulative sum runs over
+# the DISTINCT-TOKEN aggregate (bounded by vocab size, not corpus
+# size — the same bounded-window argument as q08's global rank).
+# --------------------------------------------------------------------------
+
+def q186_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (counts.withColumn("rnk", F.row_number().over(w))
+                    .withColumn("cum", F.sum("c").over(wcum)))
+    # cuts derive LAZILY from the vocab-size aggregate (no collect):
+    # 10 decile rows cross-joined to the 1-row total
+    tot = ranked.agg(F.max("rnk").alias("v"),
+                     F.sum("c").cast("double").alias("n"))
+    d10 = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    cuts = (d10.crossJoin(F.broadcast(tot))
+               .select("decile",
+                       F.ceil(F.col("v") * F.col("decile") / 10.0)
+                        .cast("long").alias("vocab"),
+                       "n"))
+    return (ranked.join(F.broadcast(cuts), ranked["rnk"] == cuts["vocab"])
+                  .select("decile", "vocab",
+                          (F.round(F.col("cum") / F.col("n"), 6)
+                           + 0.0).alias("coverage")))
+
+
+Q186_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), ranked AS (
+  SELECT tok, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+         SUM(c) OVER (ORDER BY c DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM counts
+), tot AS (
+  SELECT MAX(rnk) AS v, CAST(SUM(c) AS DOUBLE) AS n FROM ranked
+), cuts AS (
+  SELECT CAST(d AS INTEGER) AS decile,
+         CAST(CEIL(v * d / 10.0) AS BIGINT) AS vocab, n
+  FROM tot, generate_series(1, 10) AS t(d)
+)
+SELECT c.decile, c.vocab,
+       (ROUND(r.cum / c.n, 6) + 0.0) AS coverage
+FROM ranked r JOIN cuts c ON r.rnk = c.vocab
+"""
+
+
+# --------------------------------------------------------------------------
+# Q187 — hourly gap-fill with LINEAR INTERPOLATION (the resample
+# operator time-series stores ship; complements q91's LOCF): per-user
+# hourly means, missing grid hours synthesized between the previous
+# and next OBSERVED hour as prev + (next-prev) * elapsed/gap. The
+# grid explodes per user between first and last observed hour
+# (bounded by the window span), neighbor lookup is two
+# last/first-value-IGNORE-NULLS windows per user — no self-joins, no
+# iteration, scale bounded by grid rows.
+# --------------------------------------------------------------------------
+
+def q187_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = (ev.filter(F.col("user_id") < 50)
+             .select("user_id",
+                     F.date_trunc("hour", F.col("ts")).alias("h"),
+                     F.col("value"))
+             .groupBy("user_id", "h")
+             .agg((F.round(F.avg("value"), 6) + 0.0).alias("v")))
+    span = (obs.groupBy("user_id")
+               .agg(F.min("h").alias("h0"), F.max("h").alias("h1")))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("h0"), F.col("h1"),
+            F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    j = grid.join(obs, ["user_id", "h"], "left")
+    w_all = Window.partitionBy("user_id").orderBy("h")
+    w_prev = w_all.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w_all.rowsBetween(0, Window.unboundedFollowing)
+    pv = F.last("v", ignorenulls=True).over(w_prev)
+    ph = F.last(F.when(F.col("v").isNotNull(), F.col("h")),
+                ignorenulls=True).over(w_prev)
+    nv = F.first("v", ignorenulls=True).over(w_next)
+    nh = F.first(F.when(F.col("v").isNotNull(), F.col("h")),
+                 ignorenulls=True).over(w_next)
+    # GRID-EXACT interpolation (the PageRank discipline): observed
+    # values are exact 6-decimal numbers, so lift them to integer
+    # microunits and do the lerp + half-up rounding entirely in
+    # integers — ROUND(double, 6) ties at the 7th digit (which lerp
+    # fractions like 1/2 produce constantly) round differently across
+    # engines, and this formulation has no ties to disagree on.
+    pvu = F.round(pv * 1e6).cast("long")
+    d = F.round(nv * 1e6).cast("long") - pvu
+    k = F.unix_timestamp(F.col("h")) - F.unix_timestamp(ph)
+    gap = F.unix_timestamp(nh) - F.unix_timestamp(ph)
+    adj = F.floor((2 * d * k + gap) / (2 * gap)).cast("long")
+    interp = F.when(F.col("v").isNotNull(), F.col("v")) \
+              .otherwise((pvu + adj) / F.lit(1000000.0))
+    return (j.select("user_id", F.col("h").cast("string").alias("hour"),
+                     interp.alias("value"),
+                     F.col("v").isNull().alias("interpolated")))
+
+
+Q187_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         ROUND(AVG(value), 6) + 0.0 AS v
+  FROM events WHERE user_id < 50
+  GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span
+), j AS (
+  SELECT g.user_id, g.h, o.v
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+), n AS (
+  SELECT user_id, h, v,
+         LAST_VALUE(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT user_id, CAST(h AS VARCHAR) AS hour,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE (CAST(ROUND(pv * 1e6) AS BIGINT)
+                  + CAST(FLOOR((2 * (CAST(ROUND(nv * 1e6) AS BIGINT)
+                                     - CAST(ROUND(pv * 1e6) AS BIGINT))
+                                  * CAST(epoch(h) - epoch(ph) AS BIGINT)
+                                + CAST(epoch(nh) - epoch(ph) AS BIGINT))
+                               / (2 * CAST(epoch(nh) - epoch(ph) AS BIGINT)))
+                         AS BIGINT))
+                 / 1000000.0 END AS value,
+       v IS NULL AS interpolated
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
 # Q181 — model-based quality filter: FIT a logistic classifier on the
 # corpus itself (features: type-token ratio + English-stopword ratio,
 # label: lang='en'), then SCORE and flag every document — the
@@ -6750,4 +6913,14 @@ SPECS = [
               "exact dedup) with per-stage doc/token survival — "
               "certifies the COMPOSITION of independently-gated "
               "stages; one scan + one dedup shuffle"),
+    QuerySpec("q186_vocab_coverage", q186_vocab_coverage, Q186_SQL,
+              "vocabulary coverage curve: token-frequency rank vs "
+              "cumulative occurrence coverage at each vocab-size "
+              "decile (the tokenizer-sizing statistic); windows run "
+              "over the vocab-bounded aggregate"),
+    QuerySpec("q187_interpolate", q187_interpolate, Q187_SQL,
+              "hourly gap-fill with linear interpolation (the "
+              "resample op; q91's LOCF sibling): per-user grid "
+              "explode + prev/next IGNORE-NULLS windows, no "
+              "self-joins"),
 ]
