@@ -198,6 +198,7 @@ _DEPRIORITIZED = (
     "q133_bpe_encode",
     "q134_json_roundtrip",
     "q135_orc_roundtrip",
+    "q136_stream_hll",
 )
 
 

@@ -6417,6 +6417,99 @@ FROM n
 
 
 # --------------------------------------------------------------------------
+# Q188 — per-source corpus health scorecard: for every ingest source,
+# the numbers a data-vendor QA review reads — doc/token volume, mean
+# quality (q14's formula), English share (langid heuristic), and
+# exact-duplicate rate (docs whose canonical digest has an earlier
+# copy ANYWHERE in the corpus — cross-source dup attribution, which
+# is why the digest aggregate runs corpus-wide before the per-source
+# rollup). One scan + one digest shuffle + one source rollup.
+# --------------------------------------------------------------------------
+
+def q188_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import fingerprint_md5, langid_en_heuristic
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = docs.select(
+        "doc_id", "source",
+        tokens(t).alias("_tok"),
+        tokens(F.lower(t)).alias("_ltok"),
+        (langid_en_heuristic(t) == "en").alias("is_en"),
+        fingerprint_md5(t).alias("dig"))
+    nt = F.size("_tok")
+    uniq = F.when(nt == 0, F.lit(0.0)) \
+            .otherwise(F.size(F.array_distinct("_tok")) / nt)
+    n_stop = F.size(F.filter("_ltok", lambda x: x.isin(*EN_STOPWORDS)))
+    stop = F.when(F.size("_ltok") == 0, F.lit(0.0)) \
+            .otherwise(n_stop / F.size("_ltok"))
+    quality = (0.5 * uniq + 0.2 * (1.0 - stop)
+               + 0.3 * F.when((nt >= 10) & (nt <= 10000), 1.0)
+                        .otherwise(0.0))
+    feat = base.select("doc_id", "source", "dig", "is_en",
+                       nt.cast("long").alias("n_tok"),
+                       F.round(quality, 9).alias("q"))
+    canon = feat.groupBy("dig").agg(F.min("doc_id").alias("_mid"))
+    f = (feat.join(canon, "dig")
+             .withColumn("is_dup", F.col("doc_id") != F.col("_mid")))
+    return (f.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("n_tok").cast("long").alias("n_tokens"),
+                  (F.round(F.sum(F.col("q").cast("decimal(28,9)"))
+                            .cast("double")
+                           / F.count(F.lit(1)), 6) + 0.0)
+                   .alias("mean_quality"),
+                  (F.round(F.sum(F.when(F.col("is_en"), 1).otherwise(0))
+                           / F.count(F.lit(1)), 6) + 0.0)
+                   .alias("en_share"),
+                  (F.round(F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                           / F.count(F.lit(1)), 6) + 0.0)
+                   .alias("dup_rate")))
+
+
+Q188_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltok,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dig
+  FROM documents
+), m AS (
+  SELECT doc_id, source, dig,
+         CAST(len(tok) AS BIGINT) AS n_tok,
+         CASE WHEN len(tok) = 0 THEN 0.0
+              ELSE len(list_distinct(tok)) / len(tok) END AS uniq_ratio,
+         CASE WHEN len(ltok) = 0 THEN 0.0
+              ELSE len(list_filter(ltok, x -> x IN ({_STOP_SQL})))
+                   / len(ltok) END AS stop_ratio
+  FROM t
+), feat AS (
+  SELECT doc_id, source, dig, n_tok,
+         ROUND(0.5 * uniq_ratio + 0.2 * (1.0 - stop_ratio)
+               + 0.3 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000
+                             THEN 1.0 ELSE 0.0 END), 9) AS q,
+         stop_ratio >= 0.12 AS is_en
+  FROM m
+), canon AS (
+  SELECT dig, MIN(doc_id) AS mid FROM feat GROUP BY dig
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       (ROUND(CAST(SUM(CAST(q AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+        + 0.0) AS mean_quality,
+       (ROUND(SUM((is_en)::INT) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0)
+         AS en_share,
+       (ROUND(SUM((f.doc_id <> c.mid)::INT) / CAST(COUNT(*) AS DOUBLE), 6)
+        + 0.0) AS dup_rate
+FROM feat f JOIN canon c USING (dig)
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Q181 — model-based quality filter: FIT a logistic classifier on the
 # corpus itself (features: type-token ratio + English-stopword ratio,
 # label: lang='en'), then SCORE and flag every document — the
@@ -6923,4 +7016,8 @@ SPECS = [
               "resample op; q91's LOCF sibling): per-user grid "
               "explode + prev/next IGNORE-NULLS windows, no "
               "self-joins"),
+    QuerySpec("q188_source_scorecard", q188_source_scorecard, Q188_SQL,
+              "per-source corpus health scorecard: volume, mean "
+              "quality, English share, cross-source exact-dup rate — "
+              "one scan + one digest shuffle + one source rollup"),
 ]
