@@ -219,12 +219,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
         # whole-stage-codegen unit: ~5s of one-time janino compile
         # (the r5 judge's q17 bench outlier) AND 32x the per-shingle
         # hash arithmetic on the map side — the hot path at scale.
+        # Shift the signed base into the non-negative 63-bit domain
+        # first: XOR masks drawn from [0, 2^63) never flip bit 63, so
+        # with the raw signed hash every derived min was drawn from the
+        # same fixed subset of shingles (those with a negative base) —
+        # strongly correlated signatures, degraded LSH recall. After
+        # the unsigned shift all 63 remaining bits participate and the
+        # masks cover the full domain, mirroring the portable family's
+        # 60-bit design.
         rng = random.Random(0x5EED)
         prep = exploded.select(
-            "doc_id", F.xxhash64("s").alias("_z"))
+            "doc_id",
+            F.shiftrightunsigned(F.xxhash64("s"), 1).alias("_z"))
         hashed = prep.select(
             "doc_id",
-            *[F.col("_z").bitwiseXOR(F.lit(rng.randrange(1, 1 << 63)))
+            *[F.col("_z").bitwiseXOR(F.lit(rng.randrange(0, 1 << 63)))
                .alias(f"_h{i}") for i in range(n_hashes)])
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)])
@@ -1044,8 +1053,12 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     w = Window.partitionBy("doc_id").orderBy("_df", "s")
     ranked = (inv.join(dfreq, "s").join(sizes, "doc_id")
                  .withColumn("_rn", F.row_number().over(w)))
+    # floor() in doubles can round BELOW the exact bound and shorten
+    # the prefix by one (e.g. (1-0.3)*10 = 6.999... in IEEE → floor 6,
+    # exact 7) — a genuine completeness hole. +eps only ever lengthens
+    # the prefix, which is always safe.
     prefix = ranked.filter(
-        F.col("_rn") <= F.floor((1.0 - threshold) * F.col("n")) + 1) \
+        F.col("_rn") <= F.floor((1.0 - threshold) * F.col("n") + 1e-6) + 1) \
         .select("doc_id", "s", "n", "_rn")
     # Candidate join with the PPJoin bounds (both are provably safe
     # relaxations, so completeness holds):
@@ -1058,8 +1071,16 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     #    intersection t*(n_a+n_b)/(1+t). PPJoin proper applies this to
     #    the first shared token; keeping a pair when ANY shared prefix
     #    token passes is a superset of that, hence still complete.
+    # Both bounds are evaluated in floating point; if the double product
+    # ever rounded ABOVE the exact rational bound, a pair sitting
+    # exactly at jaccard == threshold could be wrongly pruned. Relax
+    # each bound by a small epsilon: spurious extra candidates are
+    # harmless (the exact verify stage re-filters on the same double
+    # jaccard the unrestricted join computes), while pruning is now
+    # provably a relaxation for any threshold, not just t=0.3.
+    _EPS = 1e-6
     req = F.ceil(F.lit(threshold) / (1.0 + threshold)
-                 * (F.col("n_a") + F.col("n_b")))
+                 * (F.col("n_a") + F.col("n_b")) - _EPS)
     cand = (prefix.select(F.col("doc_id").alias("id_a"), "s",
                           F.col("n").alias("n_a"), F.col("_rn").alias("r_a"))
                   .join(prefix.select(F.col("doc_id").alias("id_b"), "s",
@@ -1067,7 +1088,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                       F.col("_rn").alias("r_b")), "s")
                   .filter((F.col("id_a") < F.col("id_b"))
                           & (F.least("n_a", "n_b")
-                             >= threshold * F.greatest("n_a", "n_b"))
+                             >= threshold * F.greatest("n_a", "n_b") - _EPS)
                           & (F.least(F.col("n_a") - F.col("r_a"),
                                      F.col("n_b") - F.col("r_b")) + 1
                              >= req))

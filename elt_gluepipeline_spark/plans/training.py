@@ -2902,11 +2902,18 @@ def q141_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it private to this session, so two concurrent builds on the same
     # dataset — or two users on a shared host — can't interleave the
     # overwrite/append sequence into each other's index (ADVICE r5).
+    # The app id alone serializes concurrent builds, so repeat builds
+    # in one session overwrite in place instead of minting a fresh dir
+    # per pid; the atexit hook reclaims the one dir this session made
+    # (ADVICE r6: pid-keyed paths accumulated stale /tmp dirs forever).
+    import atexit
+    import shutil
     key = hashlib.md5(
         (os.path.abspath(sf_dir) + "\x1f"
          + spark.sparkContext.applicationId).encode()).hexdigest()[:12]
     index_path = os.path.join(tempfile.gettempdir(),
-                              f"spark_graft_pqindex_{os.getpid()}_{key}")
+                              f"spark_graft_pqindex_{key}")
+    atexit.register(shutil.rmtree, index_path, ignore_errors=True)
     is_new = F.pmod("vec_id", F.lit(10)) == 0
     pq_encode(emb.filter(~is_new), art) \
         .write.mode("overwrite").parquet(index_path)

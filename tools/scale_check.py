@@ -90,14 +90,24 @@ def build_scaled(spark, src: str, out: str, factor: int,
             "text", F.regexp_replace("text", r"(\S+)", f"$1zq{i}"))
 
     def perturb_vec(d, i):
+        # Rotation must be INJECTIVE per replica or replicas i and
+        # i+cycle are exact vector clones of each other and cross-
+        # replica near-dup pairs reappear (the old `% 7` cycle did
+        # exactly that at factors > 8). The corpus vectors are 64-dim,
+        # so `% 63` gives distinct rotations up to factor 64; a
+        # replica-keyed global sign flip extends injectivity to 128
+        # (negation is norm-preserving and flips cosine to -1, so
+        # flipped replicas share no near-dup pairs with unflipped).
         n = F.size("embedding")
-        rot = (i % 7) + 1
-        return d.withColumn(
-            "embedding",
-            F.when(n <= rot, F.col("embedding")).otherwise(
-                F.concat(F.slice("embedding", rot + 1,
-                                 F.greatest(n - rot, F.lit(0))),
-                         F.slice("embedding", 1, rot))))
+        rot = (i % 63) + 1
+        sign = -1.0 if (i // 63) % 2 else 1.0
+        rotated = F.when(n <= rot, F.col("embedding")).otherwise(
+            F.concat(F.slice("embedding", rot + 1,
+                             F.greatest(n - rot, F.lit(0))),
+                     F.slice("embedding", 1, rot)))
+        if sign < 0:
+            rotated = F.transform(rotated, lambda x: -x)
+        return d.withColumn("embedding", rotated)
 
     # orders/lineitem share the orderkey offset so joins stay consistent
     orders = read_table(spark, src, "orders")
