@@ -374,6 +374,53 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def hamming_banded_pairs(df: DataFrame, id_col: str, hash_col: str, *,
+                         bits: int = 56, bands: int = 4,
+                         max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate pairs over integer fingerprints (SimHash, dHash)
+    via the HAMMING BAND trick: split the ``bits``-bit fingerprint into
+    ``bands`` contiguous chunks; any pair within Hamming distance
+    ``max_hamming < bands`` must agree on at least one whole chunk
+    (pigeonhole), so candidates come from a self-join keyed on
+    (band_id, band_val) — one shuffle on diverse band values, NEVER an
+    all-pairs product. Verification is one codegen'd
+    ``bit_count(a XOR b)`` per candidate. When
+    ``max_hamming >= bands`` the pigeonhole guarantee lapses and the
+    band join becomes the (deterministic, oracle-replayable) recall
+    operating point, exactly like MinHash banding.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, distances in
+    [0, max_hamming]. Fingerprints must be non-negative (bits <= 63).
+    """
+    assert 0 < bits <= 63 and bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    entries = df.select(F.col(id_col).alias("fp_id"),
+                        F.col(hash_col).cast("long").alias("_h"))
+    band_rows = entries.select(
+        "fp_id", "_h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned("_h", b * width)
+                 .bitwiseAND(F.lit(mask)).alias("band_val"))
+            for b in range(bands)
+        ])).alias("band")).select("fp_id", "_h", "band.*")
+    a = band_rows.select(F.col("fp_id").alias("id_a"),
+                         F.col("_h").alias("h_a"), "band_id", "band_val")
+    b = band_rows.select(F.col("fp_id").alias("id_b"),
+                         F.col("_h").alias("h_b"), "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "h_a", "h_b").distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                 .cast("long"))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
 def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                          id_b: str = "id_b", max_iters: int = 50,
                          component_col: str = "component",

@@ -1565,3 +1565,44 @@ def raster_block_sums(assets: DataFrame, *, factor: int = 2) -> DataFrame:
     return assets.mapInPandas(
         _pool, "asset_id long, block_r long, block_c long, "
                "n_px long, block_sum long")
+
+
+def dhash_images(assets: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded BMPs: for
+    each decoded H×W luminance raster, bit (r, c) of the fingerprint is
+    1 iff px[r, c] < px[r, c+1] — W-1 horizontal-gradient comparisons
+    per row packed row-major into one integer
+    (``sum(bit << (r*(W-1) + c))``). Gradient SIGNS are invariant to
+    any monotone per-image transform — brightness shifts, contrast
+    scaling, the BT.601 luminance weighting decode_bmp applies — which
+    is exactly what makes dHash a PERCEPTUAL hash: re-encoded or
+    re-exposed copies of an image collide while different images don't.
+    Decode + comparisons are vectorized numpy, map-only, zero shuffle;
+    near-dup pairs come from ``dedup.hamming_banded_pairs`` over the
+    fingerprint column, never an all-pairs scan.
+
+    Output: (asset_id, dhash) — dhash has H*(W-1) significant bits
+    (keep H*(W-1) <= 63 so the value stays a non-negative long).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                _, _, _, gray = decode_bmp(bytes(p))
+                bits = (gray[:, :-1] < gray[:, 1:]).astype(np.int64)
+                n = bits.size
+                assert n <= 63, f"dhash needs H*(W-1) <= 63 bits, got {n}"
+                weights = np.left_shift(
+                    np.int64(1), np.arange(n, dtype=np.int64))
+                ids.append(int(aid))
+                hashes.append(int((bits.reshape(-1) * weights).sum()))
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "dhash": pd.Series(hashes, dtype="int64")})
+
+    return assets.mapInPandas(_hash, "asset_id long, dhash long")

@@ -32,6 +32,7 @@ STREAMING_QUERIES = frozenset({
     "q117_stream_append_rollup", "q136_stream_hll",
     "q165_stream_enrich", "q182_stream_quantiles",
     "q183_stream_decontaminate",
+    "q190_stream_chain",                       # foreachBatch chain drain
 })
 
 # queries whose build() runs batch jobs eagerly (collects / iterative

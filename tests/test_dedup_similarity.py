@@ -330,3 +330,81 @@ def test_ivf_pq_full_probe_equals_exhaustive_adc(spark, sf_dir):
     part = sorted(map(tuple, ivf_pq_topk(
         q, emb, 3, n_cells=4, n_probe=1, m=4, k=8, n_iter=2).collect()))
     assert len(part) <= len(full)
+
+
+def test_hamming_banded_pairs_complete_below_band_bound(spark):
+    """Pigeonhole completeness: with 4 bands, every pair at hamming <= 3
+    must be found; verify against a brute-force popcount join."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import hamming_banded_pairs
+
+    base = 0b10110011101011001110101100111010101100111010110011101010
+    vals = [base, base ^ 1, base ^ (1 << 20) ^ (1 << 45),
+            base ^ 0b111 << 30, (~base) & ((1 << 56) - 1), 12345]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "fid long, h long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in hamming_banded_pairs(df, "fid", "h", bits=56,
+                                         bands=4, max_hamming=3).collect()}
+    a = df.selectExpr("fid AS id_a", "h AS h_a")
+    b = df.selectExpr("fid AS id_b", "h AS h_b")
+    brute = (a.crossJoin(b).filter("id_a < id_b")
+              .withColumn("hamming",
+                          F.bit_count(F.col("h_a")
+                                       .bitwiseXOR(F.col("h_b")))
+                           .cast("long"))
+              .filter("hamming <= 3"))
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == want and len(want) >= 3
+
+
+def test_dhash_brightness_invariant_and_exact(spark):
+    """dHash over the real BMP round-trip equals the direct integer
+    comparison hash, and a +k brightness shift (no overflow) does not
+    change it."""
+    import numpy as np
+    import pandas as pd
+
+    from elt_gluepipeline_spark.operators.multimodal import (dhash_images,
+                                                             encode_bmp)
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 240, size=(8, 8)).astype(np.uint8)
+
+    def expected(arr):
+        bits = (arr[:, :-1].astype(int) < arr[:, 1:].astype(int))
+        return sum(1 << i for i, b in enumerate(bits.reshape(-1)) if b)
+
+    rows = [(0, bytearray(encode_bmp(img))),
+            (1, bytearray(encode_bmp((img + 9).astype(np.uint8))))]
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [r[0] for r in rows],
+                      "payload": [bytes(r[1]) for r in rows]}))
+    got = {r.asset_id: r.dhash for r in dhash_images(assets).collect()}
+    assert got[0] == expected(img)
+    assert got[1] == got[0]  # brightness-shift invariance
+
+
+def test_sampled_recall_certifies_against_full(spark, sf_dir,
+                                               monkeypatch):
+    """q189's sampled estimator == q171's full certification when the
+    sample is forced to cover the whole corpus: pooled n_true and
+    n_hit must agree exactly (the estimator is exact per pair — LSH
+    banding is a pure per-pair function, so restriction commutes)."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.plans import training
+    from elt_gluepipeline_spark.plans.training import (
+        q171_lsh_recall, q189_lsh_recall_sampled)
+
+    monkeypatch.setattr(training, "_Q189_SAMPLE_N", 10**6)
+    full = q171_lsh_recall(spark, sf_dir).collect()
+    sampled = (q189_lsh_recall_sampled(spark, sf_dir)
+               .agg(F.sum("n_true").alias("n_true"),
+                    F.sum("n_hit").alias("n_hit")).collect()[0])
+    if not full:  # empty corpus guard — nothing to certify
+        assert sampled.n_true is None
+        return
+    assert sampled.n_true == full[0].n_true
+    assert sampled.n_hit == full[0].n_hit

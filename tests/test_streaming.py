@@ -568,3 +568,78 @@ def test_drain_runs_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_chain_handler_replay_is_idempotent(spark, tmp_path):
+    """SURVEY §7.4 crash-window invariant: after a batch's bookmark
+    commits, the streaming runtime replaying that batch_id (restart
+    after a crash between checkpoint and shutdown) must append NOTHING
+    — drive the foreachBatch handler directly, twice."""
+    from elt_gluepipeline_spark.sources.state import BookmarkStore
+    from elt_gluepipeline_spark.streaming.chain import (
+        make_chain_batch_handler)
+
+    final = str(tmp_path / "final")
+    quar = str(tmp_path / "quar")
+    handler = make_chain_batch_handler(
+        final_dir=final, quarantine_dir=quar,
+        bookmarks=BookmarkStore(str(tmp_path / "bm")),
+        rules=(("neg", "v <= 0"),))
+    batch = spark.createDataFrame(
+        [(1, 5.0, " A "), (2, -1.0, "B"), (3, 2.0, "c")],
+        "id long, v double, tag string")
+    handler(batch, 0)
+    n_final = spark.read.parquet(final).count()
+    n_quar = spark.read.parquet(quar).count()
+    assert (n_final, n_quar) == (2, 1)
+    # transform stage ran inside the chain: strings lower+trim
+    tags = {r.tag for r in spark.read.parquet(final).collect()}
+    assert tags == {"a", "c"}
+
+    handler(batch, 0)  # replayed micro-batch → no-op
+    assert spark.read.parquet(final).count() == n_final
+    assert spark.read.parquet(quar).count() == n_quar
+
+    handler(batch.withColumn("id", batch.id + 10), 1)  # next batch lands
+    assert spark.read.parquet(final).count() == 2 * n_final
+
+
+def test_stream_chain_multibatch_equals_batch_route(spark, sf_dir,
+                                                    tmp_path):
+    """Drain the full foreachBatch chain over a 3-file source with
+    maxFilesPerTrigger=1 (3 genuine micro-batches) and check final/ +
+    quarantine/ is a clean partition of the input routed identically
+    to the batch quality stage."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.functions.conform import (
+        normalize_names, normalize_strings)
+    from elt_gluepipeline_spark.operators.quality import (
+        extract_violations, split_clean)
+    from elt_gluepipeline_spark.sources.readers import read_table
+    from elt_gluepipeline_spark.streaming.chain import run_stream_chain
+
+    rules = (("price_nonpos", "l_extendedprice <= 0"),
+             ("qty_out_of_band", "l_quantity IS NULL OR l_quantity >= 48"))
+    li = read_table(spark, sf_dir, "lineitem")
+    src = str(tmp_path / "src")
+    li.repartitionByRange(3, "l_orderkey").write.parquet(src)
+    run_stream_chain(
+        spark, source_dir=src,
+        final_dir=str(tmp_path / "final"),
+        quarantine_dir=str(tmp_path / "quar"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bookmark_dir=str(tmp_path / "bm"),
+        rules=rules, max_files_per_trigger=1)
+
+    got_clean = spark.read.parquet(str(tmp_path / "final"))
+    got_quar = spark.read.parquet(str(tmp_path / "quar"))
+    want_clean, want_quar = split_clean(extract_violations(
+        normalize_strings(normalize_names(li)),
+        [(n, F.expr(s)) for n, s in rules]))
+    assert got_clean.count() + got_quar.count() == li.count()
+    assert got_clean.count() == want_clean.count()
+    assert got_quar.count() == want_quar.count()
+    # value-level: clean side matches the batch route exactly
+    assert got_clean.exceptAll(want_clean).count() == 0
+    assert want_clean.exceptAll(got_clean).count() == 0
