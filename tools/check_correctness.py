@@ -47,7 +47,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships one parquet FILE per table; harness-
+        # scaled datasets (tools/scale_check.build_scaled) are Spark
+        # DIRECTORY tables — glob the part files in that case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     specs = registry()
     failures = []
