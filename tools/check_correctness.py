@@ -79,7 +79,31 @@ def main() -> int:
         if spec.oracle is None:
             print(f"  {name:28s} rows={len(sdf):7d} (rows-only) {t_spark:5.1f}s")
             continue
-        odf = con.sql(spec.oracle).df()
+        # Optional per-query ORACLE wall budget (seconds). The DuckDB
+        # twins are deliberately NAIVE replays (block-local all-pairs,
+        # recursive reachability walks) — exactness over efficiency —
+        # so at large scale factors a handful become computationally
+        # infeasible in the oracle engine even though the Spark plan is
+        # fine. With a budget set, such a query records an
+        # oracle-timeout line (Spark rows + time still reported) rather
+        # than stalling the whole gate; correctness for those stays
+        # certified by the sf0.01/sf0.1 full-hash runs.
+        budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_S", "0"))
+        if budget > 0:
+            import threading
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
+            try:
+                odf = con.sql(spec.oracle).df()
+            except duckdb.InterruptException:
+                print(f"  {name:28s} rows={len(sdf):7d} "
+                      f"(oracle-timeout>{budget:.0f}s; spark ok) "
+                      f"{t_spark:5.1f}s")
+                continue
+            finally:
+                timer.cancel()
+        else:
+            odf = con.sql(spec.oracle).df()
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
