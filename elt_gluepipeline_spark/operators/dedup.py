@@ -243,7 +243,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       k: int = 3, n_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
                       pair_family: PortableMinhashFamily | None = None,
-                      band_hash=None) -> DataFrame:
+                      band_hash=None,
+                      anchor_ids: DataFrame | None = None) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     bands×rows = n_hashes; a pair becomes a candidate iff it collides
@@ -256,6 +257,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     ``pair_family``/``band_hash`` default to xxhash64 (JVM-native);
     pass ``PortableMinhashFamily``/``portable_band_hash`` for candidate
     sets an external engine can reproduce bit-for-bit.
+
+    ``anchor_ids`` (single-column id frame) restricts the output to
+    pairs with AT LEAST ONE endpoint in the anchor set. Because both
+    the band collision and the exact verify are pure per-pair functions
+    of the two documents, this equals the FULL pair set filtered to
+    anchor-incident pairs — but the band self-join probes only the
+    anchors' band entries against the corpus, so the work is bounded by
+    anchor degree, never corpus². This is the recall-certification
+    probe shape (q189).
     """
     rows_per_band = n_hashes // bands
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
@@ -274,11 +284,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
         ])).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    left = band_entries.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
-    right = band_entries.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
-    cand = (left.join(right, ["band_id", "band_hash"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
+    if anchor_ids is None:
+        left = band_entries.select("band_id", "band_hash",
+                                   F.col("doc_id").alias("id_a"))
+        right = band_entries.select("band_id", "band_hash",
+                                    F.col("doc_id").alias("id_b"))
+        cand = (left.join(right, ["band_id", "band_hash"])
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .select("id_a", "id_b").distinct())
+    else:
+        aset = anchor_ids.toDF("doc_id")
+        left = (band_entries.join(aset, "doc_id", "semi")
+                .select("band_id", "band_hash",
+                        F.col("doc_id").alias("id_x")))
+        right = band_entries.select("band_id", "band_hash",
+                                    F.col("doc_id").alias("id_y"))
+        cand = (left.join(right, ["band_id", "band_hash"])
+                    .filter(F.col("id_x") != F.col("id_y"))
+                    .select(F.least("id_x", "id_y").alias("id_a"),
+                            F.greatest("id_x", "id_y").alias("id_b"))
+                    .distinct())
 
     # exact-Jaccard verify, restricted to candidate pairs: expand each
     # candidate by id_a's shingles, keep only the ones id_b shares →
@@ -1062,7 +1087,9 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
 def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                 *, k: int = 3,
-                                threshold: float = 0.3) -> DataFrame:
+                                threshold: float = 0.3,
+                                anchor_ids: DataFrame | None = None
+                                ) -> DataFrame:
     """COMPLETE exact Jaccard similarity join via PREFIX FILTERING
     (the AllPairs/PPJoin candidate rule): unlike hard blocking
     (boundary misses) or LSH banding (probabilistic recall), this
@@ -1128,18 +1155,29 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     _EPS = 1e-6
     req = F.ceil(F.lit(threshold) / (1.0 + threshold)
                  * (F.col("n_a") + F.col("n_b")) - _EPS)
-    cand = (prefix.select(F.col("doc_id").alias("id_a"), "s",
-                          F.col("n").alias("n_a"), F.col("_rn").alias("r_a"))
-                  .join(prefix.select(F.col("doc_id").alias("id_b"), "s",
-                                      F.col("n").alias("n_b"),
-                                      F.col("_rn").alias("r_b")), "s")
-                  .filter((F.col("id_a") < F.col("id_b"))
-                          & (F.least("n_a", "n_b")
-                             >= threshold * F.greatest("n_a", "n_b") - _EPS)
-                          & (F.least(F.col("n_a") - F.col("r_a"),
-                                     F.col("n_b") - F.col("r_b")) + 1
-                             >= req))
-                  .select("id_a", "id_b").distinct())
+    # ``anchor_ids`` restricts the join to pairs with >=1 anchor
+    # endpoint: the probe side is the anchors' prefixes only, so work
+    # is bounded by anchor degree. Both bounds and the verify are
+    # symmetric per-pair functions, so the result equals the full join
+    # filtered to anchor-incident pairs (the q189 certification shape).
+    left_pfx = prefix if anchor_ids is None \
+        else prefix.join(anchor_ids.toDF("doc_id"), "doc_id", "semi")
+    pair_pred = (F.col("id_a") < F.col("id_b")) if anchor_ids is None \
+        else (F.col("id_a") != F.col("id_b"))
+    cand = (left_pfx.select(F.col("doc_id").alias("id_a"), "s",
+                            F.col("n").alias("n_a"), F.col("_rn").alias("r_a"))
+                    .join(prefix.select(F.col("doc_id").alias("id_b"), "s",
+                                        F.col("n").alias("n_b"),
+                                        F.col("_rn").alias("r_b")), "s")
+                    .filter(pair_pred
+                            & (F.least("n_a", "n_b")
+                               >= threshold * F.greatest("n_a", "n_b") - _EPS)
+                            & (F.least(F.col("n_a") - F.col("r_a"),
+                                       F.col("n_b") - F.col("r_b")) + 1
+                               >= req))
+                    .select(F.least("id_a", "id_b").alias("id_a"),
+                            F.greatest("id_a", "id_b").alias("id_b"))
+                    .distinct())
     # Verify ONLY the candidate pairs with the intersection-COUNT join
     # (each shared shingle is one row; COUNT per pair IS |A∩B|):
     # fan the candidate pairs out over side A's postings, then keep

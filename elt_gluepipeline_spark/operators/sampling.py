@@ -103,7 +103,17 @@ def weighted_sample(df: DataFrame, key_col: str, weight: Column, *,
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
     w = weight.cast("double")
     scored = df.withColumn(key_out, F.log(u) / w).filter(w > 0)
-    return top_n_global(scored, [F.col(key_out).desc(), F.col(key_col)], k)
+    # Rank on the key QUANTIZED to 12 decimals (row key as tiebreak),
+    # not the raw double: ln() is a libm call and Spark (Math.log) vs
+    # an external engine's log differ by an ulp on some inputs. At
+    # small corpora the top-k boundary gap dwarfs an ulp; at sf1 (50k
+    # candidates) the 100th/101st keys landed within log-noise and the
+    # selected SET diverged cross-engine. Quantizing puts selection
+    # boundaries ~1e9 ulps away from the noise (residual risk: a true
+    # key within an ulp of a 1e-12 rounding edge), and the key-column
+    # tiebreak keeps equal quantized keys deterministic.
+    rank_key = F.round(F.col(key_out), 12)
+    return top_n_global(scored, [rank_key.desc(), F.col(key_col)], k)
 
 
 def token_budget_shards(df: DataFrame, id_col: str, tokens_col: Column, *,

@@ -2429,11 +2429,15 @@ def q112_vs_prior_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                .rowsBetween(-5, -1))
     prior_avg = (F.sum(dec("o_totalprice")).over(w).cast("double")
                  / F.count(F.lit(1)).over(w))
+    # rnd0: with duplicated order histories (scaled/replicated data) a
+    # prior-window average lands EXACTLY on the current price, and the
+    # tiny negative residual rounds to -0.0 in one engine and 0.0 in
+    # the other — surfaced by the sf1 gate; +0.0 canonicalizes.
     return (o.select("o_orderkey", "o_custkey",
                      F.count(F.lit(1)).over(w).alias("n_prior"),
-                     F.round(prior_avg, 4).alias("prior_avg"),
-                     F.round(F.col("o_totalprice")
-                             - F.coalesce(prior_avg, F.lit(0.0)), 4)
+                     rnd0(prior_avg, 4).alias("prior_avg"),
+                     rnd0(F.col("o_totalprice")
+                          - F.coalesce(prior_avg, F.lit(0.0)), 4)
                       .alias("delta_vs_prior"))
              .filter(F.col("n_prior") > 0))
 
@@ -2449,8 +2453,9 @@ WITH w AS (
                  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
 )
 SELECT o_orderkey, o_custkey, n_prior,
-       ROUND(prior_avg, 4) AS prior_avg,
-       ROUND(o_totalprice - COALESCE(prior_avg, 0.0), 4) AS delta_vs_prior
+       ROUND(prior_avg, 4) + 0.0 AS prior_avg,
+       ROUND(o_totalprice - COALESCE(prior_avg, 0.0), 4) + 0.0
+         AS delta_vs_prior
 FROM w WHERE n_prior > 0
 """
 
