@@ -26,14 +26,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def extract_violations(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
+def extract_violations(
+        df: DataFrame,
+        rules: Sequence[tuple[str, Column | str]]) -> DataFrame:
     """P5/P6 generalized: tag each row with the names of violated rules.
+
+    Each rule predicate may be a Column or a SQL-expression string
+    (coerced via ``F.expr``) — string rules let callers declare rule
+    tables at module import time without a live SparkContext.
 
     Returns df + ``violated`` (array<string>, empty = clean). One
     projection — Catalyst folds all rule predicates into a single
     codegen stage over the scan.
     """
-    tags = [F.when(pred, F.lit(name)) for name, pred in rules]
+    tags = [F.when(F.expr(pred) if isinstance(pred, str) else pred,
+                   F.lit(name)) for name, pred in rules]
     return df.withColumn(
         "violated",
         F.filter(F.array(*tags), lambda x: x.isNotNull()),

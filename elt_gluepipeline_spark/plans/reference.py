@@ -465,14 +465,18 @@ GROUP BY is_discounted
 # the per-rule-combination audit table.
 # --------------------------------------------------------------------------
 
+# SQL-string predicates (not Column objects): building Columns at
+# module import requires a live SparkContext in pyspark 4, which would
+# make `import plans` / registry() fail in a bare interpreter.
+# extract_violations coerces strings with F.expr at plan-build time.
 QUALITY_RULES = [
-    ("price_null", F.col("l_extendedprice").isNull()),
-    ("price_nonpos", F.col("l_extendedprice") <= 0),
-    ("price_high", F.col("l_extendedprice") > 100000),
-    ("qty_null", F.col("l_quantity").isNull()),
-    ("qty_zero", F.col("l_quantity") == 0),
-    ("qty_high", F.col("l_quantity") >= 48),
-    ("disc_out", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.09)),
+    ("price_null", "l_extendedprice IS NULL"),
+    ("price_nonpos", "l_extendedprice <= 0"),
+    ("price_high", "l_extendedprice > 100000"),
+    ("qty_null", "l_quantity IS NULL"),
+    ("qty_zero", "l_quantity = 0"),
+    ("qty_high", "l_quantity >= 48"),
+    ("disc_out", "l_discount < 0 OR l_discount > 0.09"),
 ]
 
 
