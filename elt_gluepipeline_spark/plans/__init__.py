@@ -145,6 +145,8 @@ _DEPRIORITIZED = (
     "q152_repeated_spans",
     "q153_semdedup",
     "q154_rawfile_ingest",
+    # --- new in round 8 (no driver record yet; next rotation) ---
+    "q192_neardup_anchored",
     # --- latest driver record: round 7 (50 queries) ---
     "q137_jpeg_probe",
     "q140_sketch_overlap",

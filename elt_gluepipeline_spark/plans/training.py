@@ -1148,6 +1148,47 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 
 
 # --------------------------------------------------------------------------
+# Q192 — anchored exact cosine certification (the q189 anchor pattern
+# applied to dense cosine): exact pairs restricted to >=1 anchor
+# endpoint, so exact ground truth costs O(n_anchors * n * d) — linear
+# in corpus size — instead of q25's O(n^2 * d). This is the mode the
+# max_pairs guard on cosine_neardup_pairs points big corpora at.
+# --------------------------------------------------------------------------
+
+_Q192_ANCHOR_N = 200
+
+
+def q192_neardup_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._cache import register_cache
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = register_cache(
+        emb.select("vec_id")
+           .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+           .limit(_Q192_ANCHOR_N))
+    return cosine_neardup_pairs(emb, threshold=0.3, anchor_ids=anchors)
+
+
+Q192_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a2 AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_Q192_ANCHOR_N}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE (a.vec_id IN (SELECT vec_id FROM a2)
+       OR b.vec_id IN (SELECT vec_id FROM a2))
+  AND ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
 # Q28 — as-of join: last-click attribution for purchases (backward
 # inclusive point-in-time lookup; shuffle-once union+window plan)
 # --------------------------------------------------------------------------
@@ -7210,7 +7251,12 @@ SPECS = [
     QuerySpec("q24_fingerprint_dedup", q24_fingerprint_dedup, Q24_SQL,
               "normalized-text fingerprint dedup"),
     QuerySpec("q25_embedding_neardup", q25_embedding_neardup, Q25_SQL,
-              "exact embedding-cosine near-dup via blocked GEMM"),
+              "exact embedding-cosine near-dup via blocked GEMM "
+              "(max_pairs-guarded: refuses silent n^2 at corpus scale)"),
+    QuerySpec("q192_neardup_anchored", q192_neardup_anchored, Q192_SQL,
+              "anchored exact cosine certification: pairs with >=1 "
+              "anchor endpoint via rectangular blocked GEMM — "
+              "O(n_anchors*n*d), the scale path for exact ground truth"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

@@ -52,6 +52,7 @@ EAGER_QUERIES = frozenset({
     "q153_semdedup",                           # k-means artifact load-or-fit
     "q154_rawfile_ingest",                     # file-per-doc stage at build
     "q172_keep_best",                          # component driver loop
+    "q192_neardup_anchored",                   # anchor count at build
 })
 
 

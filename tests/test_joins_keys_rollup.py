@@ -78,6 +78,58 @@ def test_cosine_neardup_no_duplicate_pairs(spark):
     assert all(a < b for a, b in rows)
 
 
+def test_cosine_neardup_max_pairs_guard(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="max_pairs"):
+        cosine_neardup_pairs(df, threshold=0.5, max_pairs=10)  # C(6,2)=15
+    # explicit opt-out disables the guard
+    assert cosine_neardup_pairs(df, threshold=0.5,
+                                max_pairs=None).count() == 15
+    # anchored mode has its own guard: 2 anchors x 6 = 12 > 10
+    anchors = spark.createDataFrame([(0,), (1,)], "vec_id long")
+    with _pytest.raises(ValueError, match="anchored"):
+        cosine_neardup_pairs(df, threshold=0.5, anchor_ids=anchors,
+                             max_pairs=10)
+
+
+def test_cosine_neardup_anchored_equals_filtered_full(spark):
+    import random as _random
+    rng = _random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = spark.createDataFrame([(i,) for i in (3, 11, 27)],
+                                    "vec_id long")
+    full = cosine_neardup_pairs(df, threshold=0.2).collect()
+    want = sorted((p.id_a, p.id_b, p.cosine) for p in full
+                  if p.id_a in (3, 11, 27) or p.id_b in (3, 11, 27))
+    got = cosine_neardup_pairs(df, threshold=0.2,
+                               anchor_ids=anchors).collect()
+    assert sorted((p.id_a, p.id_b, p.cosine) for p in got) == want
+    assert want  # non-vacuous: the anchor set does hit pairs
+
+
+def test_cosine_neardup_anchored_multiblock(spark):
+    # force multi-block on both sides: tiny target_block_bytes splits
+    # 12 anchors / 30 corpus vectors across several rectangular tiles;
+    # anchor-anchor pairs must still appear exactly once
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    anchors = spark.createDataFrame([(i,) for i in range(12)],
+                                    "vec_id long")
+    out = cosine_neardup_pairs(df, threshold=0.99, anchor_ids=anchors,
+                               target_block_bytes=128).collect()
+    rows = [(p.id_a, p.id_b) for p in out]
+    assert len(rows) == len(set(rows))
+    # every pair has >=1 anchor endpoint; all anchor-incident pairs of
+    # identical vectors qualify: C(12,2) + 12*18 = 66 + 216
+    assert len(rows) == 282
+    assert all(a < 12 or b < 12 for a, b in rows)
+
+
 def test_grouping_rollup_levels(spark):
     df = spark.createDataFrame(
         [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
