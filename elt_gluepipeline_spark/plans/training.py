@@ -5620,7 +5620,13 @@ def q190_stream_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CHAIN_SEQ = itertools.count(1)
 
     li = read_table(spark, sf_dir, "lineitem")
-    dkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # src key is (dataset, appId)-private like the run root below —
+    # keyed by dataset alone, two concurrent sessions on the same
+    # dataset would overwrite each other's source mid-drain and each
+    # would register an atexit rmtree on the other's live source
+    dkey = hashlib.md5(
+        (os.path.abspath(sf_dir) + "\x1f"
+         + spark.sparkContext.applicationId).encode()).hexdigest()[:12]
     src = os.path.join(tempfile.gettempdir(),
                        f"spark_graft_chainsrc_{dkey}")
     # four range-partitioned files → four micro-batches downstream
@@ -5722,8 +5728,13 @@ def q191_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = docs.mapInPandas(_synth, "asset_id long, payload binary")
     hashes = dhash_images(assets)
+    # max_hamming == bands-1: the 4x14-bit band join is pigeonhole-
+    # COMPLETE exactly through hamming 3 (any <=3-bit flip leaves >=1
+    # band untouched). At max_hamming=4 a pair colliding in no band
+    # would be silently dropped (ADVICE r7) — and the synthesis only
+    # produces hamming<=2 true pairs, so 3 loses nothing.
     return hamming_banded_pairs(hashes, "asset_id", "dhash",
-                                bits=56, bands=4, max_hamming=4)
+                                bits=56, bands=4, max_hamming=3)
 
 
 Q191_SQL = """
@@ -5769,7 +5780,7 @@ WITH p AS (
 )
 SELECT id_a, id_b,
        CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(h_a, h_b)) <= 4
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
 """
 
 

@@ -90,18 +90,35 @@ def main() -> int:
         # certified by the sf0.01/sf0.1 full-hash runs.
         budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT_S", "0"))
         if budget > 0:
+            # Per-query CURSOR (not the shared connection): a timer
+            # that fires after the query effectively finished (during
+            # .df() materialization / just before cancel) can then only
+            # interrupt this cursor, never poison the next query's
+            # connection state (ADVICE r7). One retry when the
+            # interrupt lands with budget to spare — that's the
+            # late-fire race, not a real timeout.
             import threading
-            timer = threading.Timer(budget, con.interrupt)
-            timer.start()
-            try:
-                odf = con.sql(spec.oracle).df()
-            except duckdb.InterruptException:
-                print(f"  {name:28s} rows={len(sdf):7d} "
-                      f"(oracle-timeout>{budget:.0f}s; spark ok) "
-                      f"{t_spark:5.1f}s")
+            odf = None
+            for _attempt in range(2):
+                cur = con.cursor()
+                timer = threading.Timer(budget, cur.interrupt)
+                t_or = time.time()
+                timer.start()
+                try:
+                    odf = cur.sql(spec.oracle).df()
+                    break
+                except duckdb.InterruptException:
+                    if _attempt == 0 and time.time() - t_or < budget * 0.9:
+                        continue  # late fire from a stale timer: retry
+                    print(f"  {name:28s} rows={len(sdf):7d} "
+                          f"(oracle-timeout>{budget:.0f}s; spark ok) "
+                          f"{t_spark:5.1f}s")
+                    break
+                finally:
+                    timer.cancel()
+                    cur.close()
+            if odf is None:
                 continue
-            finally:
-                timer.cancel()
         else:
             odf = con.sql(spec.oracle).df()
         problems = []
