@@ -579,8 +579,10 @@ def encode_wav(samples, rate: int) -> bytes:
 # with numpy + struct only — the LOSSY compressed-codec path made real
 # (round-4 judge "What's missing #2" named JPEG-class formats as the
 # remaining stub). Scope: baseline (SOF0), 8-bit, grayscale or YCbCr
-# 4:4:4, restart markers honored; progressive/arithmetic/subsampled
-# files raise ValueError and take the honest stub path.
+# at 4:4:4 / 4:2:2 / 4:2:0 (any integer-ratio sampling factors; r8
+# added subsampling — what cameras and the web actually emit), restart
+# markers honored; progressive/arithmetic/12-bit files raise
+# ValueError and take the honest stub path.
 #
 # Huffman tables are CARRIED IN DHT as the spec requires; we emit
 # simple canonical tables (12 DC categories at 4 bits; 256 AC symbols
@@ -741,12 +743,31 @@ def _encode_scan(mcu_blocks, dc_code, ac_code) -> bytes:
     return w.flush()
 
 
-def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0) -> bytes:
+#: component sampling factors (h, v) for the LUMA plane; chroma is
+#: always (1, 1). "444" = no subsampling, "422" = half-width chroma,
+#: "420" = half-width half-height chroma (what cameras/web emit).
+_JPEG_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _box_downsample(plane, fy: int, fx: int):
+    """Average over fy x fx windows (edge-padded to a multiple)."""
+    import numpy as np
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """Build a baseline JFIF JPEG from a uint8 H×W (grayscale) or
-    H×W×3 (RGB) array: BT.601 full-range YCbCr, 4:4:4, Annex-K quant
-    tables at IJG quality scaling, canonical Huffman tables carried in
-    DHT, optional DRI/RSTn segmentation. The synthesis/test-harness
-    counterpart of decode_jpeg."""
+    H×W×3 (RGB) array: BT.601 full-range YCbCr, 4:4:4 / 4:2:2 / 4:2:0
+    chroma (box-average downsample), Annex-K quant tables at IJG
+    quality scaling, canonical Huffman tables carried in DHT, optional
+    DRI/RSTn segmentation (restart_interval counts MCUs). The
+    synthesis/test-harness counterpart of decode_jpeg."""
     import numpy as np
 
     img = np.asarray(arr, dtype=np.float64)
@@ -754,25 +775,40 @@ def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0) -> bytes:
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("degenerate image")
+    try:
+        hy, vy = _JPEG_SUBSAMPLING[subsampling]
+    except KeyError:
+        raise ValueError(f"unknown subsampling {subsampling!r}; "
+                         f"pick one of {sorted(_JPEG_SUBSAMPLING)}") from None
     if gray:
         comps = [img]
+        factors = [(1, 1)]
     else:
         r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        comps = [np.clip(np.rint(c), 0, 255) for c in (y, cb, cr)]
+        comps = [np.clip(np.rint(y), 0, 255),
+                 np.clip(np.rint(_box_downsample(cb, vy, hy)), 0, 255),
+                 np.clip(np.rint(_box_downsample(cr, vy, hy)), 0, 255)]
+        factors = [(hy, vy), (1, 1), (1, 1)]
     qlum, qchr = _jpeg_quality_tables(quality)
     qts = [qlum] if gray else [qlum, qchr]
     m = _dct_mat()
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    quantized = []                     # per component: (bh,bw,64) int zigzag
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    quantized = []   # per component: (bh_i, bw_i, 64) int zigzag blocks
     for ci, comp in enumerate(comps):
-        pad = np.pad(comp, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        hi, vi = factors[ci]
+        bh_i, bw_i = mcuy * vi, mcux * hi
+        ph, pw = comp.shape
+        pad = np.pad(comp, ((0, bh_i * 8 - ph), (0, bw_i * 8 - pw)),
+                     mode="edge")
         q = qts[min(ci, len(qts) - 1)]
-        blocks = np.empty((bh, bw, 64), dtype=np.int64)
-        for by in range(bh):
-            for bx in range(bw):
+        blocks = np.empty((bh_i, bw_i, 64), dtype=np.int64)
+        for by in range(bh_i):
+            for bx in range(bw_i):
                 f = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 d = m @ f @ m.T
                 blocks[by, bx] = np.rint(d / q).astype(np.int64).ravel()[_ZIGZAG]
@@ -781,8 +817,14 @@ def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0) -> bytes:
     dc_code = _huff_codes(_DC_BITS, _DC_VALS)
     ac_code = _huff_codes(_AC_BITS, _AC_VALS)
 
-    mcu_list = [[(ci, quantized[ci][by, bx]) for ci in range(len(comps))]
-                for by in range(bh) for bx in range(bw)]
+    # interleaved MCU order: per MCU, component ci contributes its
+    # vi x hi data units in raster order (T.81 A.2.3)
+    mcu_list = [[(ci, quantized[ci][my * factors[ci][1] + vy,
+                                    mx * factors[ci][0] + vx])
+                 for ci in range(len(comps))
+                 for vy in range(factors[ci][1])
+                 for vx in range(factors[ci][0])]
+                for my in range(mcuy) for mx in range(mcux)]
     if restart_interval:
         # each restart segment re-encodes with fresh DC predictors, as
         # the spec requires; RSTn markers cycle D0..D7 between them
@@ -812,7 +854,8 @@ def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, len(qts) - 1)])
+        hv = (factors[ci][0] << 4) | factors[ci][1]
+        sof += bytes([ci + 1, hv, min(ci, len(qts) - 1)])
     out += seg(0xFFC0, sof)                              # SOF0 baseline
     out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -935,13 +978,15 @@ def _decode_block(r: _BitReader, dc_tab, ac_tab, pred: int):
 
 def decode_jpeg(data: bytes):
     """Parse a baseline sequential JPEG (SOF0, 8-bit, grayscale or
-    4:4:4 color, optional restart markers) with numpy + struct only.
+    color at 4:4:4 / 4:2:2 / 4:2:0 — any integer-ratio sampling
+    factors 1..4 — optional restart markers) with numpy + struct only.
+    Subsampled chroma planes are upsampled by pixel replication
+    (nearest neighbor), the contract the synthesis oracle replays.
 
     Returns ``(width, height, channels, arr)`` with ``arr`` a float64
     height×width×channels array (RGB for color). Raises ValueError
-    for progressive (SOF2), arithmetic coding, subsampled chroma,
-    12-bit, or malformed streams — callers route those to the stub
-    path."""
+    for progressive (SOF2), arithmetic coding, 12-bit, or malformed
+    streams — callers route those to the stub path."""
     import numpy as np
 
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
@@ -993,9 +1038,23 @@ def decode_jpeg(data: bytes):
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3: 9 + ci * 3]
-                if hv != 0x11:
-                    raise ValueError("subsampled chroma unsupported")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+            if nc == 1:
+                # single-component frame: the scan is non-interleaved
+                # and the component spans the full image regardless of
+                # its declared factors (T.81 A.2.2)
+                cid, _hi, _vi, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _tq in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"non-integer sampling ratio {hi}x{vi} vs "
+                        f"{hmax}x{vmax}")
             sof = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1022,45 +1081,64 @@ def _decode_scan(data, pos, sof, scomp, qts, huff, restart_interval):
     h, w, comps = sof
     if h <= 0 or w <= 0:
         raise ValueError("degenerate JPEG dimensions")
-    order = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    order = {cid: i for i, (cid, _hi, _vi, _tq) in enumerate(comps)}
     nc = len(comps)
     if {cid for cid, _, _ in scomp} != set(order):
         raise ValueError("scan/frame component mismatch")
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     m = _dct_mat()
     q_nat = []
-    for cid, tq in comps:
+    for cid, _hi, _vi, tq in comps:
         if tq not in qts:
             raise ValueError(f"missing quant table {tq}")
         q_nat.append(np.array(qts[tq], dtype=np.float64).reshape(8, 8))
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64)
-              for _ in range(nc)]
+    factors = [(hi, vi) for _cid, hi, vi, _tq in comps]
+    planes = [np.empty((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+              for hi, vi in factors]
     r = _BitReader(data, pos)
     pred = [0] * nc
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.sync_restart()
                 pred = [0] * nc
             for cid, td, ta in scomp:
                 ci = order[cid]
+                hi, vi = factors[ci]
                 dc_tab = huff.get((0, td))
                 ac_tab = huff.get((1, ta))
                 if dc_tab is None or ac_tab is None:
                     raise ValueError("missing Huffman table")
-                try:
-                    zz, pred[ci] = _decode_block(r, dc_tab, ac_tab,
-                                                 pred[ci])
-                except _RestartMarker as exc:
-                    raise ValueError("unexpected restart marker") from exc
-                coef = np.zeros(64, dtype=np.float64)
-                for i, idx in enumerate(_ZIGZAG):
-                    coef[idx] = zz[i]
-                blk = m.T @ (coef.reshape(8, 8) * q_nat[ci]) @ m
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk + 128.0
+                for vy in range(vi):
+                    for vx in range(hi):
+                        try:
+                            zz, pred[ci] = _decode_block(r, dc_tab, ac_tab,
+                                                         pred[ci])
+                        except _RestartMarker as exc:
+                            raise ValueError(
+                                "unexpected restart marker") from exc
+                        coef = np.zeros(64, dtype=np.float64)
+                        for i, idx in enumerate(_ZIGZAG):
+                            coef[idx] = zz[i]
+                        blk = m.T @ (coef.reshape(8, 8) * q_nat[ci]) @ m
+                        by, bx = my * vi + vy, mx * hi + vx
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = blk + 128.0
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # crop each plane to its component resolution, then replicate up
+    # to full resolution (nearest-neighbor chroma upsampling)
+    up = []
+    for ci, (hi, vi) in enumerate(factors):
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        p = planes[ci][:ch, :cw]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if nc == 1:
         out = np.clip(np.rint(planes[0]), 0, 255)[:, :, None]
         return w, h, 1, out

@@ -147,6 +147,7 @@ _DEPRIORITIZED = (
     "q154_rawfile_ingest",
     # --- new in round 8 (no driver record yet; next rotation) ---
     "q192_neardup_anchored",
+    "q193_jpeg_subsampled",
     # --- latest driver record: round 7 (50 queries) ---
     "q137_jpeg_probe",
     "q140_sketch_overlap",

@@ -129,6 +129,73 @@ def test_malformed_inputs_raise_valueerror():
         decode_jpeg(bytes(progressive))
 
 
+def _const_macroblocks(rng, mh, mw):
+    vals = 128 + 2 * rng.integers(-24, 25, size=(mh, mw))
+    return np.kron(vals, np.ones((16, 16), dtype=np.int64)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub", ["420", "422"])
+def test_subsampled_macroblock_exact(sub):
+    # constant 16x16 macroblocks survive box-average chroma downsample,
+    # DC quantization, and replication upsample pixel-exactly — the
+    # q193 oracle contract (covers MCU interleave + per-comp predictors)
+    rng = np.random.default_rng(23)
+    g = _const_macroblocks(rng, 2, 3)
+    img = np.stack([g, g, g], axis=2)
+    for ri in (0, 2):
+        w, h, c, arr = decode_jpeg(encode_jpeg(
+            img, quality=50, subsampling=sub, restart_interval=ri))
+        assert (w, h, c) == (48, 32, 3)
+        assert np.array_equal(arr, img.astype(np.float64)), (sub, ri)
+
+
+@pytest.mark.parametrize("dims", [(19, 37), (17, 23), (9, 31), (24, 40)])
+def test_subsampled_non_mcu_aligned_exact(dims):
+    # partial-MCU edge handling: encoder edge-pads, decoder crops; odd
+    # dims also hit the ceil() chroma plane size + upsample-crop path
+    rng = np.random.default_rng(29)
+    hh, ww = dims
+    cells = 128 + 2 * rng.integers(-24, 25,
+                                   size=(-(-hh // 16), -(-ww // 16)))
+    g = np.kron(cells, np.ones((16, 16), dtype=np.int64))[:hh, :ww] \
+          .astype(np.uint8)
+    img = np.stack([g, g, g], axis=2)
+    for sub in ("420", "422", "444"):
+        w, h, c, arr = decode_jpeg(encode_jpeg(img, quality=50,
+                                               subsampling=sub))
+        assert (w, h, c) == (ww, hh, 3)
+        assert np.array_equal(arr, img.astype(np.float64)), sub
+
+
+def test_subsampled_textured_bounded_error():
+    # real (non-constant) content: 4:2:0 loses chroma detail but gray
+    # content keeps Cb=Cr=128, so error is bounded by luma quantization
+    rng = np.random.default_rng(31)
+    g = rng.integers(60, 200, size=(24, 24)).astype(np.uint8)
+    img = np.stack([g, g, g], axis=2)
+    w, h, c, arr = decode_jpeg(encode_jpeg(img, quality=90,
+                                           subsampling="420"))
+    assert (w, h, c) == (24, 24, 3)
+    assert np.abs(arr[:, :, 0] - g).mean() < 8.0
+
+
+def test_bad_subsampling_rejected():
+    rng = np.random.default_rng(37)
+    img = np.stack([_const_blocks(rng, 2, 2)] * 3, axis=2)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="411")
+    # decoder rejects non-integer sampling ratios (e.g. 3 vs max 2)
+    data = bytearray(encode_jpeg(img, subsampling="420"))
+    i = data.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) then per-comp
+    # [cid hv tq]; comp0 hv is at offset 2+2+1+2+2+1+1 = 11 from 0xFFC0
+    assert data[i + 11] == 0x22
+    data[i + 11] = 0x32                 # h=3 vs chroma h=1, max 3: 3%1==0
+    data[i + 11 + 3 + 1] = 0x21         # chroma h=2 -> 3 % 2 != 0
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
 def test_media_probe_routes_jpeg(spark):
     import pandas as pd
 
