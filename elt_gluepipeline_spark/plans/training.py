@@ -177,8 +177,27 @@ def q18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=3, threshold=0.2)
 
 
-Q18_SQL = """
-WITH base AS (
+# Shared SCALE-CAPABLE oracle fragment for the blocked-jaccard family
+# (q18/q56/q59/q100/q149/q172). The original replay was the naive
+# block-local all-pairs join with a per-pair list_intersect — exact,
+# but quadratic inside each (lang, len_bucket) block, and at sf1 (50k
+# docs) it blew the 180 s oracle budget on every query in the family
+# (GATE_SF1: 12 oracle-side timeouts; judge r7 item #4). This replay
+# keeps the EXACT same output (same integer intersection/union sizes,
+# hence bit-identical jaccard doubles) but derives it feasibly:
+#   - AllPairs prefix filter: shingles globally ordered by (df, s);
+#     a pair with jaccard >= t shares an element in both doc prefixes
+#     of length n - ceil(t*n) + 1 — the q170-oracle-validated bound;
+#   - candidates further restricted to the block keys the engine
+#     blocks on (true pairs must share them anyway);
+#   - intersection size via a CANDIDATE-RESTRICTED postings count
+#     (|cand| * avg-doc-shingles work, never sum df(s)^2);
+#   - jaccard = c / (n_a + n_b - c): same integers as
+#     len(list_intersect) / len(list_distinct(concat)).
+# ``pairs`` exposes (id_a, id_b, jaccard) for downstream CTEs.
+def _jaccard_pairs_ctes(threshold: float) -> str:
+    return f"""
+base AS (
   SELECT doc_id, lang,
          CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
            AS len_bucket,
@@ -189,18 +208,51 @@ WITH base AS (
   FROM (SELECT doc_id, lang, text,
                regexp_split_to_array(trim(text), '\\s+') AS tok
         FROM documents)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
-            ELSE len(list_intersect(a.shingles, b.shingles))
-                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
-       END AS jaccard
-FROM base a JOIN base b
-  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
-           ELSE len(list_intersect(a.shingles, b.shingles))
-                / len(list_distinct(list_concat(a.shingles, b.shingles)))
-      END >= 0.2
+),
+nz AS (
+  SELECT doc_id, lang, len_bucket, shingles, len(shingles) AS n
+  FROM base WHERE len(shingles) > 0
+),
+inv AS (
+  SELECT doc_id, lang, len_bucket, n, unnest(shingles) AS s FROM nz
+),
+dfreq AS (SELECT s, COUNT(*) AS dfc FROM inv GROUP BY s),
+ranked AS (
+  SELECT i.doc_id, i.lang, i.len_bucket, i.n, i.s,
+         ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.dfc, i.s) AS rn
+  FROM inv i JOIN dfreq d USING (s)
+),
+pfx AS (
+  SELECT doc_id, lang, len_bucket, s FROM ranked
+  WHERE rn <= floor((1.0 - {threshold}) * n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b
+    ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT cd.id_a, cd.id_b, COUNT(*) AS c
+  FROM cand cd
+  JOIN inv a ON a.doc_id = cd.id_a
+  JOIN inv b ON b.doc_id = cd.id_b AND b.s = a.s
+  GROUP BY cd.id_a, cd.id_b
+),
+pairs AS (
+  SELECT cm.id_a, cm.id_b,
+         cm.c / (na.n + nb.n - cm.c) AS jaccard
+  FROM common cm
+  JOIN nz na ON na.doc_id = cm.id_a
+  JOIN nz nb ON nb.doc_id = cm.id_b
+  WHERE cm.c / (na.n + nb.n - cm.c) >= {threshold}
+)"""
+
+
+Q18_SQL = f"""
+WITH {_jaccard_pairs_ctes(0.2)}
+SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
@@ -811,15 +863,18 @@ def q145_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q145_sql() -> str:
     from ..operators.graph import pagerank_sql
+    # MATERIALIZED reused CTEs: inlined, DuckDB re-derived the basket
+    # self-join per unrolled pagerank iteration (GATE_SF1 oracle
+    # timeout at 6M lineitem; 7 s materialized)
     return f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
             WHERE l_shipdate >= DATE '1997-01-01'),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.l_partkey AS s, b.l_partkey AS d, COUNT(*) AS w
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2),
-edges AS (SELECT s, d, w FROM pairs
+edges AS MATERIALIZED (SELECT s, d, w FROM pairs
           UNION ALL SELECT d, s, w FROM pairs),
 {pagerank_sql(n_iter=3).lstrip()}
 """.replace("SELECT node, rank FROM",
@@ -841,7 +896,11 @@ tok AS (
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
            AS n_tokens
   FROM documents),
-hashes AS (
+-- MATERIALIZED: the recursive greedy scan below joins `ordered` once
+-- per row rank; inlined, DuckDB recomputed the md5 ordering keys for
+-- all docs on every iteration (GATE_SF1 oracle timeout). Materializing
+-- makes each iteration a cheap frontier-probe (18 s at 50k docs).
+hashes AS MATERIALIZED (
   SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                                   || '#{_PACK_SEED}'), 1, 15)) AS BIGINT)
@@ -1585,28 +1644,8 @@ def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # oracle: q18's pair derivation + a recursive reachability walk;
 # component = min reachable doc_id (same labels min-propagation yields)
-Q56_SQL = """
-WITH RECURSIVE base AS (
-  SELECT doc_id, lang,
-         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
-           AS len_bucket,
-         list_distinct([
-           list_aggregate(tok[i:i+2], 'string_agg', ' ')
-           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
-         ]) AS shingles
-  FROM (SELECT doc_id, lang, text,
-               regexp_split_to_array(trim(text), '\\s+') AS tok
-        FROM documents)
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM base a JOIN base b
-    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
-             ELSE len(list_intersect(a.shingles, b.shingles))
-                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
-        END >= 0.2
-),
+Q56_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(0.2)},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -1636,28 +1675,8 @@ def q59_dedupe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
-Q59_SQL = """
-WITH RECURSIVE base AS (
-  SELECT doc_id, lang,
-         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
-           AS len_bucket,
-         list_distinct([
-           list_aggregate(tok[i:i+2], 'string_agg', ' ')
-           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
-         ]) AS shingles
-  FROM (SELECT doc_id, lang, text,
-               regexp_split_to_array(trim(text), '\\s+') AS tok
-        FROM documents)
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM base a JOIN base b
-    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
-             ELSE len(list_intersect(a.shingles, b.shingles))
-                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
-        END >= 0.2
-),
+Q59_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(0.2)},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -2165,7 +2184,7 @@ def q139_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q139_SQL = f"""
 WITH RECURSIVE {_PACK_BASE},
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT doc_id, shard, n_tokens,
          ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
   FROM hashes),
@@ -2361,6 +2380,12 @@ def q58_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_containment(corpus, bench, k=3, threshold=0.5)
 
 
+# Scale-capable replay (GATE_SF1 oracle-timeout fix, judge r7 item
+# #4): the original corpus x benchmark join ran list_intersect on all
+# 45k x 5k pairs at sf1. Containment >= 0.5 > 0 requires >= 1 shared
+# shingle, so a postings join + per-pair COUNT produces the exact same
+# integer intersection sizes (shingle lists are list_distinct), hence
+# bit-identical containment doubles, at sum-over-shared-shingles cost.
 Q58_SQL = """
 WITH sh AS (
   SELECT doc_id,
@@ -2372,10 +2397,18 @@ WITH sh AS (
         FROM documents)
 ),
 c AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id % 10 <> 0 AND len(sh) > 0),
-b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0 AND len(sh) > 0)
-SELECT corpus_id, bench_id,
-       len(list_intersect(c.sh, b.sh)) / len(b.sh) AS containment
-FROM c JOIN b ON len(list_intersect(c.sh, b.sh)) / len(b.sh) >= 0.5
+b AS (SELECT doc_id AS bench_id, sh, len(sh) AS nb FROM sh
+      WHERE doc_id % 10 = 0 AND len(sh) > 0),
+ci AS (SELECT corpus_id, unnest(sh) AS s FROM c),
+bi AS (SELECT bench_id, nb, unnest(sh) AS s FROM b),
+common AS (
+  SELECT ci.corpus_id, bi.bench_id, ANY_VALUE(bi.nb) AS nb,
+         COUNT(*) AS cnt
+  FROM ci JOIN bi USING (s)
+  GROUP BY ci.corpus_id, bi.bench_id
+)
+SELECT corpus_id, bench_id, cnt / nb AS containment
+FROM common WHERE cnt / nb >= 0.5
 """
 
 
@@ -3703,31 +3736,10 @@ def q100_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
-Q100_SQL = """
-WITH RECURSIVE base AS (
-  SELECT doc_id, lang,
-         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
-           AS len_bucket,
-         list_distinct([
-           list_aggregate(tok[i:i+2], 'string_agg', ' ')
-           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
-         ]) AS shingles
-  FROM (SELECT doc_id, lang, text,
-               regexp_split_to_array(trim(text), '\\s+') AS tok
-        FROM documents)
-),
+Q100_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(0.2)},
 jac AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.doc_id % 2 AS odd_a, b.doc_id % 2 AS odd_b
-  FROM base a JOIN base b
-    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-   AND a.doc_id < b.doc_id
-   AND len(a.shingles) > 0 AND len(b.shingles) > 0
-  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0
-             THEN 0.0
-             ELSE len(list_intersect(a.shingles, b.shingles))
-                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
-        END >= 0.2
+  SELECT id_a, id_b, id_a % 2 AS odd_a, id_b % 2 AS odd_b FROM pairs
 ),
 old_edges AS (
   SELECT id_a AS a, id_b AS b FROM jac WHERE odd_a = 0 AND odd_b = 0
@@ -3965,28 +3977,8 @@ def q149_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "component", "split"))
 
 
-Q149_SQL = """
-WITH RECURSIVE base AS (
-  SELECT doc_id, lang,
-         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10) AS BIGINT)
-           AS len_bucket,
-         list_distinct([
-           list_aggregate(tok[i:i+2], 'string_agg', ' ')
-           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
-         ]) AS shingles
-  FROM (SELECT doc_id, lang, text,
-               regexp_split_to_array(trim(text), '\\s+') AS tok
-        FROM documents)
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM base a JOIN base b
-    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0 THEN 0.0
-             ELSE len(list_intersect(a.shingles, b.shingles))
-                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
-        END >= 0.2
-),
+Q149_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(0.2)},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -4643,23 +4635,26 @@ def q157_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q157_SQL = """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+-- MATERIALIZED reused CTEs: inlined, DuckDB re-derived the basket
+-- edge set for every downstream reference (GATE_SF1 oracle timeout
+-- at 6M lineitem; 5 s materialized).
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
             WHERE l_shipdate >= DATE '1997-01-01'),
-e AS (
+e AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT node, COUNT(*) AS degree
   FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
   GROUP BY node
 ),
-ed AS (
+ed AS MATERIALIZED (
   SELECT e.a, e.b, da.degree AS dega, db.degree AS degb
   FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
 ),
-o AS (
+o AS MATERIALIZED (
   SELECT CASE WHEN (dega < degb) OR (dega = degb AND a < b)
               THEN a ELSE b END AS u,
          CASE WHEN (dega < degb) OR (dega = degb AND a < b)
@@ -4668,12 +4663,12 @@ o AS (
               THEN degb ELSE dega END AS degv
   FROM ed
 ),
-w AS (
+w AS MATERIALIZED (
   SELECT o1.u, o1.v AS x, o2.v AS y
   FROM o o1 JOIN o o2 ON o1.u = o2.u
   WHERE (o1.degv < o2.degv) OR (o1.degv = o2.degv AND o1.v < o2.v)
 ),
-t AS (SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+t AS MATERIALIZED (SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
 pn AS (
   SELECT node, COUNT(*) AS nt
   FROM (SELECT u AS node FROM t UNION ALL SELECT x AS node FROM t
@@ -5492,9 +5487,16 @@ base AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
 ), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  -- candidate-RESTRICTED intersection count (GATE_SF1 fix): the
+  -- unrestricted postings self-join is sum df(s)^2 and blew the
+  -- oracle budget at 50k docs; fanning cand over side-A postings
+  -- bounds work by |cand| * avg-doc-shingles. ver already joined
+  -- cand, so the output is unchanged.
+  SELECT cd.id_a, cd.id_b, COUNT(*) AS c
+  FROM cand cd
+  JOIN inv a ON a.doc_id = cd.id_a
+  JOIN inv b ON b.doc_id = cd.id_b AND b.s = a.s
+  GROUP BY cd.id_a, cd.id_b
 ), szs AS (
   SELECT doc_id, len(shingles) AS n FROM nz
 ), ver AS (
@@ -5885,30 +5887,8 @@ def q172_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "component", "n_tokens", "keep")
 
 
-Q172_SQL = """
-WITH RECURSIVE base AS (
-  SELECT doc_id, lang,
-         CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10)
-              AS BIGINT) AS len_bucket,
-         list_distinct([
-           list_aggregate(tok[i:i+2], 'string_agg', ' ')
-           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
-         ]) AS shingles
-  FROM (SELECT doc_id, lang, text,
-               regexp_split_to_array(trim(text), '\\s+') AS tok
-        FROM documents)
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM base a JOIN base b
-    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-   AND a.doc_id < b.doc_id
-  WHERE CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles)))
-                  = 0 THEN 0.0
-             ELSE len(list_intersect(a.shingles, b.shingles))
-                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
-        END >= 0.2
-),
+Q172_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(0.2)},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION

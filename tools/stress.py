@@ -12,6 +12,12 @@ representative slice of the engine's operator families:
   sessions     gap-based sessionization count
   pack         sequence packing (r5): hash-shard + per-shard
                prefix-sum window over synthesized token counts
+  chain    T5  the q190 continuous-ELT shape at scale (r8): multi-
+               micro-batch foreachBatch drain through
+               run_stream_chain — normalize → rule split → real
+               final/ + quarantine/ parquet appends + batch-id
+               bookmarks — under the RocksDB provider; reports
+               rows/s, routed row counts, checkpoint bytes.
   stream   T5  STATEFUL STREAMING drain (r4 judge item #6): the
                production state shape — RocksDB state-store provider
                AND append-mode watermark eviction together — over a
@@ -159,6 +165,40 @@ def main() -> int:
                     .trigger(availableNow=True).start())
             q.awaitTermination()
             timings["stream"] = round(time.time() - t0, 2)
+
+            # ---- chain family (r8): the q190 production shape at
+            # generated scale — multi-micro-batch foreachBatch drain
+            # through run_stream_chain (normalize → rule split →
+            # final/ + quarantine/ appends + batch-id bookmarks),
+            # still under the RocksDB provider. This is what the
+            # reference's nightly cron becomes as continuous ELT; the
+            # figure includes the real parquet sink appends.
+            from elt_gluepipeline_spark.streaming.chain import (
+                run_stream_chain)
+            chain_rules = [
+                ("value_nonpos", "value <= 0"),
+                ("value_high", "value > 190"),
+                ("user_null", "user_id IS NULL"),
+            ]
+            t0 = time.time()
+            run_stream_chain(
+                spark, source_dir=src_dir,
+                final_dir=f"{tmp}/final",
+                quarantine_dir=f"{tmp}/quarantine",
+                checkpoint_dir=f"{tmp}/chain_ckpt",
+                bookmark_dir=f"{tmp}/bookmarks",
+                rules=chain_rules,
+                max_files_per_trigger=4)   # 32 staged files -> 8 batches
+            timings["chain"] = round(time.time() - t0, 2)
+            extra["chain_final_rows"] = \
+                spark.read.parquet(f"{tmp}/final").count()
+            extra["chain_quarantine_rows"] = \
+                spark.read.parquet(f"{tmp}/quarantine").count()
+            state_bytes = 0
+            for root, _dirs, files in os.walk(f"{tmp}/chain_ckpt"):
+                state_bytes += sum(os.path.getsize(os.path.join(root, f))
+                                   for f in files)
+            extra["chain_checkpoint_bytes"] = state_bytes
         finally:
             if prev is None:
                 spark.conf.unset(key)
@@ -167,7 +207,7 @@ def main() -> int:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    rows_for = {k: (stream_rows if k == "stream" else rows)
+    rows_for = {k: (stream_rows if k in ("stream", "chain") else rows)
                 for k in timings}
     print(json.dumps({
         "rows": rows, "partitions": parts, "stream_rows": stream_rows,
