@@ -1296,23 +1296,36 @@ def q192_neardup_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.3, anchor_ids=anchors)
 
 
+# The oracle mirrors the anchoring structurally (NOT an n^2 join then
+# filter — the >=1-anchor disjunction can't be pushed into either join
+# side, so the naive form recomputes the full corpus^2 at scale): each
+# branch probes from the anchor side only, UNION dedups the
+# both-anchor overlap on ids, and the cosine is computed once per
+# surviving pair.
 Q192_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-a2 AS (
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a2 AS MATERIALIZED (
   SELECT vec_id FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_Q192_ANCHOR_N}
+),
+ae AS (SELECT e.vec_id FROM e JOIN a2 USING (vec_id)),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ae a JOIN e b ON a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN ae b ON a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE (a.vec_id IN (SELECT vec_id FROM a2)
-       OR b.vec_id IN (SELECT vec_id FROM a2))
-  AND ROUND(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+SELECT c.id_a, c.id_b,
+       ROUND(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) + 0.0 AS cosine
+FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+WHERE ROUND(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
 """
 
 
@@ -3738,10 +3751,12 @@ def q100_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q100_SQL = f"""
 WITH RECURSIVE {_jaccard_pairs_ctes(0.2)},
-jac AS (
+-- MATERIALIZED: multiply-referenced CTEs here otherwise re-inline
+-- the whole prefix-filter pipeline per reference (sf1 timeout)
+jac AS MATERIALIZED (
   SELECT id_a, id_b, id_a % 2 AS odd_a, id_b % 2 AS odd_b FROM pairs
 ),
-old_edges AS (
+old_edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM jac WHERE odd_a = 0 AND odd_b = 0
   UNION
   SELECT id_b, id_a FROM jac WHERE odd_a = 0 AND odd_b = 0
@@ -3751,7 +3766,7 @@ old_reach(id, r) AS (
   UNION
   SELECT e.a, r.r FROM old_edges e JOIN old_reach r ON e.b = r.id
 ),
-old_losers AS (
+old_losers AS MATERIALIZED (
   SELECT id FROM (SELECT id, MIN(r) AS component FROM old_reach GROUP BY id)
   WHERE id <> component
 ),
@@ -3762,7 +3777,7 @@ p2 AS (
     AND (odd_a = 1 OR id_a NOT IN (SELECT id FROM old_losers))
     AND (odd_b = 1 OR id_b NOT IN (SELECT id FROM old_losers))
 ),
-edges2 AS (
+edges2 AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM p2
   UNION
   SELECT id_b, id_a FROM p2
@@ -3772,7 +3787,7 @@ reach2(id, r) AS (
   UNION
   SELECT e.a, r.r FROM edges2 e JOIN reach2 r ON e.b = r.id
 ),
-comp2 AS (SELECT id, MIN(r) AS component FROM reach2 GROUP BY id),
+comp2 AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach2 GROUP BY id),
 dirty AS (
   SELECT DISTINCT component FROM comp2 WHERE id % 2 = 0
 ),
@@ -5539,9 +5554,9 @@ def q171_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q171_SQL = f"""
 WITH {_Q170_BODY},
-truth AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.3),
-found AS (SELECT id_a, id_b FROM ({Q41_SQL})),
-hit AS (SELECT f.id_a, f.id_b FROM found f
+truth AS MATERIALIZED (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.3),
+found AS MATERIALIZED (SELECT id_a, id_b FROM ({Q41_SQL})),
+hit AS MATERIALIZED (SELECT f.id_a, f.id_b FROM found f
         JOIN truth t ON f.id_a = t.id_a AND f.id_b = t.id_b)
 SELECT (SELECT COUNT(*) FROM truth) AS n_true,
        (SELECT COUNT(*) FROM found) AS n_found,
