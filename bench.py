@@ -81,6 +81,13 @@ def main() -> None:
                       "unit": "sec", "n_queries": len(ordered),
                       "queries": dict(ordered[:head_n]),
                       "queries_omitted": max(0, len(ordered) - head_n),
+                      # protocol stamp (judge r7 item #6): round-over-
+                      # round comparisons are only meaningful under the
+                      # same best-of-N; r6 best-of-5 vs r7 best-of-2
+                      # read as a phantom ~1.16x min-statistics drift
+                      "protocol": {"best_of": n_runs,
+                                   "order": "registry-name-sorted",
+                                   "sink": "noop"},
                       "sf": sf},
                      separators=(",", ":")))
 
