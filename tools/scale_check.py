@@ -203,6 +203,12 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     const_dup = "--const-dup" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
+    # --reuse: measure against an ALREADY-BUILT spark-warehouse/<tag>
+    # dataset instead of rebuilding. Scale points must be taken in a
+    # fresh warm session, never right after an in-JVM build (the r7
+    # q162 37.9x reading was post-build JVM noise) — build once, then
+    # re-run with --reuse for the timed pass.
+    reuse = "--reuse" in sys.argv[1:]
     factor = int(args[0]) if args else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     names = args[2:] or DEFAULT_QUERIES
@@ -213,13 +219,15 @@ def main() -> None:
            + ("_skew" if skew else ""))
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "spark-warehouse", tag)
-    build_scaled(spark, src, out, factor, const_dup=const_dup, skew=skew)
+    if not (reuse and os.path.isdir(out)):
+        build_scaled(spark, src, out, factor, const_dup=const_dup, skew=skew)
     if skew:
         # the 1x comparison point must carry the SAME hot-key recipe
         src_skew = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "spark-warehouse", "scale_x1_skew")
-        build_scaled(spark, src, src_skew, 1, skew=True)
+        if not (reuse and os.path.isdir(src_skew)):
+            build_scaled(spark, src, src_skew, 1, skew=True)
         src = src_skew
 
     specs = registry()
