@@ -390,3 +390,46 @@ def bigram_perplexity(df, id_col: str, text_col: str):
     return agg.select(id_col, "n_bigrams",
                       F.round(nll, 6).alias("nll"),
                       F.round(F.exp(nll), 6).alias("ppl"))
+
+
+# ---- Unicode script profiling (r8) ----------------------------------------
+# mC4/CCNet-style script detection: per-document character counts for a
+# fixed set of Unicode BLOCK ranges, all JVM-side regex (no UDF).
+# Explicit codepoint ranges — not \p{script=...} classes — so any engine
+# (Java regex, RE2, PCRE) counts identically; script-class definitions
+# drift between regex engines, literal ranges do not.
+# Reference analog: none (north-star training-data scope); the langid
+# heuristic above (langid_en_heuristic) only works for space-separated
+# Latin text — script counts are the pre-filter that routes non-Latin
+# docs away from it.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+)
+
+
+def script_char_count(col: Column, char_range: str) -> Column:
+    """Count of characters in a literal codepoint range.
+
+    length(x) - length(remove-matches(x)) — two JVM string ops, fully
+    codegen'd; counting via regexp_extract_all would materialize an
+    array per row.
+    """
+    return (F.length(col)
+            - F.length(F.regexp_replace(col, f"[{char_range}]", ""))
+            ).cast("long")
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """Priority-chain argmax over script counts (ties go to the earlier
+    non-Latin script, Latin last) — a fixed CASE chain both engines
+    replay deterministically, unlike a map-argmax."""
+    n_lat, n_cyr = counts["latin"], counts["cyrillic"]
+    n_cjk, n_ara = counts["cjk"], counts["arabic"]
+    return (
+        F.when(n_cyr >= F.greatest(n_lat, n_cjk, n_ara), F.lit("cyrillic"))
+         .when(n_cjk >= F.greatest(n_lat, n_ara), F.lit("cjk"))
+         .when(n_ara >= n_lat, F.lit("arabic"))
+         .otherwise(F.lit("latin")))

@@ -148,6 +148,10 @@ _DEPRIORITIZED = (
     # --- new in round 8 (no driver record yet; next rotation) ---
     "q192_neardup_anchored",
     "q193_jpeg_subsampled",
+    "q194_zorder_layout",
+    "q195_bucketed_join",
+    "q196_star_components",
+    "q197_script_mix",
     # --- latest driver record: round 7 (50 queries) ---
     "q137_jpeg_probe",
     "q140_sketch_overlap",

@@ -7147,6 +7147,281 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# Q194 — Z-order (Morton) layout statistics + file-skipping audit.
+# sources/writers.zorder_key is the write-path lever (pytest-covered in
+# tests/test_bucketing.py); this query gates the interleave ARITHMETIC
+# and the pruning claim end-to-end: bucket lineitem rows by the top
+# bits of their Morton key (the quadtree cell — a deterministic
+# function of the row, NO global sort) vs a single-dimension linear
+# layout, compute per-bucket min/max envelopes on both dimensions, and
+# flag which buckets a 2-D box predicate must scan. Z-order keeps BOTH
+# envelopes tight (few buckets hit); the linear layout is tight on x
+# only (every bucket hit through y). At 100 TB the buckets are parquet
+# row-groups and the hit flags are exactly what min/max stats pruning
+# skips. Oracle replays the bit interleave with explicit shift/mask
+# arithmetic.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 6  # 6 bits/dim -> 12-bit key; top 2 bits/dim -> 16 buckets
+_Z_BOX = (8, 23, 40, 55)  # x_lo, x_hi, y_lo, y_hi scan predicate
+
+
+def q194_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem")
+    side = 1 << _Z_BITS
+    d = (li.select(F.pmod("l_partkey", F.lit(side)).cast("long").alias("x"),
+                   F.pmod("l_suppkey", F.lit(side)).cast("long").alias("y"))
+           .withColumn("_zb", F.shiftright(
+               zorder_key(F.col("x"), F.col("y"), bits=_Z_BITS),
+               2 * _Z_BITS - 4))
+           .withColumn("_lb", F.shiftright(F.col("x"), _Z_BITS - 4)))
+
+    def _stats(bcol: str, layout: str) -> DataFrame:
+        return (d.groupBy(F.col(bcol).alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                       F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+                  .withColumn("layout", F.lit(layout)))
+
+    xlo, xhi, ylo, yhi = _Z_BOX
+    hit = ~((F.col("max_x") < xlo) | (F.col("min_x") > xhi)
+            | (F.col("max_y") < ylo) | (F.col("min_y") > yhi))
+    return (_stats("_zb", "zorder").unionByName(_stats("_lb", "linear"))
+            .select("layout", "bucket", "n_rows", "min_x", "max_x",
+                    "min_y", "max_y", hit.alias("scan_hit")))
+
+
+def _morton_sql(xc: str, yc: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xc} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({yc} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+Q194_SQL = f"""
+WITH d AS (
+  SELECT l_partkey % {1 << _Z_BITS} AS x,
+         l_suppkey % {1 << _Z_BITS} AS y
+  FROM lineitem
+), keyed AS (
+  SELECT x, y,
+         ({_morton_sql('x', 'y', _Z_BITS)}) >> {2 * _Z_BITS - 4} AS zb,
+         x >> {_Z_BITS - 4} AS lb
+  FROM d
+), s AS (
+  SELECT 'zorder' AS layout, zb AS bucket, COUNT(*) AS n_rows,
+         MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y
+  FROM keyed GROUP BY zb
+  UNION ALL
+  SELECT 'linear' AS layout, lb AS bucket, COUNT(*) AS n_rows,
+         MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y
+  FROM keyed GROUP BY lb
+)
+SELECT layout, bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       min_x, max_x, min_y, max_y,
+       NOT (max_x < {_Z_BOX[0]} OR min_x > {_Z_BOX[1]}
+            OR max_y < {_Z_BOX[2]} OR min_y > {_Z_BOX[3]}) AS scan_hit
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Q195 — co-located bucketed fact×fact join (sources/bucketing.py).
+# The reference re-repartitions both join sides on the key EVERY run
+# (go-quality-elt.py:262-263 — a per-run shuffle of the whole fact);
+# bucketBy moves that shuffle to write time, once: both facts are
+# saved as catalog-managed bucketed tables hashed on the order key,
+# so the join itself needs NO Exchange (and with sortBy, no Sort) —
+# tests/test_plans_bucketed.py pins the Exchange-free physical plan.
+# At 100 TB this converts the nightly fact×fact join from "shuffle
+# two tables" into "zip matching buckets". Tables are keyed by
+# (dataset, applicationId) so concurrent sessions and same-session
+# scale runs (1x vs Nx dirs) never collide, and dropped at exit.
+# --------------------------------------------------------------------------
+
+def q195_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+
+    from ..sources.bucketing import read_bucketed, write_bucketed
+
+    dkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_").lower()
+    t_orders = f"sg_b195_orders_{dkey}_{app}"
+    t_lines = f"sg_b195_lineitem_{dkey}_{app}"
+
+    def _drop(table: str) -> None:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        except Exception:
+            pass  # session already stopped; managed dir dies with it
+
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            read_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority"),
+            t_orders, ["o_orderkey"], 8, sort_keys=["o_orderkey"],
+            single_file_buckets=True)
+        atexit.register(_drop, t_orders)
+    if not spark.catalog.tableExists(t_lines):
+        write_bucketed(
+            read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount",
+                    "l_returnflag"),
+            t_lines, ["l_orderkey"], 8, sort_keys=["l_orderkey"],
+            single_file_buckets=True)
+        atexit.register(_drop, t_lines)
+
+    # report the per-bucket sort order from the scan (single-file
+    # buckets make it valid; Spark still verifies files-per-bucket==1
+    # before trusting it) so the merge join runs with NO Sort nodes.
+    # Session-sticky on purpose: physical planning happens at action
+    # time, after this builder returns.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                   "true")
+    ob = read_bucketed(spark, t_orders)
+    lb = read_bucketed(spark, t_lines)
+    j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    return (j.groupBy("o_orderpriority", "l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  dsum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("revenue")))
+
+
+Q195_SQL = f"""
+SELECT o_orderpriority, l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q196 — connected components via alternating large-star/small-star
+# contraction (operators/dedup.connected_components_star — Kiveris et
+# al., "Connected Components in MapReduce and Beyond"): the
+# adversarial-graph scale path that converges in O(log^2 n) rounds
+# regardless of component diameter, where the q59 min-label walk needs
+# one round per hop and dies on a long chain of templated near-dups.
+# Same edge set as q18/q59 (blocked n-gram Jaccard); output is the
+# per-component roster (size + exact char mass), singletons included —
+# so the oracle's reachability labels must agree with star contraction
+# label-for-label, certifying the algorithm, not just a survivor list.
+# --------------------------------------------------------------------------
+
+def q196_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components_star
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = q18_ngram_jaccard(spark, sf_dir)
+    comps = connected_components_star(pairs)
+    lab = (docs.join(comps, docs.doc_id == comps.id, "left")
+               .select(F.coalesce(comps.component, docs.doc_id)
+                        .alias("component"),
+                       "n_chars"))
+    return (lab.groupBy("component")
+               .agg(F.count(F.lit(1)).alias("n_members"),
+                    F.sum("n_chars").alias("sum_chars")))
+
+
+Q196_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(0.2)},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+rost AS (
+  SELECT COALESCE(l.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM rost GROUP BY component
+"""
+
+
+# --------------------------------------------------------------------------
+# Q197 — Unicode script profiling (operators/textstats.SCRIPT_RANGES):
+# the mC4/CCNet routing step that decides which language-ID / quality
+# model a document goes to. The corpus is ASCII, so (q156 pattern) a
+# deterministic per-doc_id rewrite plants Cyrillic / CJK / Arabic text
+# first; counts are literal-codepoint-range regex (identical semantics
+# in Java regex and RE2 — \\p{{script=...}} classes drift between
+# engines, literal ranges do not), dominance is a fixed CASE chain.
+# Map-only, fully codegen'd, no UDF.
+# --------------------------------------------------------------------------
+
+def q197_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import (SCRIPT_RANGES, dominant_script,
+                                       script_char_count)
+
+    docs = read_table(spark, sf_dir, "documents")
+    mod = F.pmod("doc_id", F.lit(3))
+    t = (F.when(mod == 0, F.regexp_replace("text", "table|value|key",
+                                           "таблица"))
+          .when(mod == 1, F.regexp_replace("text", "query|scan|row",
+                                           "查询"))
+          .otherwise(F.regexp_replace("text", "data|join", "بيانات")))
+    d = docs.select("doc_id", t.alias("_t"))
+    counts = {name: script_char_count(F.col("_t"), rng)
+              for name, rng in SCRIPT_RANGES}
+    return d.select(
+        "doc_id",
+        counts["latin"].alias("n_latin"),
+        counts["cyrillic"].alias("n_cyrillic"),
+        counts["cjk"].alias("n_cjk"),
+        counts["arabic"].alias("n_arabic"),
+        dominant_script(counts).alias("dominant"))
+
+
+Q197_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN regexp_replace(text, 'table|value|key',
+                                      'таблица', 'g')
+           WHEN 1 THEN regexp_replace(text, 'query|scan|row', '查询', 'g')
+           ELSE regexp_replace(text, 'data|join', 'بيانات', 'g')
+         END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+         CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g'))
+              AS BIGINT) AS n_cyrillic,
+         CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g'))
+              AS BIGINT) AS n_cjk,
+         CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g'))
+              AS BIGINT) AS n_arabic
+  FROM d
+)
+SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+       CASE
+         WHEN n_cyrillic >= GREATEST(n_latin, n_cjk, n_arabic)
+           THEN 'cyrillic'
+         WHEN n_cjk >= GREATEST(n_latin, n_arabic) THEN 'cjk'
+         WHEN n_arabic >= n_latin THEN 'arabic'
+         ELSE 'latin'
+       END AS dominant
+FROM c
+"""
+
+
 SPECS = [
     QuerySpec("q13_dedup_exact", q13_dedup_exact, Q13_SQL, "exact hash dedup"),
     QuerySpec("q14_text_stats", q14_text_stats, Q14_SQL,
@@ -7337,6 +7612,22 @@ SPECS = [
               "anchored exact cosine certification: pairs with >=1 "
               "anchor endpoint via rectangular blocked GEMM — "
               "O(n_anchors*n*d), the scale path for exact ground truth"),
+    QuerySpec("q194_zorder_layout", q194_zorder_layout, Q194_SQL,
+              "Z-order (Morton) layout vs linear: per-bucket min/max "
+              "envelopes + 2-D box pruning audit, interleave "
+              "arithmetic oracle-replayed bit-for-bit"),
+    QuerySpec("q195_bucketed_join", q195_bucketed_join, Q195_SQL,
+              "co-located bucketed fact×fact join: bucketBy tables "
+              "joined with NO runtime Exchange (plan pinned by "
+              "pytest), values gated against the plain-join oracle"),
+    QuerySpec("q196_star_components", q196_star_components, Q196_SQL,
+              "large-star/small-star connected components (O(log^2 n) "
+              "rounds, diameter-independent) — per-component roster "
+              "certified label-for-label vs reachability"),
+    QuerySpec("q197_script_mix", q197_script_mix, Q197_SQL,
+              "Unicode script profiling + dominant-script routing "
+              "(literal codepoint ranges, engine-portable; map-only, "
+              "no UDF)"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

@@ -24,12 +24,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, bucket_keys: Sequence[str],
                    n_buckets: int, *, sort_keys: Sequence[str] = (),
+                   single_file_buckets: bool = False,
                    mode: str = "overwrite") -> None:
     """Write df as a catalog-managed bucketed parquet table.
 
     ``sort_keys`` additionally sorts within each bucket file, which
-    upgrades bucket joins from hash to sort-merge-without-sort.
+    upgrades bucket joins from hash to sort-merge-without-sort — but
+    Spark only trusts the sort order when each bucket is ONE file.
+    ``single_file_buckets`` pre-repartitions by the bucket keys into
+    n_buckets tasks (repartition and bucketBy share the murmur3-pmod
+    assignment, so every task holds exactly one bucket): one file per
+    bucket, sort metadata honored, and no small-file spray — the
+    layout you want for a dimension or moderate fact; for a huge fact
+    leave it False and let each task write its shard of every bucket.
     """
+    if single_file_buckets:
+        df = df.repartition(n_buckets, *bucket_keys)
     writer = (df.write.mode(mode).format("parquet")
                 .bucketBy(n_buckets, *bucket_keys))
     if sort_keys:
