@@ -16,9 +16,12 @@ Decode status, honestly marked per format:
   LOSSY codec path: Huffman entropy decode, dequantization, 2-D IDCT
   and YCbCr→RGB in numpy + struct (`decode_jpeg`), oracle-checked in
   q137 via the block-constant DC-exactness contract.
-- remaining codec formats (progressive jpeg/mp3/mp4 — no codec
-  libraries in this container) keep the clearly-marked stub
-  (deterministic fake features derived from the bytes).
+- progressive JPEG (SOF2) is decoded for real too: per-scan
+  spectral-selection / successive-approximation accumulation
+  (T.81 Annex G) into coefficient arrays, one IDCT at EOI.
+- remaining codec formats (mp3/mp4 — no codec libraries in this
+  container) keep the clearly-marked stub (deterministic fake
+  features derived from the bytes).
 
 Everything Spark-side is real and tested either way: the schema
 contract (binary + struct metadata), the mapInPandas batch shape, and
@@ -190,8 +193,8 @@ def sample_frames(assets: DataFrame, *, every_n_bytes: int = 1024,
 # pipelines routinely store preprocessed uncompressed tensors (raw
 # uint8 rasters) precisely so downstream stages don't pay a decode;
 # for that format the math below is the production math, not a stub —
-# only formats without a real decoder here (progressive jpeg/mp3/mp4)
-# keep the stubbed decode above.
+# only formats without a real decoder here (mp3/mp4) keep the
+# stubbed decode above.
 # --------------------------------------------------------------------
 
 RASTER_STATS_SCHEMA = StructType([
@@ -282,8 +285,8 @@ def downsample_raster(assets: DataFrame, *, width: int, height: int,
 # REAL pure-Python decoders (no codec library needed): uncompressed
 # BMP and PCM WAV here, PNG (stdlib zlib) and baseline JPEG below.
 # These make width/height/duration/luminance actual decoded values;
-# formats still needing an external codec (progressive jpeg, mp3,
-# mp4) stay on the stub path, loudly.
+# formats still needing an external codec (mp3, mp4) stay on the
+# stub path, loudly.
 # --------------------------------------------------------------------
 
 import struct
@@ -581,7 +584,8 @@ def encode_wav(samples, rate: int) -> bytes:
 # remaining stub). Scope: baseline (SOF0), 8-bit, grayscale or YCbCr
 # at 4:4:4 / 4:2:2 / 4:2:0 (any integer-ratio sampling factors; r8
 # added subsampling — what cameras and the web actually emit), restart
-# markers honored; progressive/arithmetic/12-bit files raise
+# markers honored; progressive (SOF2) decoded via Annex-G scan
+# accumulation; arithmetic/12-bit files raise
 # ValueError and take the honest stub path.
 #
 # Huffman tables are CARRIED IN DHT as the spec requires; we emit
@@ -760,14 +764,15 @@ def _box_downsample(plane, fy: int, fx: int):
     return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
 
-def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0,
-                subsampling: str = "444") -> bytes:
-    """Build a baseline JFIF JPEG from a uint8 H×W (grayscale) or
-    H×W×3 (RGB) array: BT.601 full-range YCbCr, 4:4:4 / 4:2:2 / 4:2:0
-    chroma (box-average downsample), Annex-K quant tables at IJG
-    quality scaling, canonical Huffman tables carried in DHT, optional
-    DRI/RSTn segmentation (restart_interval counts MCUs). The
-    synthesis/test-harness counterpart of decode_jpeg."""
+def _jpeg_front_end(arr, quality: int, subsampling: str):
+    """Shared lossy front half of both JPEG encoders: BT.601 color
+    convert, chroma box-downsample, 8x8 DCT, Annex-K quantization.
+    Returns (h, w, gray, factors, qts, quantized, mcux, mcuy) where
+    ``quantized[ci]`` is a (blocks_h, blocks_w, 64) int array of
+    ZIGZAG-ordered coefficients padded to the MCU grid. Baseline and
+    progressive encodings of one image share these coefficients
+    exactly, which is what makes progressive-vs-baseline decode
+    pixel-identical (the roundtrip test's contract)."""
     import numpy as np
 
     img = np.asarray(arr, dtype=np.float64)
@@ -813,6 +818,21 @@ def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0,
                 d = m @ f @ m.T
                 blocks[by, bx] = np.rint(d / q).astype(np.int64).ravel()[_ZIGZAG]
         quantized.append(blocks)
+    return h, w, gray, factors, qts, quantized, mcux, mcuy
+
+
+def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """Build a baseline JFIF JPEG from a uint8 H×W (grayscale) or
+    H×W×3 (RGB) array: BT.601 full-range YCbCr, 4:4:4 / 4:2:2 / 4:2:0
+    chroma (box-average downsample), Annex-K quant tables at IJG
+    quality scaling, canonical Huffman tables carried in DHT, optional
+    DRI/RSTn segmentation (restart_interval counts MCUs). The
+    synthesis/test-harness counterpart of decode_jpeg."""
+    import numpy as np
+
+    h, w, gray, factors, qts, quantized, mcux, mcuy = \
+        _jpeg_front_end(arr, quality, subsampling)
 
     dc_code = _huff_codes(_DC_BITS, _DC_VALS)
     ac_code = _huff_codes(_AC_BITS, _AC_VALS)
@@ -821,7 +841,7 @@ def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0,
     # vi x hi data units in raster order (T.81 A.2.3)
     mcu_list = [[(ci, quantized[ci][my * factors[ci][1] + vy,
                                     mx * factors[ci][0] + vx])
-                 for ci in range(len(comps))
+                 for ci in range(len(quantized))
                  for vy in range(factors[ci][1])
                  for vx in range(factors[ci][0])]
                 for my in range(mcuy) for mx in range(mcux)]
@@ -868,6 +888,206 @@ def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0,
     out += seg(0xFFDA, sos)
     out += scan
     out += b"\xFF\xD9"                                   # EOI
+    return bytes(out)
+
+
+# libjpeg's default progressive scan script (jcparam.c shape): a
+# coarse DC pass with one bit of successive approximation, spectral-
+# selection AC passes (low band first, luma before chroma), then the
+# refinement passes that restore the dropped bits. Tuples are
+# (component indices, Ss, Se, Ah, Al).
+_PROGRESSIVE_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_PROGRESSIVE_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): divide by 2^Al toward zero —
+    NOT an arithmetic shift, which floors negatives."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_dc_scan(blocks_iter, dc_code, ah: int, al: int) -> bytes:
+    """DC scan body. First pass (Ah=0): baseline DC diff coding in the
+    point-transformed domain (arithmetic shift per G.1.2.1). Refinement
+    (Ah>0): one raw bit per block, no Huffman."""
+    w = _BitWriter()
+    if ah == 0:
+        pred: dict[int, int] = {}
+        for ci, zz in blocks_iter:
+            v = int(zz[0]) >> al
+            diff = v - pred.get(ci, 0)
+            pred[ci] = v
+            s, extra = _magnitude(diff)
+            code, ln = dc_code[s]
+            w.put(code, ln)
+            if s:
+                w.put(extra, s)
+    else:
+        for _ci, zz in blocks_iter:
+            w.put((int(zz[0]) >> al) & 1, 1)
+    return w.flush()
+
+
+def _encode_ac_first_scan(blocks, ss: int, se: int, al: int,
+                          ac_code) -> bytes:
+    """AC spectral-selection first pass (Ah=0). Standard Annex-K
+    tables carry no EOBn (n>0) symbols, so end-of-band is always the
+    plain EOB0 — spec-valid, slightly less compact than run-length
+    EOB accumulation."""
+    w = _BitWriter()
+    for zz in blocks:
+        run = 0
+        for k in range(ss, se + 1):
+            v = _pt(int(zz[k]), al)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_code[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s, extra = _magnitude(v)
+            code, ln = ac_code[(run << 4) | s]
+            w.put(code, ln)
+            w.put(extra, s)
+            run = 0
+        if run:
+            code, ln = ac_code[0x00]
+            w.put(code, ln)
+    return w.flush()
+
+
+def _encode_ac_refine_scan(blocks, ss: int, se: int, al: int,
+                           ac_code) -> bytes:
+    """AC successive-approximation refinement (Ah=Al+1): newly
+    significant coefficients are coded as run/1 + sign, coefficients
+    already significant contribute buffered correction bits flushed
+    after the next coded symbol (T.81 G.1.2.3)."""
+    w = _BitWriter()
+    for zz in blocks:
+        run = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = _pt(v, al)
+            if t == 0:
+                run += 1
+                continue
+            # pending ZRLs must be emitted at the FIRST nonzero
+            # coefficient after the run completes (history or new) so
+            # the buffered correction bits stay position-interleaved
+            # with the decoder's advance (jcphuff structure)
+            while run > 15:
+                code, ln = ac_code[0xF0]
+                w.put(code, ln)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                run -= 16
+            if abs(t) > 1:              # already significant earlier
+                br.append((abs(v) >> al) & 1)
+                continue
+            code, ln = ac_code[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if t > 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            run = 0
+        if run or br:
+            code, ln = ac_code[0x00]    # EOB0 covers the tail
+            w.put(code, ln)
+            for b in br:
+                w.put(b, 1)
+    return w.flush()
+
+
+def encode_jpeg_progressive(arr, *, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """Build a PROGRESSIVE (SOF2) JFIF JPEG: the same lossy front end
+    as encode_jpeg — identical quantized coefficients — re-ordered
+    into spectral-selection + successive-approximation scans
+    (libjpeg's default script). Progressive decode of this stream is
+    therefore pixel-identical to baseline decode of
+    ``encode_jpeg(arr, quality, subsampling)``, which is the roundtrip
+    test's exactness contract. Standard Annex-K Huffman tables are
+    reused for every scan (DC refinement is raw bits; AC scans emit
+    EOB0 per block so no EOBn symbols are needed)."""
+    import numpy as np
+
+    h, w, gray, factors, qts, quantized, mcux, mcuy = \
+        _jpeg_front_end(arr, quality, subsampling)
+    nc = len(quantized)
+    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    script = _PROGRESSIVE_SCRIPT_GRAY if gray else _PROGRESSIVE_SCRIPT_COLOR
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qts):
+        zzq = np.rint(q).astype(np.int64).ravel()[_ZIGZAG]
+        out += seg(0xFFDB, bytes([tq]) + bytes(int(v) for v in zzq))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hv = (factors[ci][0] << 4) | factors[ci][1]
+        sof += bytes([ci + 1, hv, min(ci, len(qts) - 1)])
+    out += seg(0xFFC2, sof)                              # SOF2 progressive
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    for comps_in_scan, ss, se, ah, al in script:
+        if ss == 0:                                      # DC scan
+            # interleaved MCU order over every frame component
+            blocks = [(ci, quantized[ci][my * factors[ci][1] + vy,
+                                         mx * factors[ci][0] + vx])
+                      for my in range(mcuy) for mx in range(mcux)
+                      for ci in comps_in_scan
+                      for vy in range(factors[ci][1])
+                      for vx in range(factors[ci][0])]
+            body = _encode_dc_scan(blocks, dc_code, ah, al)
+        else:                                            # AC: one comp
+            ci = comps_in_scan[0]
+            hi, vi = factors[ci]
+            # non-interleaved scans cover the component's own ceil
+            # grid, not the MCU-padded grid (T.81 A.2.2)
+            bw_s = -(-(-(-w * hi // hmax)) // 8)
+            bh_s = -(-(-(-h * vi // vmax)) // 8)
+            blks = (quantized[ci][by, bx]
+                    for by in range(bh_s) for bx in range(bw_s))
+            if ah == 0:
+                body = _encode_ac_first_scan(blks, ss, se, al, ac_code)
+            else:
+                body = _encode_ac_refine_scan(blks, ss, se, al, ac_code)
+        sos = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            sos += bytes([ci + 1, 0x00])   # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        out += body
+    out += b"\xFF\xD9"
     return bytes(out)
 
 
@@ -983,9 +1203,16 @@ def decode_jpeg(data: bytes):
     Subsampled chroma planes are upsampled by pixel replication
     (nearest neighbor), the contract the synthesis oracle replays.
 
+    Progressive (SOF2) streams are decoded too: every scan's
+    spectral-selection band and successive-approximation bits are
+    accumulated into per-component coefficient arrays (first/refine
+    logic per T.81 G.2, EOB runs included), then dequantized and
+    IDCT'd once at EOI — so a progressive and a baseline encoding of
+    the same quantized coefficients decode pixel-identically.
+
     Returns ``(width, height, channels, arr)`` with ``arr`` a float64
     height×width×channels array (RGB for color). Raises ValueError
-    for progressive (SOF2), arithmetic coding, 12-bit, or malformed
+    for arithmetic coding, hierarchical, 12-bit, or malformed
     streams — callers route those to the stub path."""
     import numpy as np
 
@@ -996,6 +1223,8 @@ def decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    progressive = False
+    coefs = None   # progressive: per-component (bh, bw, 64) zigzag ints
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1031,7 +1260,8 @@ def decode_jpeg(data: bytes):
                 vals = list(body[b + 17: b + 17 + n])
                 huff[(tc, th)] = _huff_decoder(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:   # baseline / ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG unsupported")
@@ -1056,9 +1286,10 @@ def decode_jpeg(data: bytes):
                         f"non-integer sampling ratio {hi}x{vi} vs "
                         f"{hmax}x{vmax}")
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError(
+                "unsupported JPEG coding (lossless/arith/hierarchical)")
         elif marker == 0xDD:           # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:           # SOS — entropy data follows
@@ -1069,9 +1300,29 @@ def decode_jpeg(data: bytes):
             for ci in range(ns):
                 cid, tdta = body[1 + ci * 2: 3 + ci * 2]
                 scomp.append((cid, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(data, pos + 2 + size, sof, scomp, qts,
-                                huff, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos + 2 + size, sof, scomp,
+                                    qts, huff, restart_interval)
+            if len(body) < 1 + ns * 2 + 3:
+                raise ValueError("truncated progressive SOS header")
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            if coefs is None:
+                _h, _w, comps = sof
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-_w // (8 * hmax))
+                mcuy = -(-_h // (8 * vmax))
+                coefs = [np.zeros((mcuy * vi, mcux * hi, 64),
+                                  dtype=np.int32)
+                         for _cid, hi, vi, _tq in comps]
+            pos = _progressive_scan(data, pos + 2 + size, sof, scomp,
+                                    ss, se, ahal >> 4, ahal & 0x0F,
+                                    huff, restart_interval, coefs)
+            continue
         pos += 2 + size
+    if progressive and coefs is not None:
+        return _progressive_finish(sof, qts, coefs)
     raise ValueError("no SOS marker found")
 
 
@@ -1128,8 +1379,16 @@ def _decode_scan(data, pos, sof, scomp, qts, huff, restart_interval):
                         planes[ci][by * 8:by * 8 + 8,
                                    bx * 8:bx * 8 + 8] = blk + 128.0
             mcu += 1
-    # crop each plane to its component resolution, then replicate up
-    # to full resolution (nearest-neighbor chroma upsampling)
+    return _assemble_planes(planes, factors, h, w, hmax, vmax)
+
+
+def _assemble_planes(planes, factors, h, w, hmax, vmax):
+    """Crop each padded component plane to its true resolution,
+    replicate-upsample subsampled chroma, and color-convert — shared
+    by the baseline and progressive decode paths."""
+    import numpy as np
+
+    nc = len(planes)
     up = []
     for ci, (hi, vi) in enumerate(factors):
         ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
@@ -1150,6 +1409,212 @@ def _decode_scan(data, pos, sof, scomp, qts, huff, restart_interval):
     blue = y + 1.772 * (cb - 128.0)
     rgb = np.stack([red, green, blue], axis=2)
     return w, h, 3, np.clip(np.rint(rgb), 0, 255)
+
+
+def _next_marker_pos(data: bytes, p: int) -> int:
+    """Position of the next real marker after a scan's entropy data
+    (skips stuffed 0x00, stray RSTn, and 0xFF fill bytes)."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:          # fill byte
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated progressive JPEG (no trailing marker)")
+
+
+def _progressive_scan(data, pos, sof, scomp, ss, se, ah, al, huff,
+                      dri, coefs) -> int:
+    """Apply ONE progressive scan (T.81 G.2) to the accumulated
+    coefficient arrays; returns the stream position of the next
+    marker. DC scans may interleave all components; AC scans are
+    single-component over that component's own block grid. First
+    passes (Ah=0) install values << Al; refinement passes (Ah=Al+1)
+    OR in the next magnitude bit, with EOB-run bookkeeping."""
+    h, w, comps = sof
+    order = {cid: i for i, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    for cid, _td, _ta in scomp:
+        if cid not in order:
+            raise ValueError("scan component not in frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    r = _BitReader(data, pos)
+    eobrun = 0
+    p1 = 1 << al
+
+    def _refine_nonzero(coef, k):
+        # one correction bit for an already-significant coefficient
+        if r.bit() and not (int(coef[k]) & p1):
+            coef[k] += p1 if coef[k] > 0 else -p1
+
+    def _ac_first(coef):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _read_symbol(r, ac_tab)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rr == 15:
+                    k += 16          # ZRL
+                    continue
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                return
+            k += rr
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[k] = _extend(r.bits(s), s) << al
+            k += 1
+
+    def _ac_refine(coef):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_symbol(r, ac_tab)
+                rr, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if rr < 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break        # EOB run starts with this block
+                    # rr == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    val = p1 if r.bit() else -p1
+                while k <= se:
+                    if coef[k] != 0:
+                        _refine_nonzero(coef, k)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(coef, k)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0:                      # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = {order[cid]: 0 for cid, _td, _ta in scomp}
+        single = len(scomp) == 1
+        if single:
+            cid, td, _ta = scomp[0]
+            ci = order[cid]
+            _cid, hi, vi, _tq = comps[ci]
+            bw_s = -(--(-w * hi // hmax) // 8)
+            bh_s = -(--(-h * vi // vmax) // 8)
+            units = [(ci, td, by, bx)
+                     for by in range(bh_s) for bx in range(bw_s)]
+            groups = [units[i:i + 1] for i in range(len(units))]
+        else:
+            groups = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    g = []
+                    for cid, td, _ta in scomp:
+                        ci = order[cid]
+                        _cid, hi, vi, _tq = comps[ci]
+                        for vy in range(vi):
+                            for vx in range(hi):
+                                g.append((ci, td, my * vi + vy,
+                                          mx * hi + vx))
+                    groups.append(g)
+        for gi, g in enumerate(groups):
+            if dri and gi and gi % dri == 0:
+                r.sync_restart()
+                pred = {k: 0 for k in pred}
+            for ci, td, by, bx in g:
+                coef = coefs[ci][by, bx]
+                if ah == 0:
+                    dc_tab = huff.get((0, td))
+                    if dc_tab is None:
+                        raise ValueError("missing DC Huffman table")
+                    s = _read_symbol(r, dc_tab)
+                    diff = _extend(r.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    coef[0] = pred[ci] << al
+                elif r.bit():
+                    coef[0] |= p1
+    else:                            # ---- AC scan ----
+        if len(scomp) != 1:
+            raise ValueError("interleaved progressive AC scan")
+        cid, _td, ta = scomp[0]
+        ci = order[cid]
+        _cid, hi, vi, _tq = comps[ci]
+        ac_tab = huff.get((1, ta))
+        if ac_tab is None:
+            raise ValueError("missing AC Huffman table")
+        bw_s = -(--(-w * hi // hmax) // 8)
+        bh_s = -(--(-h * vi // vmax) // 8)
+        blk = 0
+        for by in range(bh_s):
+            for bx in range(bw_s):
+                if dri and blk and blk % dri == 0:
+                    r.sync_restart()
+                    eobrun = 0
+                coef = coefs[ci][by, bx]
+                if ah == 0:
+                    _ac_first(coef)
+                else:
+                    _ac_refine(coef)
+                blk += 1
+    return _next_marker_pos(data, r.pos)
+
+
+def _progressive_finish(sof, qts, coefs):
+    """Dequantize + inverse DCT the accumulated progressive
+    coefficients and assemble the image (same tail as baseline)."""
+    import numpy as np
+
+    h, w, comps = sof
+    if h <= 0 or w <= 0:
+        raise ValueError("degenerate JPEG dimensions")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    m = _dct_mat()
+    planes = []
+    factors = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qts:
+            raise ValueError(f"missing quant table {tq}")
+        q_nat = np.array(qts[tq], dtype=np.float64).reshape(8, 8)
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                nat = np.zeros(64, dtype=np.float64)
+                zz = coefs[ci][by, bx]
+                for i, idx in enumerate(_ZIGZAG):
+                    nat[idx] = zz[i]
+                blk = m.T @ (nat.reshape(8, 8) * q_nat) @ m
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk + 128.0
+        planes.append(plane)
+        factors.append((hi, vi))
+    return _assemble_planes(planes, factors, h, w, hmax, vmax)
 
 
 # --------------------------------------------------------------------

@@ -152,6 +152,7 @@ _DEPRIORITIZED = (
     "q195_bucketed_join",
     "q196_star_components",
     "q197_script_mix",
+    "q198_jpeg_progressive",
     # --- latest driver record: round 7 (50 queries) ---
     "q137_jpeg_probe",
     "q140_sketch_overlap",

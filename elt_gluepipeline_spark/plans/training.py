@@ -765,6 +765,74 @@ WHERE doc_id % 3 = 0
 
 
 # --------------------------------------------------------------------------
+# Q198 — PROGRESSIVE JPEG (SOF2) decode under the oracle gate: the
+# spectral-selection + successive-approximation pipeline
+# (operators.multimodal.encode_jpeg_progressive / decode_jpeg's
+# Annex-G scan accumulation) certified with the same macroblock-
+# exactness contract as q137/q193 — block-constant 16x16 cells whose
+# DC survives quantization exactly, so dims/channels/mean are
+# analytic. The decode exercises every scan type in libjpeg's default
+# script: interleaved DC first pass, per-component AC spectral bands
+# at two successive-approximation depths, AC refinement, DC
+# refinement. A single dropped refinement bit anywhere shifts a cell
+# mean and diverges the hash.
+# --------------------------------------------------------------------------
+
+def q198_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (ASSET_SCHEMA,
+                                        encode_jpeg_progressive,
+                                        media_probe)
+
+    docs = (read_table(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") % 3 == 1))
+
+    def _synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 4, 1 + did % 3
+                vals = np.array(
+                    [[128 + 2 * (((did * 7 + (by * bw + bx) * 13) % 49)
+                                 - 24)
+                      for bx in range(bw)] for by in range(bh)])
+                gray = np.kron(vals, np.ones((16, 16), dtype=np.int64)) \
+                         .astype(np.uint8)
+                img = np.stack([gray, gray, gray], axis=2)
+                payloads.append(encode_jpeg_progressive(
+                    img, quality=50,
+                    subsampling="420" if did % 2 == 0 else "444"))
+                ids.append(did)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "modality": "image", "payload": payloads,
+                "media_format": "jpeg"})
+
+    assets = docs.mapInPandas(_synth, schema=ASSET_SCHEMA)
+    probe = media_probe(assets)
+    return (probe.filter(F.col("decoded"))
+                 .select("asset_id", "width", "height", "n_channels",
+                         "mean_signal"))
+
+
+Q198_SQL = """
+SELECT doc_id AS asset_id,
+       16 * (1 + doc_id % 4) AS width,
+       16 * (1 + doc_id % 3) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       printf('%.4f', 128 + 2 * (list_aggregate(
+         list_transform(range((1 + doc_id % 4) * (1 + doc_id % 3)),
+                        b -> CAST((doc_id * 7 + b * 13) % 49 AS DOUBLE)),
+         'avg') - 24)) AS mean_signal
+FROM documents
+WHERE doc_id % 3 = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Q142 — dictionary-coded compressed decode under the oracle gate:
 # real GIF/LZW (operators.multimodal.decode_gif — variable-width
 # 12-bit-max dictionary codes, CLEAR resets, KwKwK case, interlaced
@@ -7628,6 +7696,11 @@ SPECS = [
               "Unicode script profiling + dominant-script routing "
               "(literal codepoint ranges, engine-portable; map-only, "
               "no UDF)"),
+    QuerySpec("q198_jpeg_progressive", q198_jpeg_progressive, Q198_SQL,
+              "progressive (SOF2) JPEG decode — spectral selection + "
+              "successive approximation, every scan type of libjpeg's "
+              "default script — certified via the macroblock-"
+              "exactness contract"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

@@ -175,9 +175,12 @@ def main() -> int:
             # figure includes the real parquet sink appends.
             from elt_gluepipeline_spark.streaming.chain import (
                 run_stream_chain)
+            # seedgen value is uniform [0, 10000): rules route ~5% to
+            # quarantine — a realistic bad-row rate, so the final/
+            # append path carries the bulk of the volume
             chain_rules = [
                 ("value_nonpos", "value <= 0"),
-                ("value_high", "value > 190"),
+                ("value_high", "value > 9500"),
                 ("user_null", "user_id IS NULL"),
             ]
             t0 = time.time()
