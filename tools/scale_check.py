@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from elt_gluepipeline_spark.operators._cache import (  # noqa: E402
+    release_operator_caches)
 from elt_gluepipeline_spark.plans import registry  # noqa: E402
 from elt_gluepipeline_spark.session import get_spark  # noqa: E402
 from elt_gluepipeline_spark.sources.readers import read_table  # noqa: E402
@@ -232,6 +234,13 @@ def main() -> None:
 
     specs = registry()
     results = {}
+    # best-of-N timing (SPARK_GRAFT_SCALE_RUNS, default 1): this box
+    # shows host-level CPU contention that swings a single wall-clock
+    # reading several-fold between sessions (r8: the same q41 1x pass
+    # measured 4.9s and 40.1s in back-to-back sessions) — the MINIMUM
+    # over N passes is the standard way to read plan cost through
+    # that noise
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1")))
     for name in names:
         spec = specs[name]
         # warm BOTH datasets: codegen once per plan, and one-time
@@ -240,19 +249,33 @@ def main() -> None:
         # serve cost, which is what tracks data size
         spec.build(spark, src).write.format("noop").mode("overwrite").save()
         spec.build(spark, out).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        spec.build(spark, src).write.format("noop").mode("overwrite").save()
-        t1 = time.time() - t0
-        t0 = time.time()
-        spec.build(spark, out).write.format("noop").mode("overwrite").save()
-        tN = time.time() - t0
+
+        def best(dataset: str) -> float:
+            # release operator-internal persists between passes:
+            # without this every build re-persists its intermediates
+            # (prefix-join shingle base etc.) and never frees them —
+            # storage memory fills after a few heavy queries and
+            # every later pass thrashes eviction/disk (r8: q170's 20x
+            # reading grew 306s -> 427s across sessions from exactly
+            # this; bench/check_correctness already release per query)
+            t = float("inf")
+            for _ in range(runs):
+                release_operator_caches()
+                t0 = time.time()
+                spec.build(spark, dataset).write.format("noop") \
+                    .mode("overwrite").save()
+                t = min(t, time.time() - t0)
+            return t
+
+        t1, tN = best(src), best(out)
+        release_operator_caches()
         results[name] = {"t1": round(t1, 2), "tN": round(tN, 2),
                          "ratio": round(tN / t1, 1) if t1 > 0 else None}
         print(f"  {name:32s} 1x={t1:6.2f}s {factor}x={tN:6.2f}s "
               f"ratio={tN / t1:5.1f}", file=sys.stderr)
     print(json.dumps({"factor": factor, "src": src,
                       "const_dup": const_dup, "skew": skew,
-                      "queries": results}))
+                      "runs": runs, "queries": results}))
 
 
 if __name__ == "__main__":
