@@ -53,6 +53,8 @@ EAGER_QUERIES = frozenset({
     "q154_rawfile_ingest",                     # file-per-doc stage at build
     "q172_keep_best",                          # component driver loop
     "q192_neardup_anchored",                   # anchor count at build
+    "q195_bucketed_join",                      # bucketed-table write at build
+    "q196_star_components",                    # star-contraction rounds
 })
 
 
