@@ -239,6 +239,92 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)])
 
 
+def lsh_band_entries(sig: DataFrame, *, bands: int, rows_per_band: int,
+                     band_hash) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows from a wide signature frame —
+    the LSH INDEX representation. A pure per-document projection: the
+    index over a grown corpus equals the old index UNION the new docs'
+    entries (append ≡ rebuild — the property that makes the index an
+    appendable artifact at ingest time, pinned by pytest)."""
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     band_hash(*[F.col(f"_h{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)])
+                     .alias("band_hash"))
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def incremental_lsh_dedup(corpus: DataFrame, batch: DataFrame,
+                          id_col: str, text_col: str, *,
+                          k: int = 3, n_hashes: int = 32, bands: int = 8,
+                          threshold: float = 0.5,
+                          pair_family: PortableMinhashFamily | None = None,
+                          band_hash=None) -> DataFrame:
+    """Continuous-ingest near-dup dedup: probe a NEW batch of documents
+    against the EXISTING corpus's LSH band index, verify candidates
+    with exact Jaccard, and emit (id_new, id_existing, jaccard) for
+    every batch doc that near-duplicates something already ingested —
+    the decision rows an ingest pipeline uses to drop/flag arrivals.
+
+    Scale shape: per-batch work is batch-signatures + one join of the
+    batch's band entries against the index — bounded by batch size and
+    collision count, NEVER corpus². The index side is a pure
+    per-document projection (``lsh_band_entries``), so in production
+    it persists as an appendable artifact: after the batch is
+    admitted, appending its band rows equals rebuilding the index from
+    scratch (same property as q141's ANN index append; pinned by
+    pytest). Batch-internal duplicates are deliberately NOT this
+    operator's job — admit the batch, and they are corpus duplicates
+    for the next batch (or run minhash_lsh_pairs within the batch).
+    """
+    rows_per_band = n_hashes // bands
+    assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
+    if band_hash is None:
+        band_hash = F.xxhash64
+    idx = lsh_band_entries(
+        minhash_signatures(corpus, id_col, text_col, k=k,
+                           n_hashes=n_hashes, pair_family=pair_family),
+        bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
+    probe = lsh_band_entries(
+        minhash_signatures(batch, id_col, text_col, k=k,
+                           n_hashes=n_hashes, pair_family=pair_family),
+        bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
+    cand = (probe.select("band_id", "band_hash",
+                         F.col("doc_id").alias("id_new"))
+                 .join(idx.select("band_id", "band_hash",
+                                  F.col("doc_id").alias("id_existing")),
+                       ["band_id", "band_hash"])
+                 .filter(F.col("id_new") != F.col("id_existing"))
+                 .select("id_new", "id_existing").distinct())
+
+    def _shingled(df: DataFrame, out_id: str):
+        base = ensure_min_partitions(df).select(
+            F.col(id_col).alias(out_id),
+            word_shingles(F.col(text_col), k).alias("shingles"))
+        base = base.filter(F.size("shingles") > 0)
+        return (base.select(out_id, F.explode("shingles").alias("s")),
+                base.select(out_id, F.size("shingles").alias("n")))
+
+    inv_new, n_new = _shingled(batch, "id_new")
+    inv_old, n_old = _shingled(corpus, "id_existing")
+    common = (cand.join(inv_new, "id_new")
+                  .join(inv_old, ["id_existing", "s"])
+                  .groupBy("id_new", "id_existing")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    verified = (common
+                .join(n_new.withColumnRenamed("n", "n_a"), "id_new")
+                .join(n_old.withColumnRenamed("n", "n_b"), "id_existing")
+                .withColumn("jaccard",
+                            F.col("c") / (F.col("n_a") + F.col("n_b")
+                                          - F.col("c"))))
+    return (verified.filter(F.col("jaccard") >= threshold)
+                    .select("id_new", "id_existing", "jaccard"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       k: int = 3, n_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
@@ -274,15 +360,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
     sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes,
                              pair_family=pair_family)
-    band_entries = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"),
-                     band_hash(*[F.col(f"_h{b * rows_per_band + r}")
-                                 for r in range(rows_per_band)]).alias("band_hash"))
-            for b in range(bands)
-        ])).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    band_entries = lsh_band_entries(sig, bands=bands,
+                                    rows_per_band=rows_per_band,
+                                    band_hash=band_hash)
 
     if anchor_ids is None:
         left = band_entries.select("band_id", "band_hash",

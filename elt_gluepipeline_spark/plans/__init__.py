@@ -153,6 +153,7 @@ _DEPRIORITIZED = (
     "q196_star_components",
     "q197_script_mix",
     "q198_jpeg_progressive",
+    "q199_incremental_lsh",
     # --- latest driver record: round 7 (50 queries) ---
     "q137_jpeg_probe",
     "q140_sketch_overlap",

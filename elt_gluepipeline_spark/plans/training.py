@@ -1576,6 +1576,77 @@ WHERE cm.n_common / (na.n + nb.n - cm.n_common) >= 0.3
 
 
 # --------------------------------------------------------------------------
+# Q199 — INCREMENTAL LSH dedup at ingest (operators/dedup.
+# incremental_lsh_dedup): the continuous-pipeline shape of q41 — new
+# batch (doc_id % 10 == 0) probes the EXISTING corpus's band index,
+# exact-Jaccard verifies, and emits the drop/flag decision rows. Work
+# per batch is batch-size + collisions, never corpus²; the index side
+# is a pure per-doc projection, so production appends band rows
+# instead of rebuilding (append ≡ rebuild pinned in tests/test_dedup).
+# Same portable md5 family as q41, so the oracle reproduces the
+# candidate set and every verified pair bit-for-bit.
+# --------------------------------------------------------------------------
+
+def q199_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_lsh_dedup(corpus, batch, "doc_id", "text",
+                                 k=3, n_hashes=32, bands=8,
+                                 threshold=0.3,
+                                 pair_family=_Q41_FAMILY,
+                                 band_hash=portable_band_hash)
+
+
+Q199_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct([
+           list_aggregate(tok[i:i+2], 'string_agg', ' ')
+           FOR i IN range(1, greatest(len(tok) - 2, 0) + 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents)
+), nz AS (
+  SELECT doc_id, shingles FROM base WHERE len(shingles) > 0
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM nz
+), shz AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS z
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_Q41_MINS}
+  FROM shz GROUP BY doc_id
+), bands AS (
+{_Q41_BANDS}
+), cand AS (
+  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_existing
+  FROM bands b JOIN bands a
+    ON b.band_id = a.band_id AND b.band_hash = a.band_hash
+  WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM nz
+), common AS (
+  SELECT ca.id_new, ca.id_existing, COUNT(*) AS n_common
+  FROM cand ca
+  JOIN sh sa ON sa.doc_id = ca.id_new
+  JOIN sh sb ON sb.doc_id = ca.id_existing AND sb.s = sa.s
+  GROUP BY ca.id_new, ca.id_existing
+)
+SELECT cm.id_new, cm.id_existing,
+       cm.n_common / (na.n + nb.n - cm.n_common) AS jaccard
+FROM common cm
+JOIN sizes na ON na.doc_id = cm.id_new
+JOIN sizes nb ON nb.doc_id = cm.id_existing
+WHERE cm.n_common / (na.n + nb.n - cm.n_common) >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
 # Q40 — portable SimHash (md5-derived 60-bit token hash): the
 # oracle-checked twin of q21 — identical explode→vote-sum→assemble plan,
 # engine-portable hash, so every fingerprint bit is verified cross-engine
@@ -7701,6 +7772,10 @@ SPECS = [
               "successive approximation, every scan type of libjpeg's "
               "default script — certified via the macroblock-"
               "exactness contract"),
+    QuerySpec("q199_incremental_lsh", q199_incremental_lsh, Q199_SQL,
+              "incremental LSH dedup at ingest: new batch probes the "
+              "corpus band index, exact verify — per-batch cost, "
+              "append ≡ rebuild index; candidate set oracle-replayed"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

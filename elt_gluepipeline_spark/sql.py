@@ -55,6 +55,7 @@ EAGER_QUERIES = frozenset({
     "q192_neardup_anchored",                   # anchor count at build
     "q195_bucketed_join",                      # bucketed-table write at build
     "q196_star_components",                    # star-contraction rounds
+    "q199_incremental_lsh",                    # partition probes at build
 })
 
 

@@ -272,3 +272,50 @@ def test_prefix_filter_join_is_complete(spark):
             blocked_jaccard_pairs(docs, "doc_id", "text",
                                   [F.lit(1)], k=3, threshold=t).collect()}
     assert got == want and (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_incremental_lsh_matches_full_and_index_appends(spark):
+    """incremental_lsh_dedup's cross-side pairs must equal the full
+    minhash_lsh_pairs output restricted to (batch, corpus) pairs, and
+    the band index must satisfy append == rebuild."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, incremental_lsh_dedup, lsh_band_entries,
+        minhash_lsh_pairs, minhash_signatures, portable_band_hash)
+
+    rows = []
+    for i in range(40):
+        words = [f"w{(i * 3 + j) % 25}" for j in range(12)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[7][1]))          # exact clone of doc 7
+    rows.append((110, rows[12][1] + " zz"))  # near-dup of doc 12
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+
+    inc = {(r.id_new, r.id_existing, round(r.jaccard, 9))
+           for r in incremental_lsh_dedup(
+               corpus, batch, "doc_id", "text", k=3, n_hashes=32,
+               bands=8, threshold=0.3, pair_family=fam,
+               band_hash=portable_band_hash).collect()}
+    full = minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=32,
+                             bands=8, threshold=0.3, pair_family=fam,
+                             band_hash=portable_band_hash).collect()
+    cross = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b),
+              round(r.jaccard, 9))
+             for r in full
+             if (r.id_a >= 100) != (r.id_b >= 100)}
+    assert inc == cross and len(inc) >= 2   # the clone + the near-dup
+
+    # append == rebuild: index over corpus+batch equals corpus index
+    # UNION batch entries (band rows are a per-doc projection)
+    def entries(df):
+        sig = minhash_signatures(df, "doc_id", "text", k=3, n_hashes=32,
+                                 pair_family=fam)
+        return {tuple(r) for r in lsh_band_entries(
+            sig, bands=8, rows_per_band=4,
+            band_hash=portable_band_hash).collect()}
+
+    assert entries(docs) == entries(corpus) | entries(batch)
