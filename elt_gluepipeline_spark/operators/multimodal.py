@@ -891,6 +891,18 @@ def encode_jpeg(arr, *, quality: int = 90, restart_interval: int = 0,
     return bytes(out)
 
 
+def _comp_block_grid(w: int, h: int, hi: int, vi: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """(blocks_wide, blocks_high) of ONE component's own ceil grid —
+    what a non-interleaved progressive scan covers (T.81 A.2.2), as
+    opposed to the MCU-padded grid interleaved scans use."""
+    def ceil_div(a: int, b: int) -> int:
+        return -(-a // b)
+    comp_w = ceil_div(w * hi, hmax)
+    comp_h = ceil_div(h * vi, vmax)
+    return ceil_div(comp_w, 8), ceil_div(comp_h, 8)
+
+
 # libjpeg's default progressive scan script (jcparam.c shape): a
 # coarse DC pass with one bit of successive approximation, spectral-
 # selection AC passes (low band first, luma before chroma), then the
@@ -1073,8 +1085,7 @@ def encode_jpeg_progressive(arr, *, quality: int = 90,
             hi, vi = factors[ci]
             # non-interleaved scans cover the component's own ceil
             # grid, not the MCU-padded grid (T.81 A.2.2)
-            bw_s = -(-(-(-w * hi // hmax)) // 8)
-            bh_s = -(-(-(-h * vi // vmax)) // 8)
+            bw_s, bh_s = _comp_block_grid(w, h, hi, vi, hmax, vmax)
             blks = (quantized[ci][by, bx]
                     for by in range(bh_s) for bx in range(bw_s))
             if ah == 0:
@@ -1525,8 +1536,7 @@ def _progressive_scan(data, pos, sof, scomp, ss, se, ah, al, huff,
             cid, td, _ta = scomp[0]
             ci = order[cid]
             _cid, hi, vi, _tq = comps[ci]
-            bw_s = -(--(-w * hi // hmax) // 8)
-            bh_s = -(--(-h * vi // vmax) // 8)
+            bw_s, bh_s = _comp_block_grid(w, h, hi, vi, hmax, vmax)
             units = [(ci, td, by, bx)
                      for by in range(bh_s) for bx in range(bw_s)]
             groups = [units[i:i + 1] for i in range(len(units))]
@@ -1568,8 +1578,7 @@ def _progressive_scan(data, pos, sof, scomp, ss, se, ah, al, huff,
         ac_tab = huff.get((1, ta))
         if ac_tab is None:
             raise ValueError("missing AC Huffman table")
-        bw_s = -(--(-w * hi // hmax) // 8)
-        bh_s = -(--(-h * vi // vmax) // 8)
+        bw_s, bh_s = _comp_block_grid(w, h, hi, vi, hmax, vmax)
         blk = 0
         for by in range(bh_s):
             for bx in range(bw_s):
