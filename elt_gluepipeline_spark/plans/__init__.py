@@ -34,63 +34,17 @@ class QuerySpec:
 
 # The driver's correctness gate records only the FIRST 50 registry
 # entries (insertion order), so ordering is part of the contract.
-# ROUND-8 ROTATION (judge item #1): the head is now the 50 queries
-# with the STALEST driver CORRECTNESS rows — the 9 round-2 records
-# (q06_weekly/monthly, q17, q21, q23, q36, q38, q44, q51) plus 41 of
-# the 45 round-3 records (alphabetical tiebreak; q53-q56 stay in the
-# tail with r3 rows on file). These code paths were refactored in
-# r4-r7 (artifact serving, sampling quantization, minhash family,
-# session heap) after their last driver record; CORRECTNESS_r08
-# re-certifies them externally. Every tail query below has a driver
-# row from the round noted in its group header; new round-8 queries
-# join the tail and take head slots in the next rotation. Tail
+# ROUND-9 ROTATION (VERDICT_r8 item #1): the head is now the 50
+# queries with NO driver record or the stalest one — the 8 round-8
+# additions q192-q199 (never driver-recorded), q53-q56 (latest record
+# round 3), and the 38 alphabetically-first of the 50 round-4 records
+# (q100-q117 block plus q58-q84). Every tail query below has a driver
+# row from the round noted in its group header (the q01-q52 era head
+# was re-certified by CORRECTNESS_r08 and moves to the tail). Tail
 # entries still run everywhere else (pytest, bench,
 # tools/check_correctness).
 _DEPRIORITIZED = (
-    # --- latest driver record: round 3 (4 queries) ---
-    "q53_stream_dedupe",
-    "q54_stream_keep_latest",
-    "q55_salted_distinct",
-    "q56_neardup_groups",
-    # --- latest driver record: round 4 (50 queries) ---
-    "q100_incremental_dedupe",
-    "q101_price_qty_regression",
-    "q103_corpus_pipeline",
-    "q104_event_cooccurrence",
-    "q106_stream_session_window",
-    "q107_next_click",
-    "q108_scd2_lookup",
-    "q109_debounce",
-    "q110_stream_attribution_outer",
-    "q111_grouping_sets",
-    "q112_vs_prior_orders",
-    "q113_stock_balance",
-    "q114_activity_streaks",
-    "q115_media_probe",
-    "q116_repetition_linear",
-    "q117_stream_append_rollup",
-    "q58_contamination",
-    "q60_token_shards",
-    "q61_chunk_docs",
-    "q62_mixture_sample",
-    "q64_embed_quantize",
-    "q65_stream_upsert",
-    "q66_tfidf",
-    "q67_kmeans",
-    "q68_scd2",
-    "q69_stream_sliding",
-    "q70_weighted_sample",
-    "q71_name_editdist",
-    "q72_snapshot_diff",
-    "q74_stream_incremental_agg",
-    "q75_hashing_vectors",
-    "q78_perplexity",
-    "q79_trailing_features",
-    "q80_split_drift",
-    "q81_ivf_pq",
-    "q82_rerank",
-    "q83_salted_enrich",
-    "q84_anomaly_days",
+    # --- latest driver record: round 4 (12 queries) ---
     "q85_funnel",
     "q86_retention",
     "q87_top_paths",
@@ -145,15 +99,6 @@ _DEPRIORITIZED = (
     "q152_repeated_spans",
     "q153_semdedup",
     "q154_rawfile_ingest",
-    # --- new in round 8 (no driver record yet; next rotation) ---
-    "q192_neardup_anchored",
-    "q193_jpeg_subsampled",
-    "q194_zorder_layout",
-    "q195_bucketed_join",
-    "q196_star_components",
-    "q197_script_mix",
-    "q198_jpeg_progressive",
-    "q199_incremental_lsh",
     # --- latest driver record: round 7 (50 queries) ---
     "q137_jpeg_probe",
     "q140_sketch_overlap",
@@ -205,6 +150,58 @@ _DEPRIORITIZED = (
     "q189_lsh_recall_sampled",
     "q190_stream_chain",
     "q191_image_dhash_dedup",
+    # --- latest driver record: round 8 (50 queries, the q01-q52-era
+    # head re-certified by CORRECTNESS_r08) ---
+    "q01_line_revenue",
+    "q02_clv",
+    "q03_clv_tiered",
+    "q04_rfm_segments",
+    "q05_customer_profile",
+    "q06_trend_daily",
+    "q06_trend_hourly",
+    "q06_trend_monthly",
+    "q06_trend_weekly",
+    "q12_incr_dedupe",
+    "q13_dedup_exact",
+    "q14_text_stats",
+    "q15_lang_id",
+    "q16_iqr_outliers",
+    "q17_minhash_neardup",
+    "q18_ngram_jaccard",
+    "q19_knn_cosine",
+    "q20_lsh_ann",
+    "q21_simhash",
+    "q22_multimodal_meta",
+    "q23_json_props",
+    "q24_fingerprint_dedup",
+    "q25_embedding_neardup",
+    "q26_trend_rollup",
+    "q27_surrogate_keys",
+    "q28_asof_attribution",
+    "q29_stream_hourly",
+    "q30_frame_sample",
+    "q31_ivf_ann",
+    "q32_threshold_severity",
+    "q33_top_customers_per_nation",
+    "q34_sessionize",
+    "q35_stream_sessions",
+    "q36_top_locations_approx",
+    "q37_calendar_join",
+    "q38_rolling_fingerprint",
+    "q39_range_clicks",
+    "q40_simhash_portable",
+    "q41_minhash_portable",
+    "q42_vocab",
+    "q43_spend_quintiles",
+    "q44_urgent_customers",
+    "q45_order_reconcile",
+    "q46_repeat_customers",
+    "q47_removed_lines",
+    "q48_stream_attribution",
+    "q49_priority_pivot",
+    "q50_stream_enrich",
+    "q51_order_timeline",
+    "q52_status_cube",
 )
 
 
