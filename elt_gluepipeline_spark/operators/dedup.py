@@ -18,11 +18,13 @@ Scale design:
 from __future__ import annotations
 
 import random
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import ensure_min_partitions
+from ._cache import register_cache
 
 
 def exact_dedupe(df: DataFrame, id_col: str, hash_col: Column) -> DataFrame:
@@ -258,48 +260,155 @@ def lsh_band_entries(sig: DataFrame, *, bands: int, rows_per_band: int,
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
-def incremental_lsh_dedup(corpus: DataFrame, batch: DataFrame,
+@dataclass(frozen=True)
+class LshDedupIndex:
+    """Persisted-side state for continuous-ingest LSH dedup — three
+    distributed tables, each a pure PER-DOCUMENT projection of the
+    corpus (so appending a batch's rows ≡ rebuilding from scratch;
+    pinned by pytest on the parquet round-trip):
+
+    - ``entries``  (doc_id, band_id, band_hash) — the LSH band index
+      a new batch probes for candidates.
+    - ``sizes``    (doc_id, n_shingles) — denominators for the exact
+      Jaccard verify.
+    - ``postings`` (doc_id, s) — the shingle inverted index, so the
+      verify never touches corpus TEXT at all; optional (None → the
+      verify re-shingles the candidate docs only, via a semi-join on
+      the candidate id set).
+
+    This mirrors the ANN family's fit/save/load/serve artifact shape
+    (q141): fit once at ingest setup, append per admitted batch,
+    serve every batch against the stored tables.
+    """
+    entries: DataFrame
+    sizes: DataFrame
+    postings: DataFrame | None = None
+
+
+def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
+                        k: int = 3, n_hashes: int = 32, bands: int = 8,
+                        pair_family: PortableMinhashFamily | None = None,
+                        band_hash=None,
+                        with_postings: bool = True) -> LshDedupIndex:
+    """Build the LSH dedup index tables for ``corpus`` (lazy plans —
+    no jobs run until the index is written or probed). Call once over
+    the initial corpus, then again over each ADMITTED batch to get the
+    delta for ``append_lsh_dedup_index`` (per-doc projections make
+    append ≡ rebuild)."""
+    rows_per_band = n_hashes // bands
+    assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
+    if band_hash is None:
+        band_hash = F.xxhash64
+    entries = lsh_band_entries(
+        minhash_signatures(corpus, id_col, text_col, k=k,
+                           n_hashes=n_hashes, pair_family=pair_family),
+        bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
+    base = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), k).alias("shingles"))
+    base = base.filter(F.size("shingles") > 0)
+    sizes = base.select("doc_id", F.size("shingles").alias("n_shingles"))
+    postings = (base.select("doc_id", F.explode("shingles").alias("s"))
+                if with_postings else None)
+    return LshDedupIndex(entries=entries, sizes=sizes, postings=postings)
+
+
+def save_lsh_dedup_index(index: LshDedupIndex, path: str, *,
+                         mode: str = "overwrite") -> None:
+    """Write the index tables under ``path/{entries,sizes,postings}``.
+    ``mode="append"`` admits a batch delta (see
+    ``append_lsh_dedup_index``)."""
+    index.entries.write.mode(mode).parquet(f"{path}/entries")
+    index.sizes.write.mode(mode).parquet(f"{path}/sizes")
+    if index.postings is not None:
+        index.postings.write.mode(mode).parquet(f"{path}/postings")
+
+
+def append_lsh_dedup_index(delta: LshDedupIndex, path: str) -> None:
+    """Admit a batch: append its per-doc index rows to a stored index.
+    Because every table is a per-document projection, append equals a
+    full rebuild over corpus ∪ batch (pinned by pytest)."""
+    save_lsh_dedup_index(delta, path, mode="append")
+
+
+def load_lsh_dedup_index(spark, path: str) -> LshDedupIndex:
+    """Open a stored index (lazy parquet scans, nothing collected).
+    ``postings`` is None when the index was fit without them."""
+    try:
+        postings = spark.read.parquet(f"{path}/postings")
+    except Exception:
+        postings = None
+    return LshDedupIndex(entries=spark.read.parquet(f"{path}/entries"),
+                         sizes=spark.read.parquet(f"{path}/sizes"),
+                         postings=postings)
+
+
+def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
                           id_col: str, text_col: str, *,
                           k: int = 3, n_hashes: int = 32, bands: int = 8,
                           threshold: float = 0.5,
                           pair_family: PortableMinhashFamily | None = None,
-                          band_hash=None) -> DataFrame:
+                          band_hash=None,
+                          index: LshDedupIndex | None = None) -> DataFrame:
     """Continuous-ingest near-dup dedup: probe a NEW batch of documents
     against the EXISTING corpus's LSH band index, verify candidates
     with exact Jaccard, and emit (id_new, id_existing, jaccard) for
     every batch doc that near-duplicates something already ingested —
     the decision rows an ingest pipeline uses to drop/flag arrivals.
 
-    Scale shape: per-batch work is batch-signatures + one join of the
-    batch's band entries against the index — bounded by batch size and
-    collision count, NEVER corpus². The index side is a pure
-    per-document projection (``lsh_band_entries``), so in production
-    it persists as an appendable artifact: after the batch is
-    admitted, appending its band rows equals rebuilding the index from
-    scratch (same property as q141's ANN index append; pinned by
-    pytest). Batch-internal duplicates are deliberately NOT this
-    operator's job — admit the batch, and they are corpus duplicates
-    for the next batch (or run minhash_lsh_pairs within the batch).
+    Scale shape: per-batch work is batch signatures + one probe join
+    against the band index + a verify restricted to CANDIDATE docs —
+    O(batch + collisions), never O(corpus), in every part of the plan:
+
+    - ``index=`` (an ``LshDedupIndex``, usually ``load_lsh_dedup_index``
+      over the stored artifact) serves the corpus side without
+      re-signaturing anything: the probe reads ``index.entries``, the
+      verify reads ``index.postings`` (semi-joined down to candidate
+      ids before the shingle join, so only candidate docs' postings
+      cross the shuffle) and ``index.sizes``. ``corpus`` may be None.
+      After the batch is admitted, ``append_lsh_dedup_index`` keeps the
+      artifact current (append ≡ rebuild; pinned by pytest).
+    - Without ``index``, the corpus side is fit in-plan (one-shot
+      calls / tests): signatures are recomputed — inherently
+      O(corpus), that's the fit — but the VERIFY still semi-joins the
+      corpus to the candidate id set BEFORE shingling, so corpus text
+      is only ever shingled for candidate docs (pinned by a
+      raise_error probe in pytest).
+
+    Batch-internal duplicates are deliberately NOT this operator's
+    job — admit the batch, and they are corpus duplicates for the next
+    batch (or run minhash_lsh_pairs within the batch).
     """
     rows_per_band = n_hashes // bands
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
     if band_hash is None:
         band_hash = F.xxhash64
-    idx = lsh_band_entries(
-        minhash_signatures(corpus, id_col, text_col, k=k,
-                           n_hashes=n_hashes, pair_family=pair_family),
-        bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
+    if index is not None and index.postings is None and corpus is None:
+        raise ValueError(
+            "index has no postings — pass corpus for the verify side")
+    if index is None:
+        if corpus is None:
+            raise ValueError("need corpus or index")
+        index = fit_lsh_dedup_index(
+            corpus, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
+            pair_family=pair_family, band_hash=band_hash,
+            with_postings=False)
     probe = lsh_band_entries(
         minhash_signatures(batch, id_col, text_col, k=k,
                            n_hashes=n_hashes, pair_family=pair_family),
         bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
-    cand = (probe.select("band_id", "band_hash",
-                         F.col("doc_id").alias("id_new"))
-                 .join(idx.select("band_id", "band_hash",
-                                  F.col("doc_id").alias("id_existing")),
-                       ["band_id", "band_hash"])
-                 .filter(F.col("id_new") != F.col("id_existing"))
-                 .select("id_new", "id_existing").distinct())
+    # Candidate pairs are consumed twice (the verify join AND the
+    # candidate-id restriction below) — persist so the probe join runs
+    # once; bench/gate harnesses drain via release_operator_caches().
+    cand = register_cache(
+        probe.select("band_id", "band_hash",
+                     F.col("doc_id").alias("id_new"))
+             .join(index.entries.select("band_id", "band_hash",
+                                        F.col("doc_id").alias("id_existing")),
+                   ["band_id", "band_hash"])
+             .filter(F.col("id_new") != F.col("id_existing"))
+             .select("id_new", "id_existing").distinct())
+    cand_ids = cand.select(F.col("id_existing").alias("doc_id")).distinct()
 
     def _shingled(df: DataFrame, out_id: str):
         base = ensure_min_partitions(df).select(
@@ -310,7 +419,44 @@ def incremental_lsh_dedup(corpus: DataFrame, batch: DataFrame,
                 base.select(out_id, F.size("shingles").alias("n")))
 
     inv_new, n_new = _shingled(batch, "id_new")
-    inv_old, n_old = _shingled(corpus, "id_existing")
+    if index.postings is not None:
+        # Verify straight from the stored inverted index — corpus text
+        # untouched. Semi-join postings down to candidate ids FIRST so
+        # only candidate docs' shingles reach the verify shuffle (the
+        # candidate-id side is tiny → AQE broadcasts it, and the join
+        # pushes a runtime filter into the postings scan).
+        inv_old = (index.postings.join(cand_ids, "doc_id", "left_semi")
+                        .select(F.col("doc_id").alias("id_existing"), "s"))
+        n_old = index.sizes.select(F.col("doc_id").alias("id_existing"),
+                                   F.col("n_shingles").alias("n"))
+    else:
+        # No postings: re-shingle ONLY candidate corpus docs. Two plan
+        # hazards keep O(corpus) work out of this branch (both pinned
+        # by a plan-shape test):
+        # - explode_outer, not explode: InferFiltersFromGenerate adds
+        #   a deterministic size>0 filter under a plain explode, and
+        #   predicate pushdown then re-evaluates the shingle expression
+        #   BELOW the semi-join on every corpus row. The outer variant
+        #   infers nothing, and its null rows can't match the "s"
+        #   equi-join — same output.
+        # - n is COUNTED from the cached exploded rows instead of a
+        #   second size(shingles) projection: the jaccard filter's
+        #   not-null constraint on n would otherwise be inferred and
+        #   pushed below the semi-join, again shingling every corpus
+        #   row. (inv rows are distinct shingles, so count ≡ size; a
+        #   zero-shingle doc has no band entries, hence is never a
+        #   candidate.) The persist also makes the verify read the
+        #   semi-joined explode once, not per consumer.
+        corpus_cand = corpus.join(
+            cand_ids.withColumnRenamed("doc_id", id_col),
+            id_col, "left_semi")
+        cbase = corpus_cand.select(
+            F.col(id_col).alias("id_existing"),
+            word_shingles(F.col(text_col), k).alias("shingles"))
+        inv_old = register_cache(
+            cbase.select("id_existing",
+                         F.explode_outer("shingles").alias("s")))
+        n_old = inv_old.groupBy("id_existing").agg(F.count("s").alias("n"))
     common = (cand.join(inv_new, "id_new")
                   .join(inv_old, ["id_existing", "s"])
                   .groupBy("id_new", "id_existing")

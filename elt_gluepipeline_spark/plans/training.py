@@ -1578,26 +1578,34 @@ WHERE cm.n_common / (na.n + nb.n - cm.n_common) >= 0.3
 # --------------------------------------------------------------------------
 # Q199 — INCREMENTAL LSH dedup at ingest (operators/dedup.
 # incremental_lsh_dedup): the continuous-pipeline shape of q41 — new
-# batch (doc_id % 10 == 0) probes the EXISTING corpus's band index,
-# exact-Jaccard verifies, and emits the drop/flag decision rows. Work
-# per batch is batch-size + collisions, never corpus²; the index side
-# is a pure per-doc projection, so production appends band rows
-# instead of rebuilding (append ≡ rebuild pinned in tests/test_dedup).
-# Same portable md5 family as q41, so the oracle reproduces the
-# candidate set and every verified pair bit-for-bit.
+# batch (doc_id % 10 == 0) probes the EXISTING corpus's LSH index
+# (entries + sizes + postings, the LshDedupIndex serve artifact),
+# exact-Jaccard verifies against the stored postings (semi-joined to
+# candidate ids first — only candidate docs' shingles cross the
+# shuffle), and emits the drop/flag decision rows. Work per batch is
+# batch-size + collisions, never O(corpus); in production the index
+# loads from parquet and each admitted batch appends its per-doc rows
+# (append ≡ rebuild pinned in tests/test_dedup). Same portable md5
+# family as q41, so the oracle reproduces the candidate set and every
+# verified pair bit-for-bit.
 # --------------------------------------------------------------------------
 
 def q199_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import incremental_lsh_dedup
+    from ..operators.dedup import fit_lsh_dedup_index, incremental_lsh_dedup
 
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    return incremental_lsh_dedup(corpus, batch, "doc_id", "text",
+    index = fit_lsh_dedup_index(corpus, "doc_id", "text",
+                                k=3, n_hashes=32, bands=8,
+                                pair_family=_Q41_FAMILY,
+                                band_hash=portable_band_hash)
+    return incremental_lsh_dedup(None, batch, "doc_id", "text",
                                  k=3, n_hashes=32, bands=8,
                                  threshold=0.3,
                                  pair_family=_Q41_FAMILY,
-                                 band_hash=portable_band_hash)
+                                 band_hash=portable_band_hash,
+                                 index=index)
 
 
 Q199_SQL = f"""

@@ -139,9 +139,18 @@ def invalidate_schema_cache(path: str | None = None) -> None:
         del _SCHEMA_CACHE[k]
 
 
-def _table_schema(spark: SparkSession, path: str):
+def _table_schema(spark: SparkSession, path: str, name: str | None = None):
     try:
-        key = (path, _path_signature(path), _conf_fingerprint(spark))
+        fp = _conf_fingerprint(spark)
+        if name is not None and not NANOS_TS_COLUMNS.get(name, ()):
+            # nanosAsLong only changes how a TIMESTAMP(NANOS) footer
+            # maps to a Spark type; for tables with no nanos-capable
+            # column the conf can't affect the schema, so mask it out
+            # of the key — otherwise reading `events` (which sets the
+            # conf) invalidates every earlier table's cached footer
+            # and each re-read pays a second schema job.
+            fp = (None,) + fp[1:]
+        key = (path, _path_signature(path), fp)
     except OSError:
         return spark.read.parquet(path).schema
     if key not in _SCHEMA_CACHE:
@@ -153,7 +162,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem')."""
     _set_ts_read_confs(spark, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
+    df = spark.read.schema(_table_schema(spark, path, name)).parquet(path)
     return _normalize_nanos(df, name)
 
 
@@ -171,7 +180,7 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _set_ts_read_confs(spark, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _table_schema(spark, path)
+    schema = _table_schema(spark, path, name)
     if os.path.isdir(path):
         # directory-layout table (Spark-written part files): stream the
         # folder directly. A pathGlobFilter of "<name>.parquet" would

@@ -319,3 +319,161 @@ def test_incremental_lsh_matches_full_and_index_appends(spark):
             band_hash=portable_band_hash).collect()}
 
     assert entries(docs) == entries(corpus) | entries(batch)
+
+
+def _inc_docs(spark):
+    rows = []
+    for i in range(40):
+        words = [f"w{(i * 3 + j) % 25}" for j in range(12)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[7][1]))          # exact clone of doc 7
+    rows.append((110, rows[12][1] + " zz"))  # near-dup of doc 12
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_incremental_lsh_index_paths_agree(spark):
+    """The three corpus-side plans — fit-in-plan (semi-joined verify),
+    in-memory index with postings, and the parquet-round-tripped
+    artifact — must produce identical decision rows."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, fit_lsh_dedup_index, incremental_lsh_dedup,
+        load_lsh_dedup_index, portable_band_hash, save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    kw = dict(k=3, n_hashes=32, bands=8, threshold=0.3,
+              pair_family=fam, band_hash=portable_band_hash)
+
+    def rows(out):
+        return {(r.id_new, r.id_existing, round(r.jaccard, 9))
+                for r in out.collect()}
+
+    base = rows(incremental_lsh_dedup(corpus, batch, "doc_id", "text", **kw))
+    assert len(base) >= 2  # the clone + the near-dup
+
+    idx = fit_lsh_dedup_index(corpus, "doc_id", "text", k=3, n_hashes=32,
+                              bands=8, pair_family=fam,
+                              band_hash=portable_band_hash)
+    served = rows(incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                        index=idx, **kw))
+    assert served == base
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        save_lsh_dedup_index(idx, f"{d}/lsh")
+        loaded = load_lsh_dedup_index(spark, f"{d}/lsh")
+        assert loaded.postings is not None
+        stored = rows(incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                            index=loaded, **kw))
+    assert stored == base
+
+
+def test_incremental_lsh_artifact_append_equals_rebuild(spark):
+    """Admitting a batch via append_lsh_dedup_index must leave the
+    stored artifact identical to a from-scratch fit over corpus∪batch —
+    for ALL THREE tables (entries, sizes, postings)."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, append_lsh_dedup_index, fit_lsh_dedup_index,
+        load_lsh_dedup_index, portable_band_hash, save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    kw = dict(k=3, n_hashes=32, bands=8, pair_family=fam,
+              band_hash=portable_band_hash)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus, "doc_id", "text", **kw), f"{d}/a")
+        append_lsh_dedup_index(
+            fit_lsh_dedup_index(batch, "doc_id", "text", **kw), f"{d}/a")
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(docs, "doc_id", "text", **kw), f"{d}/b")
+        a = load_lsh_dedup_index(spark, f"{d}/a")
+        b = load_lsh_dedup_index(spark, f"{d}/b")
+        for ta, tb in ((a.entries, b.entries), (a.sizes, b.sizes),
+                       (a.postings, b.postings)):
+            assert {tuple(r) for r in ta.collect()} == \
+                   {tuple(r) for r in tb.collect()}
+
+
+def _plan_subtree(plan: str, anchor) -> list[str]:
+    """Lines of the (first) subtree rooted at the line matching
+    ``anchor`` (a substring or predicate) in a Spark tree-formatted
+    plan string (children print with strictly deeper node offsets)."""
+    if isinstance(anchor, str):
+        a, anchor = anchor, (lambda line: a in line)
+    def offset(line):
+        return len(line) - len(line.lstrip(" :+-"))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if anchor(line):
+            d = offset(line)
+            sub = [line]
+            for nxt in lines[i + 1:]:
+                if offset(nxt) <= d:
+                    break
+                sub.append(nxt)
+            return sub
+    return []
+
+
+def test_incremental_lsh_verify_touches_only_candidate_docs(spark):
+    """The O(batch+candidates) pin: in BOTH verify modes the corpus
+    side of the exact-Jaccard verify must be candidate-restricted — a
+    LeftSemi join on the candidate id set sits BELOW the corpus-side
+    shingle explode (no-postings mode) / directly above the postings
+    relation (artifact mode). Before the round-9 fix the optimized
+    plan had no LeftSemi anywhere: the full corpus's shingles were
+    exploded and shuffled into the verify join."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, fit_lsh_dedup_index, incremental_lsh_dedup,
+        load_lsh_dedup_index, portable_band_hash, save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    kw = dict(k=3, n_hashes=32, bands=8, threshold=0.3,
+              pair_family=fam, band_hash=portable_band_hash)
+
+    # mode 1: no postings -> verify re-shingles candidate docs only.
+    # The verify-side explode is the plan's only explode_outer; its
+    # subtree must contain the candidate-id LeftSemi join.
+    out = incremental_lsh_dedup(corpus, batch, "doc_id", "text", **kw)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the outer generate prints as "Generate explode(...), <qualifier>,
+    # true, [s...]" — the only outer=true Generate in the plan
+    sub = _plan_subtree(
+        plan, lambda l: "Generate explode" in l and "], true, [" in l)
+    assert sub, f"verify explode(outer) missing from plan:\n{plan}"
+    assert any("LeftSemi" in line for line in sub), \
+        f"corpus shingle explode is not candidate-restricted:\n{plan}"
+
+    # mode 2: stored artifact -> verify reads postings, semi-joined to
+    # candidate ids; corpus text appears nowhere in the plan.
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus, "doc_id", "text", k=3, n_hashes=32,
+                                bands=8, pair_family=fam,
+                                band_hash=portable_band_hash), f"{d}/lsh")
+        loaded = load_lsh_dedup_index(spark, f"{d}/lsh")
+        served = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                       index=loaded, **kw)
+        splan = served._jdf.queryExecution().optimizedPlan().toString()
+        semi = _plan_subtree(splan, "LeftSemi")
+        assert semi, f"postings verify has no LeftSemi:\n{splan}"
+        assert any("Relation" in line and "parquet" in line
+                   for line in semi), \
+            f"LeftSemi does not restrict the postings scan:\n{splan}"

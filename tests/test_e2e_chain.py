@@ -113,16 +113,22 @@ def test_sql_front_door_default_registration_is_lazy(spark, sf_dir):
     opted out, registration builds logical plans only — zero Spark
     jobs run (a query creeping into the default set with an eager
     collect/drain shows up here as submitted jobs)."""
-    from elt_gluepipeline_spark.sql import register_all
+    from elt_gluepipeline_spark.sql import load_tables, register_all
 
     sc = spark.sparkContext
+    # pre-warm the footer-schema cache OUTSIDE the counted group so the
+    # bound below is independent of test order (a solo run would
+    # otherwise count one schema job per table — legitimate reads, not
+    # eager creep)
+    load_tables(spark, sf_dir)
     sc.setJobGroup("register_lazy", "laziness guard")
     names = register_all(spark, sf_dir)
     n_jobs = len(sc.statusTracker().getJobIdsForGroup("register_lazy"))
     sc.setLocalProperty("spark.jobGroup.id", None)
     assert len(names) > 100
-    # the only permissible jobs are one footer-schema read per distinct
-    # table (cached thereafter — sources.readers._SCHEMA_CACHE); a
-    # query creeping into the default set with an eager collect/drain
+    # the only permissible jobs with a warm schema cache are the two
+    # lazy-localCheckpoint plan finalizations (q123/q140 — AQE runs the
+    # checkpointed stage when the RDD is materialized at registration);
+    # a query creeping into the default set with an eager collect/drain
     # blows well past this bound
-    assert n_jobs <= 10, f"registration ran {n_jobs} Spark jobs"
+    assert n_jobs <= 4, f"registration ran {n_jobs} Spark jobs"
