@@ -997,6 +997,15 @@ def _encode_ac_refine_scan(blocks, ss: int, se: int, al: int,
     for zz in blocks:
         run = 0
         br: list[int] = []
+        # last newly-significant index: past it, the block holds only
+        # history coefficients, so pending >15-zero runs fold into the
+        # final EOB instead of spending ZRL symbols (the decoder reads
+        # the remaining correction bits during its EOB processing) —
+        # jcphuff's `k <= EOB` gate on the ZRL loop
+        eob_k = ss - 1
+        for k in range(ss, se + 1):
+            if abs(_pt(int(zz[k]), al)) == 1:
+                eob_k = k
         for k in range(ss, se + 1):
             v = int(zz[k])
             t = _pt(v, al)
@@ -1007,7 +1016,7 @@ def _encode_ac_refine_scan(blocks, ss: int, se: int, al: int,
             # coefficient after the run completes (history or new) so
             # the buffered correction bits stay position-interleaved
             # with the decoder's advance (jcphuff structure)
-            while run > 15:
+            while run > 15 and k <= eob_k:
                 code, ln = ac_code[0xF0]
                 w.put(code, ln)
                 for b in br:

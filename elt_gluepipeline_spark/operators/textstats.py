@@ -425,11 +425,15 @@ def script_char_count(col: Column, char_range: str) -> Column:
 def dominant_script(counts: dict[str, Column]) -> Column:
     """Priority-chain argmax over script counts (ties go to the earlier
     non-Latin script, Latin last) — a fixed CASE chain both engines
-    replay deterministically, unlike a map-argmax."""
+    replay deterministically, unlike a map-argmax. A doc with NO
+    counted script characters (empty / whitespace / digits-only) routes
+    to 'latin' explicitly: without the guard the first >= comparison
+    ties at 0 and an empty doc would route to the Cyrillic pipeline."""
     n_lat, n_cyr = counts["latin"], counts["cyrillic"]
     n_cjk, n_ara = counts["cjk"], counts["arabic"]
     return (
-        F.when(n_cyr >= F.greatest(n_lat, n_cjk, n_ara), F.lit("cyrillic"))
+        F.when(n_lat + n_cyr + n_cjk + n_ara == 0, F.lit("latin"))
+         .when(n_cyr >= F.greatest(n_lat, n_cjk, n_ara), F.lit("cyrillic"))
          .when(n_cjk >= F.greatest(n_lat, n_ara), F.lit("cjk"))
          .when(n_ara >= n_lat, F.lit("arabic"))
          .otherwise(F.lit("latin")))

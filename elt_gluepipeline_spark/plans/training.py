@@ -7396,7 +7396,8 @@ def q195_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import hashlib
 
-    from ..sources.bucketing import read_bucketed, write_bucketed
+    from ..sources.bucketing import (read_bucketed, trust_bucket_sort,
+                                     write_bucketed)
 
     dkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     app = spark.sparkContext.applicationId.replace("-", "_").lower()
@@ -7425,13 +7426,12 @@ def q195_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             single_file_buckets=True)
         atexit.register(_drop, t_lines)
 
-    # report the per-bucket sort order from the scan (single-file
-    # buckets make it valid; Spark still verifies files-per-bucket==1
-    # before trusting it) so the merge join runs with NO Sort nodes.
-    # Session-sticky on purpose: physical planning happens at action
-    # time, after this builder returns.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
-                   "true")
+    # sort-free merge join: the tables above are single-file-bucketed
+    # with sortBy, so opting the session into trusting bucket sort
+    # order elides both Sort nodes (see trust_bucket_sort's docstring
+    # for the session-global scope warning — planning happens at
+    # action time, after this builder returns).
+    trust_bucket_sort(spark)
     ob = read_bucketed(spark, t_orders)
     lb = read_bucketed(spark, t_lines)
     j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
@@ -7559,6 +7559,7 @@ WITH d AS (
 )
 SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
        CASE
+         WHEN n_latin + n_cyrillic + n_cjk + n_arabic = 0 THEN 'latin'
          WHEN n_cyrillic >= GREATEST(n_latin, n_cjk, n_arabic)
            THEN 'cyrillic'
          WHEN n_cjk >= GREATEST(n_latin, n_arabic) THEN 'cjk'

@@ -50,3 +50,21 @@ def write_bucketed(df: DataFrame, table: str, bucket_keys: Sequence[str],
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact."""
     return spark.table(table)
+
+
+def trust_bucket_sort(spark: SparkSession) -> None:
+    """Opt this SESSION into sort-free merge joins over single-file
+    bucketed tables by enabling
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering``.
+
+    WARNING — session-global planning flag. With it on, EVERY bucketed
+    table scan in the session reports its per-bucket sortBy order to
+    the planner, which elides Sort nodes under merge joins. Spark only
+    trusts the order after verifying each bucket is one file, so tables
+    written via ``write_bucketed(..., single_file_buckets=True)`` are
+    always safe; multi-file bucketed tables fall back to sorting. The
+    flag cannot be scoped to one query: physical planning happens at
+    action time, long after a builder returns. Call this from session
+    setup (or accept the session-wide opt-in), not ad hoc."""
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                   "true")

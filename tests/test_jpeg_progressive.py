@@ -171,3 +171,27 @@ def test_progressive_without_scans_rejected():
                 + bytes([1, 0x11, 0])))
     with pytest.raises(ValueError):
         decode_jpeg(f)
+
+
+def test_refine_scan_folds_trailing_zrl_into_eob():
+    """jcphuff's `k <= EOB` gate: a >15-zero run that ends at a
+    history-only coefficient (no newly-significant coefficient after
+    it) must NOT spend ZRL symbols — the correction bit rides the
+    block's closing EOB instead."""
+    from elt_gluepipeline_spark.operators.multimodal import (
+        _AC_BITS, _AC_VALS, _encode_ac_refine_scan)
+
+    ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+    zz = [0] * 64
+    zz[1] = 1      # newly significant (run/1 + sign)
+    zz[40] = 5     # history coefficient after a 38-zero run
+    got = _encode_ac_refine_scan([zz], 1, 63, 0, ac_code)
+
+    w = _BitWriter()
+    code, ln = ac_code[0x01]   # run0 / newly-significant at k=1
+    w.put(code, ln)
+    w.put(1, 1)                # positive sign
+    code, ln = ac_code[0x00]   # EOB folds the 38-zero run + history
+    w.put(code, ln)
+    w.put(5 & 1, 1)            # k=40's correction bit rides the EOB
+    assert got == w.flush()

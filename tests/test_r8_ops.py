@@ -29,8 +29,9 @@ def test_dominant_script_priority_chain(spark):
               for name, rng in SCRIPT_RANGES}
     got = [r.d for r in df.select(dominant_script(counts).alias("d"))
                           .collect()]
-    # ties (incl. all-zero) resolve to the earlier non-Latin script
-    assert got == ["latin", "cyrillic", "cyrillic", "cyrillic"]
+    # ties resolve to the earlier non-Latin script; all-zero (empty /
+    # whitespace / digits-only docs) routes to latin, not cyrillic
+    assert got == ["latin", "cyrillic", "cyrillic", "latin"]
 
 
 def test_zorder_bucket_is_quadtree_cell(spark):
