@@ -29,6 +29,24 @@ from elt_gluepipeline_spark.plans import registry  # noqa: E402
 from elt_gluepipeline_spark.session import get_spark  # noqa: E402
 
 
+def calibration_sec(spark) -> float:
+    """Deterministic host-state probe: a fixed 1e8-row whole-stage-
+    codegen sum pushed through one 32-partition exchange — identical
+    work every invocation, no data dependence. This VM's wall-clock
+    swings several-fold between identical runs (BENCH_r08 driver read
+    1.36x slower than r7 while protocol-matched local runs got FASTER),
+    so the summary line carries this probe at bench start and end:
+    the ratio of two artifacts' calibration values estimates their
+    host-speed ratio, letting any consumer (tools/bench_diff.py)
+    separate plan regressions from machine state."""
+    t0 = time.time()
+    (spark.range(100_000_000, numPartitions=32)
+          .selectExpr("id % 1000 AS k", "id AS v")
+          .groupBy("k").sum("v")
+          .write.format("noop").mode("overwrite").save())
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -52,6 +70,7 @@ def main() -> None:
     # large one-off scale points like BENCH_SF1 where a second pass
     # doubles hours for little signal)
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    cal_start = calibration_sec(spark)
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best = float("inf")
@@ -70,6 +89,7 @@ def main() -> None:
     # lines (human/tooling record), then ONE compact summary line LAST
     # that is guaranteed to fit in the tail window — totals plus the
     # heaviest queries, which carry the performance signal.
+    cal_end = calibration_sec(spark)
     ordered = sorted(timings.items(), key=lambda kv: -kv[1])
     total = round(sum(timings.values()), 3)
     for i in range(0, len(ordered), 40):
@@ -88,6 +108,12 @@ def main() -> None:
                       "protocol": {"best_of": n_runs,
                                    "order": "registry-name-sorted",
                                    "sink": "noop"},
+                      # host-state probe (fixed work; see
+                      # calibration_sec): divide another artifact's
+                      # calibration by this one to normalize totals
+                      # across host states
+                      "calibration_sec": {"start": cal_start,
+                                          "end": cal_end},
                       "sf": sf},
                      separators=(",", ":")))
 

@@ -44,6 +44,8 @@ class QuerySpec:
 # entries still run everywhere else (pytest, bench,
 # tools/check_correctness).
 _DEPRIORITIZED = (
+    # --- new in round 9 (no driver record yet; next rotation) ---
+    "q200_lsh_index_serve",
     # --- latest driver record: round 4 (12 queries) ---
     "q85_funnel",
     "q86_retention",

@@ -1655,6 +1655,50 @@ WHERE cm.n_common / (na.n + nb.n - cm.n_common) >= 0.3
 
 
 # --------------------------------------------------------------------------
+# Q200 — LSH index SERVE from the persisted artifact (operators/dedup.
+# save_lsh_dedup_index / load_lsh_dedup_index): q199's exact pipeline,
+# but the corpus side round-trips through the on-disk LshDedupIndex
+# parquet folder (entries + sizes + postings) before serving — the
+# production continuous-ingest shape, where the fit ran at setup time
+# and every batch probes the stored tables. Output is identical to
+# q199 by construction, so the SAME oracle hash-certifies the artifact
+# round-trip + serve path end-to-end. The artifact is keyed by
+# (dataset, applicationId) like q195's bucketed tables so concurrent
+# sessions / same-session scale runs never collide.
+# --------------------------------------------------------------------------
+
+def q200_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..operators.dedup import (fit_lsh_dedup_index, incremental_lsh_dedup,
+                                   load_lsh_dedup_index,
+                                   save_lsh_dedup_index)
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    dkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_").lower()
+    path = f"spark-warehouse/sg_lsh200_{dkey}_{app}"
+    if not os.path.isdir(path):
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus, "doc_id", "text",
+                                k=3, n_hashes=32, bands=8,
+                                pair_family=_Q41_FAMILY,
+                                band_hash=portable_band_hash), path)
+        import atexit
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = load_lsh_dedup_index(spark, path)
+    return incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                 k=3, n_hashes=32, bands=8,
+                                 threshold=0.3,
+                                 pair_family=_Q41_FAMILY,
+                                 band_hash=portable_band_hash,
+                                 index=index)
+
+
+# --------------------------------------------------------------------------
 # Q40 — portable SimHash (md5-derived 60-bit token hash): the
 # oracle-checked twin of q21 — identical explode→vote-sum→assemble plan,
 # engine-portable hash, so every fingerprint bit is verified cross-engine
@@ -7785,6 +7829,10 @@ SPECS = [
               "incremental LSH dedup at ingest: new batch probes the "
               "corpus band index, exact verify — per-batch cost, "
               "append ≡ rebuild index; candidate set oracle-replayed"),
+    QuerySpec("q200_lsh_index_serve", q200_lsh_index_serve, Q199_SQL,
+              "q199 served from the PERSISTED LshDedupIndex parquet "
+              "artifact (fit/save/load round-trip) — same oracle "
+              "hash-certifies the production serve path"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

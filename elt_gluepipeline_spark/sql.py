@@ -56,6 +56,7 @@ EAGER_QUERIES = frozenset({
     "q195_bucketed_join",                      # bucketed-table write at build
     "q196_star_components",                    # star-contraction rounds
     "q199_incremental_lsh",                    # partition probes at build
+    "q200_lsh_index_serve",                    # index write at build
 })
 
 

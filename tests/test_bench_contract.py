@@ -54,3 +54,9 @@ def test_bench_summary_line_last_and_tail_sized(spark):
     # summary's heaviest entries agree with the full record
     for name, sec in rec["queries"].items():
         assert full[name] == sec
+
+    # host-state probe: fixed-work calibration at start and end, so
+    # artifact consumers (tools/bench_diff.py) can normalize totals
+    # across this VM's several-fold host-speed swings
+    cal = rec["calibration_sec"]
+    assert cal["start"] > 0 and cal["end"] > 0

@@ -7,6 +7,14 @@ Each file is a bench.py JSON line ({"value": total, "queries": {...}}).
 Prints queries whose |delta| >= min_delta_sec (default 0.25), newly
 added/removed queries, and the total delta — the quick "did this round
 regress anything" check against the previous BENCH_r{N}.json.
+
+When BOTH artifacts carry the fixed-work host probe
+(``calibration_sec``, bench.py round 9+), per-query deltas and the
+total are ALSO reported host-normalized: NEW times are multiplied by
+old_cal/new_cal (mean of the start/end probes), so a uniform slowdown
+from machine state cancels out and only plan drift remains. This VM
+swings several-fold between identical runs — trust the normalized
+column when the two artifacts' calibrations differ materially.
 """
 
 from __future__ import annotations
@@ -28,6 +36,18 @@ def main() -> int:
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
     qo, qn = old["queries"], new["queries"]
 
+    def cal(rec):
+        c = rec.get("calibration_sec")
+        if not c:
+            return None
+        return (c["start"] + c["end"]) / 2.0
+
+    co, cn = cal(old), cal(new)
+    norm = co / cn if co and cn else None
+    if norm is not None:
+        print(f"host probe: old={co:.2f}s new={cn:.2f}s -> normalizing "
+              f"NEW by x{norm:.3f} (fixed-work calibration ratio)")
+
     added = sorted(set(qn) - set(qo))
     removed = sorted(set(qo) - set(qn))
     common = set(qo) & set(qn)
@@ -36,9 +56,16 @@ def main() -> int:
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({new['value'] - old['value']:+.1f}s); "
           f"{len(common)} common, {len(added)} added, {len(removed)} removed")
+    if norm is not None:
+        print(f"total (host-normalized): {old['value']:.1f}s -> "
+              f"{new['value'] * norm:.1f}s "
+              f"({new['value'] * norm - old['value']:+.1f}s)")
     for d, k in deltas:
-        if abs(d) >= thr:
-            print(f"  {d:+6.2f}s  {k}  ({qo[k]:.2f} -> {qn[k]:.2f})")
+        dn = qn[k] * norm - qo[k] if norm is not None else d
+        if abs(d) >= thr or (norm is not None and abs(dn) >= thr):
+            extra = (f"  [norm {dn:+.2f}s -> {qn[k] * norm:.2f}]"
+                     if norm is not None else "")
+            print(f"  {d:+6.2f}s  {k}  ({qo[k]:.2f} -> {qn[k]:.2f}){extra}")
     for k in added:
         print(f"  [new]    {k}  ({qn[k]:.2f}s)")
     for k in removed:

@@ -52,11 +52,7 @@ def canonical_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("correctness-check")
-
+def _connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships one parquet FILE per table; harness-
@@ -66,6 +62,15 @@ def main() -> int:
         if os.path.isdir(path):
             path += "/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("correctness-check")
+
+    con = _connect(sf_dir)
 
     specs = registry()
     failures = []
@@ -99,6 +104,7 @@ def main() -> int:
             # late-fire race, not a real timeout.
             import threading
             odf = None
+            timed_out = False
             for _attempt in range(2):
                 cur = con.cursor()
                 timer = threading.Timer(budget, cur.interrupt)
@@ -110,13 +116,34 @@ def main() -> int:
                 except duckdb.InterruptException:
                     if _attempt == 0 and time.time() - t_or < budget * 0.9:
                         continue  # late fire from a stale timer: retry
-                    print(f"  {name:28s} rows={len(sdf):7d} "
-                          f"(oracle-timeout>{budget:.0f}s; spark ok) "
-                          f"{t_spark:5.1f}s")
-                    break
+                    timed_out = True
                 finally:
                     timer.cancel()
                     cur.close()
+            if timed_out:
+                # The shared long-lived connection accumulates buffer
+                # pressure over a ~200-query run (GATE_SF1 r8: q171's
+                # oracle ran in 61 s standalone but missed the budget
+                # at position ~110). Replay ONCE on a fresh connection
+                # with its own buffer pool before declaring a timeout.
+                fcon = _connect(sf_dir)
+                cur = fcon.cursor()
+                timer = threading.Timer(budget, cur.interrupt)
+                t_or = time.time()
+                timer.start()
+                try:
+                    odf = cur.sql(spec.oracle).df()
+                    print(f"  {name:28s} fresh-connection oracle retry "
+                          f"ok ({time.time() - t_or:5.1f}s)")
+                except duckdb.InterruptException:
+                    print(f"  {name:28s} rows={len(sdf):7d} "
+                          f"(oracle-timeout>{budget:.0f}s incl. "
+                          f"fresh-connection retry; spark ok) "
+                          f"{t_spark:5.1f}s")
+                finally:
+                    timer.cancel()
+                    cur.close()
+                    fcon.close()
             if odf is None:
                 continue
         else:
