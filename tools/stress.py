@@ -116,13 +116,32 @@ def main() -> int:
             F.sum("n_tokens").alias("n_tokens"))
         return per_shard.groupBy().agg(F.sum("n_seqs"), F.sum("n_tokens"))
 
+    from bench import calibration_sec
+    from elt_gluepipeline_spark.operators._cache import (
+        release_operator_caches)
+
+    # host-state probe + best-of-N: STRESS_r08's batch families swung
+    # 2-15x between identical runs (rollup 14.9/131.4/23.2 s) — the
+    # same host noise the bench protocol handles with best-of-N and a
+    # fixed-work calibration. SPARK_GRAFT_STRESS_RUNS (default 3)
+    # applies to the batch families only; the stream/chain drains are
+    # minutes-long and stay single-shot.
+    cal_start = calibration_sec(spark)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_STRESS_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in (("rollup", rollup), ("lag", lag), ("keep1", keep1),
                      ("sdist", sdist), ("sessions", sessions),
                      ("pack", pack)):
-        t0 = time.time()
-        fn().collect()
-        timings[name] = round(time.time() - t0, 2)
+        samples = []
+        for _ in range(n_runs):
+            release_operator_caches()
+            t0 = time.time()
+            fn().collect()
+            samples.append(round(time.time() - t0, 2))
+        timings[name] = min(samples)
+        spread[name] = samples
+        release_operator_caches()
 
     # ---- stream family: RocksDB + append-mode watermarked drain ----
     import shutil
@@ -210,11 +229,14 @@ def main() -> int:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    cal_end = calibration_sec(spark)
     rows_for = {k: (stream_rows if k in ("stream", "chain") else rows)
                 for k in timings}
     print(json.dumps({
         "rows": rows, "partitions": parts, "stream_rows": stream_rows,
         **extra, "timings": timings,
+        "batch_best_of": n_runs, "batch_samples": spread,
+        "calibration_sec": {"start": cal_start, "end": cal_end},
         "rates_mrows_s": {k: round(rows_for[k] / v / 1e6, 1)
                           for k, v in timings.items()}}))
     return 0
