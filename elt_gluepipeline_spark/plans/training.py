@@ -1699,6 +1699,68 @@ def q200_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q201 — bucket-pruned CDC MERGE: a change feed (upserts + delete
+# tombstones) applied batch-by-batch to a hash-bucketed keyed snapshot;
+# each merge rewrites only the buckets the batch touches
+# (streaming/bucketed_upsert.py — the O(delta + touched·snapshot/B)
+# scale path for the reference's keep-latest re-dedupe,
+# go-incremental-ingest-elt.py:200-213). The oracle replays the whole
+# feed as one window: the merged snapshot must equal newest-change-
+# per-key with delete-winners absent, REGARDLESS of how the feed was
+# batched — the algebraic property that makes the merge replay-safe.
+# --------------------------------------------------------------------------
+
+def q201_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import shutil
+
+    from ..streaming.bucketed_upsert import (bucketed_merge,
+                                             read_bucketed_snapshot)
+
+    orders = read_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"))
+    dkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_").lower()
+    snap = f"spark-warehouse/sg_upsert201_{dkey}_{app}"
+    shutil.rmtree(snap, ignore_errors=True)
+    atexit.register(shutil.rmtree, snap, ignore_errors=True)
+    # three merge batches, deliberately NOT seq-ordered: final state
+    # must be batching-invariant (tombstones retained ⇒ newest wins)
+    for i in (2, 0, 1):
+        bucketed_merge(changes.filter(F.col("seq") % 3 == i),
+                       snapshot_dir=snap, primary_keys=["cust"],
+                       order_by=[F.col("seq").desc()], n_buckets=16)
+    snapshot = read_bucketed_snapshot(spark, snap, op_col="op")
+    return snapshot.select("cust",
+                           F.col("seq").alias("last_seq"),
+                           F.col("price").alias("last_price"),
+                           F.col("status").alias("last_status"))
+
+
+Q201_SQL = """
+WITH ch AS (
+  SELECT o_custkey AS cust, o_orderkey AS seq,
+         o_totalprice AS price, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+), latest AS (
+  SELECT cust, seq, price, status, op,
+         ROW_NUMBER() OVER (PARTITION BY cust ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT cust, seq AS last_seq, price AS last_price, status AS last_status
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
 # Q40 — portable SimHash (md5-derived 60-bit token hash): the
 # oracle-checked twin of q21 — identical explode→vote-sum→assemble plan,
 # engine-portable hash, so every fingerprint bit is verified cross-engine
@@ -7833,6 +7895,11 @@ SPECS = [
               "q199 served from the PERSISTED LshDedupIndex parquet "
               "artifact (fit/save/load round-trip) — same oracle "
               "hash-certifies the production serve path"),
+    QuerySpec("q201_bucketed_upsert", q201_bucketed_upsert, Q201_SQL,
+              "bucket-pruned CDC MERGE: upserts + delete tombstones "
+              "applied per batch, rewriting only touched hash buckets; "
+              "oracle replays the whole feed as one keep-latest window "
+              "(batching-invariance is the correctness claim)"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

@@ -57,6 +57,7 @@ EAGER_QUERIES = frozenset({
     "q196_star_components",                    # star-contraction rounds
     "q199_incremental_lsh",                    # partition probes at build
     "q200_lsh_index_serve",                    # index write at build
+    "q201_bucketed_upsert",                    # snapshot merges at build
 })
 
 

@@ -1,0 +1,162 @@
+"""Bucket-pruned CDC MERGE (streaming/bucketed_upsert.py): the merge
+must (a) compute exactly the keep-latest-minus-deletes state the
+full-rewrite path computes, (b) physically touch ONLY the buckets the
+batch hashes into, (c) be idempotent under replay, and (d) never let
+a late-arriving older update resurrect a deleted key (tombstones are
+retained in the stored snapshot)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+    BUCKET_COL, bucket_of, bucketed_merge, foreach_batch_bucketed_upsert,
+    read_bucketed_snapshot)
+
+SCHEMA = "k long, seq long, v string, op string"
+
+
+def _state(spark, snap):
+    df = read_bucketed_snapshot(spark, snap, op_col="op")
+    return {r.k: (r.seq, r.v) for r in df.collect()}
+
+
+def _bucket_files(snap):
+    """{bucket_dir: {relpath: (size, mtime_ns)}} for the live table."""
+    live = os.path.join(snap, "data")
+    out = {}
+    for d in os.listdir(live):
+        if not d.startswith(f"{BUCKET_COL}="):
+            continue
+        files = {}
+        for root, _, names in os.walk(os.path.join(live, d)):
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                files[os.path.relpath(p, live)] = (st.st_size,
+                                                   st.st_mtime_ns)
+        out[d] = files
+    return out
+
+
+def test_merge_matches_single_pass_and_handles_deletes(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    rows = [(1, 1, "a", "U"), (2, 2, "b", "U"), (3, 3, "c", "U"),
+            (1, 4, "a2", "U"),                 # newer update wins
+            (2, 5, None, "D"),                 # newest change: delete
+            (3, 1, "stale", "U"),              # older than seq 3: loses
+            (4, 6, "d", "U")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # three batches in a deliberately shuffled order: the final state
+    # must be batching-invariant
+    for i in (1, 2, 0):
+        bucketed_merge(df.filter(F.col("seq") % 3 == i),
+                       snapshot_dir=snap, primary_keys=["k"],
+                       order_by=[F.col("seq").desc()], n_buckets=8)
+    assert _state(spark, snap) == {1: (4, "a2"), 3: (3, "c"),
+                                   4: (6, "d")}
+    # the tombstone row for k=2 is physically retained on disk
+    raw = read_bucketed_snapshot(spark, snap)
+    assert raw.filter((F.col("k") == 2) & (F.col("op") == "D")).count() == 1
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    seed = [(k, 1, f"v{k}", "U") for k in range(1, 33)]
+    bucketed_merge(spark.createDataFrame(seed, SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=8)
+    before = _bucket_files(snap)
+    assert len(before) > 2               # seed spread over several buckets
+
+    batch = spark.createDataFrame([(1, 2, "v1b", "U")], SCHEMA)
+    touched = bucketed_merge(batch, snapshot_dir=snap,
+                             primary_keys=["k"],
+                             order_by=[F.col("seq").desc()], n_buckets=8)
+    expect = [r[0] for r in batch.select(
+        bucket_of(["k"], 8)).distinct().collect()]
+    assert touched == sorted(expect) and len(touched) == 1
+
+    after = _bucket_files(snap)
+    touched_dir = f"{BUCKET_COL}={touched[0]}"
+    for d, files in before.items():
+        if d == touched_dir:
+            assert after[d] != files     # rewritten
+        else:
+            assert after[d] == files     # same file sizes AND mtimes
+
+    assert _state(spark, snap)[1] == (2, "v1b")
+
+
+def test_replay_idempotent_and_no_resurrection(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame([(1, 1, "a", "U"), (2, 2, "b", "U")], SCHEMA)
+    b2 = spark.createDataFrame([(1, 9, None, "D")], SCHEMA)
+    for b in (b1, b2, b2):               # b2 replayed
+        bucketed_merge(b, snapshot_dir=snap, primary_keys=["k"],
+                       order_by=[F.col("seq").desc()], n_buckets=4)
+    assert _state(spark, snap) == {2: (2, "b")}
+    # late-arriving OLDER update for the deleted key: tombstone wins
+    bucketed_merge(
+        spark.createDataFrame([(1, 5, "zombie", "U")], SCHEMA),
+        snapshot_dir=snap, primary_keys=["k"],
+        order_by=[F.col("seq").desc()], n_buckets=4)
+    assert _state(spark, snap) == {2: (2, "b")}
+
+
+def test_partition_pruned_read(spark, tmp_path):
+    # the prev-state scan inside a merge must prune to the touched
+    # buckets at the PLAN level, not filter after reading
+    snap = str(tmp_path / "snap")
+    seed = [(k, 1, "x", "U") for k in range(64)]
+    bucketed_merge(spark.createDataFrame(seed, SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=8)
+    live = os.path.join(snap, "data")
+    pruned = (spark.read.parquet(live)
+              .filter(F.col(BUCKET_COL).isin([3])))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and f"{BUCKET_COL}#" in plan
+    # and the pruned scan really returns only that bucket's rows
+    got = {r[0] for r in pruned.select(BUCKET_COL).distinct().collect()}
+    assert got == {3}
+
+
+def test_streaming_wrapper_matches_full_rewrite(spark, tmp_path):
+    import datetime as dt
+
+    from elt_gluepipeline_spark.streaming.upsert import (
+        foreach_batch_upsert, read_snapshot)
+
+    src_dir = str(tmp_path / "chg")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "k long, event_id long, ts timestamp, v string"
+    h = dt.timedelta(hours=1)
+    batches = [[(1, 1, base, "a"), (2, 2, base, "b")],
+               [(1, 3, base + h, "a2"), (2, 4, base - h, "stale"),
+                (3, 5, base, "c")],
+               [(3, 6, base, "c2")]]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("append").parquet(src_dir)
+
+    kw = dict(primary_keys=["k"], order_by=[F.col("ts").desc()],
+              tiebreak=[F.col("event_id").desc()])
+    stream1 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    foreach_batch_bucketed_upsert(
+        stream1, snapshot_dir=str(tmp_path / "bsnap"),
+        checkpoint_path=str(tmp_path / "bckpt"), n_buckets=4, **kw)
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    foreach_batch_upsert(
+        stream2, snapshot_dir=str(tmp_path / "fsnap"),
+        checkpoint_path=str(tmp_path / "fckpt"), **kw)
+
+    bucketed = {tuple(r) for r in read_bucketed_snapshot(
+        spark, str(tmp_path / "bsnap")).select("k", "event_id", "v").collect()}
+    full = {tuple(r) for r in read_snapshot(
+        spark, str(tmp_path / "fsnap")).select("k", "event_id", "v").collect()}
+    assert bucketed == full == {(1, 3, "a2"), (2, 2, "b"), (3, 6, "c2")}
