@@ -158,6 +158,57 @@ def read_bucketed_snapshot(
     return df
 
 
+def expire_tombstones(
+    spark: SparkSession,
+    snapshot_dir: str,
+    *,
+    op_col: str,
+    expire_if: Column,
+    delete_op: str = "D",
+) -> list[int]:
+    """Compaction-time tombstone expiry: rewrite the buckets that hold
+    delete tombstones matching ``expire_if`` (e.g. ``F.col("seq") <
+    horizon``), dropping those rows. Returns the rewritten bucket ids.
+
+    Choose the horizon STRICTLY older than the change feed's maximum
+    replay/late-arrival lateness: once a tombstone is gone, an even
+    older update for that key would win keep-latest again (the
+    resurrection the retained tombstone exists to prevent). This is a
+    maintenance job — it scans the table once to find expirable rows
+    (no partition pruning is possible without reading), then rewrites
+    only the buckets that contain any, through the same staging+swap
+    protocol as the merge."""
+    live = _live_dir(snapshot_dir)
+    if not os.path.isdir(live):
+        return []
+    cur = spark.read.parquet(live)
+    expirable = (F.col(op_col) == delete_op) & expire_if
+    touched = sorted(r[0] for r in cur.filter(expirable)
+                     .select(BUCKET_COL).distinct().collect())
+    if not touched:
+        return []
+    kept = (cur.filter(F.col(BUCKET_COL).isin(touched))
+               .filter(~expirable)
+               .withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int")))
+    staging = os.path.join(snapshot_dir, ".staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    for k in touched:
+        part = f"{BUCKET_COL}={k}"
+        src, dst = os.path.join(staging, part), os.path.join(live, part)
+        aside = dst + "__old"
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            shutil.move(dst, aside)
+        if os.path.isdir(src):
+            shutil.move(src, dst)      # bucket may compact to empty:
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    from ..sources.readers import invalidate_schema_cache
+    invalidate_schema_cache(live)
+    return touched
+
+
 def foreach_batch_bucketed_upsert(
     source: DataFrame,
     *,

@@ -124,6 +124,29 @@ def test_partition_pruned_read(spark, tmp_path):
     assert got == {3}
 
 
+def test_expire_tombstones(spark, tmp_path):
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+        expire_tombstones)
+    snap = str(tmp_path / "snap")
+    rows = [(1, 1, "a", "U"), (2, 2, None, "D"), (3, 30, None, "D"),
+            (4, 4, "d", "U")]
+    bucketed_merge(spark.createDataFrame(rows, SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=4)
+    # expire tombstones with seq < 10: k=2's goes, k=3's stays
+    touched = expire_tombstones(spark, snap, op_col="op",
+                                expire_if=F.col("seq") < 10)
+    assert touched           # at least the bucket holding k=2
+    raw = read_bucketed_snapshot(spark, snap)
+    ops = {r.k: r.op for r in raw.collect()}
+    assert 2 not in ops and ops[3] == "D"
+    # live state unchanged (reads already filtered tombstones)
+    assert _state(spark, snap) == {1: (1, "a"), 4: (4, "d")}
+    # no expirable tombstones left → no-op
+    assert expire_tombstones(spark, snap, op_col="op",
+                             expire_if=F.col("seq") < 10) == []
+
+
 def test_streaming_wrapper_matches_full_rewrite(spark, tmp_path):
     import datetime as dt
 
