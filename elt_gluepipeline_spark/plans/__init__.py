@@ -47,6 +47,7 @@ _DEPRIORITIZED = (
     # --- new in round 9 (no driver record yet; next rotation) ---
     "q200_lsh_index_serve",
     "q201_bucketed_upsert",
+    "q202_index_delete",
     # --- latest driver record: round 4 (12 queries) ---
     "q85_funnel",
     "q86_retention",

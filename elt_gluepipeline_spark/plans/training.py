@@ -3429,6 +3429,59 @@ Q141_SQL = Q77_SQL  # append ≡ rebuild is exactly the claim under test
 
 
 # --------------------------------------------------------------------------
+# Q202 — ANN index DELETE maintenance (q141's missing half): removal
+# requests (GDPR / takedown / dedup-loser eviction) must come out of a
+# served 100 TB index without re-encoding it. Deletion is an APPEND of
+# ids to a tombstone side-table — code files are immutable — and the
+# serve path anti-joins the tombstones before ADC scoring (a broadcast
+# anti-join at real scale: the tombstone set is delete-sized, the
+# index is corpus-sized). The oracle is q77's full-corpus ADC replay
+# restricted to surviving candidates, so a hash match certifies
+# delete ≡ rebuild, byte-for-byte, including deleted ids never
+# appearing as neighbors while still working as QUERIES (an external
+# vector can always probe the index).
+# --------------------------------------------------------------------------
+
+def q202_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (_empty_pairs, pq_adc_topk_codes,
+                                        pq_encode)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    art = _pq_artifact(spark, sf_dir)
+    if art is None:
+        return _empty_pairs(q, "vec_id", "adc_dist")
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "\x1f"
+         + spark.sparkContext.applicationId).encode()).hexdigest()[:12]
+    index_path = os.path.join(tempfile.gettempdir(),
+                              f"spark_graft_pqdel_{key}")
+    atexit.register(shutil.rmtree, index_path, ignore_errors=True)
+    tomb_path = index_path + "_tombs"
+    atexit.register(shutil.rmtree, tomb_path, ignore_errors=True)
+    pq_encode(emb, art).write.mode("overwrite").parquet(index_path)
+    (emb.filter(F.col("vec_id") % 10 == 3)
+        .select(F.col("vec_id").alias("neighbor_id"))
+        .write.mode("overwrite").parquet(tomb_path))
+    codes = spark.read.parquet(index_path)
+    tombs = spark.read.parquet(tomb_path)
+    live = codes.join(F.broadcast(tombs), "neighbor_id", "left_anti")
+    return pq_adc_topk_codes(q, live, 5, art)
+
+
+Q202_SQL = Q77_SQL.replace(
+    "WHERE a.vec_id <> qd.query_id",
+    "WHERE a.vec_id <> qd.query_id AND a.vec_id % 10 <> 3")
+if Q202_SQL == Q77_SQL:  # the anchor line moved: fail at import, loudly
+    raise AssertionError("Q202_SQL candidate filter did not apply")
+
+
+# --------------------------------------------------------------------------
 # Q78 — in-corpus bigram-LM perplexity per document (operators
 # .textstats.bigram_perplexity): the CCNet-style quality filter. Counts
 # come from window aggregations over the exploded bigram table; each
@@ -7900,6 +7953,10 @@ SPECS = [
               "applied per batch, rewriting only touched hash buckets; "
               "oracle replays the whole feed as one keep-latest window "
               "(batching-invariance is the correctness claim)"),
+    QuerySpec("q202_index_delete", q202_index_delete, Q202_SQL,
+              "ANN index delete-maintenance: tombstone side-table "
+              "append + anti-join at serve; oracle replays ADC on the "
+              "surviving corpus — delete ≡ rebuild certified"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

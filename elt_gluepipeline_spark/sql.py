@@ -58,6 +58,7 @@ EAGER_QUERIES = frozenset({
     "q199_incremental_lsh",                    # partition probes at build
     "q200_lsh_index_serve",                    # index write at build
     "q201_bucketed_upsert",                    # snapshot merges at build
+    "q202_index_delete",                       # index + tombstone writes
 })
 
 
