@@ -1738,6 +1738,8 @@ def q201_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        snapshot_dir=snap, primary_keys=["cust"],
                        order_by=[F.col("seq").desc()], n_buckets=16)
     snapshot = read_bucketed_snapshot(spark, snap, op_col="op")
+    if snapshot is None:   # empty change feed: no bucket ever written
+        snapshot = changes.limit(0)
     return snapshot.select("cust",
                            F.col("seq").alias("last_seq"),
                            F.col("price").alias("last_price"),
