@@ -34,69 +34,17 @@ class QuerySpec:
 
 # The driver's correctness gate records only the FIRST 50 registry
 # entries (insertion order), so ordering is part of the contract.
-# ROUND-9 ROTATION (VERDICT_r8 item #1): the head is now the 50
-# queries with NO driver record or the stalest one — the 8 round-8
-# additions q192-q199 (never driver-recorded), q53-q56 (latest record
-# round 3), and the 38 alphabetically-first of the 50 round-4 records
-# (q100-q117 block plus q58-q84). Every tail query below has a driver
-# row from the round noted in its group header (the q01-q52 era head
-# was re-certified by CORRECTNESS_r08 and moves to the tail). Tail
-# entries still run everywhere else (pytest, bench,
-# tools/check_correctness).
+# ROUND-10 ROTATION (VERDICT_r9 item #1): the head is the 50 queries
+# with NO driver record or the stalest one — the 3 round-9 additions
+# q200-q202 (never driver-recorded), the 12 remaining round-4 records
+# (q85-q99 block), and the alphabetically-first 35 of the 37 round-5
+# records. Every tail query below has a driver row from the round
+# noted in its group header (the r9 rotation head — q192-q199 +
+# q53-q56 + the 38 round-4-era records — was certified 50/50 by
+# CORRECTNESS_r09 and moves to the tail). Tail entries still run
+# everywhere else (pytest, bench, tools/check_correctness).
 _DEPRIORITIZED = (
-    # --- new in round 9 (no driver record yet; next rotation) ---
-    "q200_lsh_index_serve",
-    "q201_bucketed_upsert",
-    "q202_index_delete",
-    # --- latest driver record: round 4 (12 queries) ---
-    "q85_funnel",
-    "q86_retention",
-    "q87_top_paths",
-    "q88_session_window",
-    "q89_median_udaf",
-    "q90_fk_audit",
-    "q91_gap_fill",
-    "q93_peak_open_orders",
-    "q95_rolling_active_users",
-    "q97_table_profile",
-    "q98_heavy_hitters",
-    "q99_spend_percentiles",
-    # --- latest driver record: round 5 (37 queries) ---
-    "q07_loyalty_impact",
-    "q08_top_locations",
-    "q09_discount_effect",
-    "q102_price_histogram",
-    "q105_transition_matrix",
-    "q10_quality_gate",
-    "q118_linear_attribution",
-    "q119_budget_curation",
-    "q11_transform_clean",
-    "q120_histogram_quantiles",
-    "q121_unpivot",
-    "q122_percentile_rank",
-    "q123_basket_affinity",
-    "q124_cohort_ltv",
-    "q125_share_shift",
-    "q126_passage_dedupe",
-    "q127_bloom_prefilter",
-    "q128_countmin",
-    "q129_table_digest",
-    "q130_generated_rollup",
-    "q131_hll_portable",
-    "q132_png_probe",
-    "q133_bpe_encode",
-    "q134_json_roundtrip",
-    "q135_orc_roundtrip",
-    "q136_stream_hll",
-    "q138_sequence_pack",
-    "q139_greedy_pack",
-    "q57_portable_split",
-    "q59_dedupe_corpus",
-    "q63_repetition",
-    "q73_incremental_agg",
-    "q76_product_quantize",
-    "q77_pq_adc",
-    "q92_measure_profile",
+    # --- latest driver record: round 5 (2 queries; the 2 alphabetically-last of the r5 block — the rest of the block is in the r10 head) ---
     "q94_priority_argmax",
     "q96_bitmap_distinct",
     # --- latest driver record: round 6 (3 queries) ---
@@ -154,8 +102,7 @@ _DEPRIORITIZED = (
     "q189_lsh_recall_sampled",
     "q190_stream_chain",
     "q191_image_dhash_dedup",
-    # --- latest driver record: round 8 (50 queries, the q01-q52-era
-    # head re-certified by CORRECTNESS_r08) ---
+    # --- latest driver record: round 8 (50 queries, the q01-q52-era head) ---
     "q01_line_revenue",
     "q02_clv",
     "q03_clv_tiered",
@@ -206,6 +153,57 @@ _DEPRIORITIZED = (
     "q50_stream_enrich",
     "q51_order_timeline",
     "q52_status_cube",
+    # --- latest driver record: round 9 (50 queries, the r9 rotation head: q192-q199 + q53-q56 + the 38 round-4-era records) ---
+    "q100_incremental_dedupe",
+    "q101_price_qty_regression",
+    "q103_corpus_pipeline",
+    "q104_event_cooccurrence",
+    "q106_stream_session_window",
+    "q107_next_click",
+    "q108_scd2_lookup",
+    "q109_debounce",
+    "q110_stream_attribution_outer",
+    "q111_grouping_sets",
+    "q112_vs_prior_orders",
+    "q113_stock_balance",
+    "q114_activity_streaks",
+    "q115_media_probe",
+    "q116_repetition_linear",
+    "q117_stream_append_rollup",
+    "q192_neardup_anchored",
+    "q193_jpeg_subsampled",
+    "q194_zorder_layout",
+    "q195_bucketed_join",
+    "q196_star_components",
+    "q197_script_mix",
+    "q198_jpeg_progressive",
+    "q199_incremental_lsh",
+    "q53_stream_dedupe",
+    "q54_stream_keep_latest",
+    "q55_salted_distinct",
+    "q56_neardup_groups",
+    "q58_contamination",
+    "q60_token_shards",
+    "q61_chunk_docs",
+    "q62_mixture_sample",
+    "q64_embed_quantize",
+    "q65_stream_upsert",
+    "q66_tfidf",
+    "q67_kmeans",
+    "q68_scd2",
+    "q69_stream_sliding",
+    "q70_weighted_sample",
+    "q71_name_editdist",
+    "q72_snapshot_diff",
+    "q74_stream_incremental_agg",
+    "q75_hashing_vectors",
+    "q78_perplexity",
+    "q79_trailing_features",
+    "q80_split_drift",
+    "q81_ivf_pq",
+    "q82_rerank",
+    "q83_salted_enrich",
+    "q84_anomaly_days",
 )
 
 

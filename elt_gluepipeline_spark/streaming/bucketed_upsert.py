@@ -18,39 +18,63 @@ A merge then:
    (operators.windows.dedupe_keep_latest — one shuffle, by key,
    of O(batch + touched·snapshot/B) rows);
 4. writes the merged buckets to a staging dir and swaps each touched
-   ``_bucket=K`` directory into the live table (old→aside, new→live,
-   drop aside — the same crash-survivable two-rename protocol as
-   sources.writers.compact_parquet). Untouched bucket directories are
-   not rewritten, not read, not even listed by the merge job.
+   ``_bucket=K`` directory into the live table through the
+   two-rename protocol below. Untouched bucket directories are not
+   rewritten, not read, not even listed by the merge job.
 
 So a batch that touches t of B buckets costs
 O(|batch| + t·|snapshot|/B) — the docstring contract of
 ``foreach_batch_upsert``'s scale note, now real. With B sized so a
 bucket is a few GB, a trickle batch into a 100 TB snapshot rewrites
-gigabytes, not the table. On an object store the per-directory swap
+gigabytes, not the table. When the snapshot outgrows its bucket
+count, ``rebucket`` migrates the table to a larger B through the
+same staging+swap protocol (one full rewrite, after which merges
+regain their pruning). On an object store the per-directory swap
 becomes a manifest-pointer update; a table format with native MERGE
 (Iceberg/Delta/Hudi) replaces step 4 with its own commit protocol and
 keeps steps 1-3 verbatim.
+
+Crash safety: a swap is move(live→aside), move(staging→live),
+delete(aside), with the aside directory OUTSIDE the live table
+(``<snapshot_dir>/.aside/_bucket=K``) so partition discovery and
+concurrent readers of ``data/`` never see a half-swapped bucket
+under a bogus partition value. Every entry point first runs
+straggler recovery: an aside bucket whose live directory is missing
+is moved back (crash fell between the two renames — the replayed
+batch re-merges it, idempotently); one whose live directory exists
+is deleted (crash fell before the aside cleanup). Local-FS renames
+are not atomic ACROSS directories for readers racing a merge, so
+reads must not overlap a merge on local FS; on an object store the
+swap is a manifest update and this window disappears.
 
 Deletes: change rows may carry an op column; a key whose NEWEST
 change is the delete op disappears from reads. Tombstones are
 RETAINED in the stored snapshot (they win keep-latest like any other
 version), so a late-arriving OLDER update can never resurrect a
-deleted key — ``read_bucketed_snapshot`` filters them out. Expiring
+deleted key — ``read_bucketed_snapshot`` filters them out (null-safe:
+rows with a NULL op are ordinary upserts, never dropped). Expiring
 tombstones past a replay horizon is a compaction-time policy
-(rewrite a bucket dropping tombstones older than the horizon), not a
-merge-time one.
+(``expire_tombstones``), not a merge-time one; passing
+``op_col``/``delete_op`` to the merge maintains a per-bucket
+tombstone-count sidecar so that compaction reads only
+tombstone-bearing buckets instead of scanning the table.
 
 Idempotence: keep-latest is a join-semilattice fold (max by
 (order_by, tiebreak) per key), so re-merging an already-applied batch
 reproduces the same winners — a replayed micro-batch after a crash
 rewrites the same bucket contents. This REQUIRES a deterministic
 total order: pass unique tiebreakers when the ordering columns can
-collide.
+collide. The batch itself must also be deterministic across
+re-evaluation (it is evaluated once for the touched-bucket set and
+once for the staging write): the merge verifies the staged partition
+set is a subset of the touched set and fails loudly otherwise, so a
+nondeterministic batch (limit without order, rand()) cannot silently
+drop rows.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -62,6 +86,8 @@ from ..operators.windows import dedupe_keep_latest
 
 BUCKET_COL = "_bucket"
 _DATA = "data"
+_ASIDE = ".aside"
+_SIDECAR = "tombstone_bounds.json"
 
 
 def bucket_of(primary_keys: Sequence[str], n_buckets: int) -> Column:
@@ -77,6 +103,96 @@ def _live_dir(snapshot_dir: str) -> str:
     return os.path.join(snapshot_dir, _DATA)
 
 
+def _aside_dir(snapshot_dir: str) -> str:
+    return os.path.join(snapshot_dir, _ASIDE)
+
+
+def _recover_asides(snapshot_dir: str) -> None:
+    """Straggler recovery (see module docstring): restore any aside
+    bucket whose live twin is missing; drop asides that were already
+    superseded. Runs at every entry point, so a crashed swap heals on
+    the next touch of the table."""
+    aside_root = _aside_dir(snapshot_dir)
+    if not os.path.isdir(aside_root):
+        return
+    live = _live_dir(snapshot_dir)
+    for name in os.listdir(aside_root):
+        src = os.path.join(aside_root, name)
+        dst = live if name == "__data__" else os.path.join(live, name)
+        if os.path.isdir(dst):
+            shutil.rmtree(src, ignore_errors=True)
+        else:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+
+
+def _swap_in(snapshot_dir: str, staging: str, bucket_ids: Sequence[int],
+             ) -> None:
+    """Two-rename swap of each staged ``_bucket=K`` into the live
+    table, aside dirs outside the read path (crash-recoverable via
+    ``_recover_asides``). Buckets that staged empty (no directory)
+    leave the live directory as-is if present — callers that need a
+    bucket EMPTIED must stage at least a marker row or delete live
+    themselves; the merge never empties a bucket (keep-latest retains
+    a winner per key)."""
+    live = _live_dir(snapshot_dir)
+    aside_root = _aside_dir(snapshot_dir)
+    os.makedirs(live, exist_ok=True)
+    os.makedirs(aside_root, exist_ok=True)
+    for k in bucket_ids:
+        part = f"{BUCKET_COL}={k}"
+        src = os.path.join(staging, part)
+        dst = os.path.join(live, part)
+        aside = os.path.join(aside_root, part)
+        shutil.rmtree(aside, ignore_errors=True)
+        has_src = os.path.isdir(src)
+        if os.path.isdir(dst) and has_src:
+            shutil.move(dst, aside)
+        if has_src:
+            shutil.move(src, dst)
+        elif os.path.isdir(dst):
+            # staged empty: expiry may compact a bucket to nothing —
+            # the live dir must then disappear too
+            shutil.move(dst, aside)
+        shutil.rmtree(aside, ignore_errors=True)
+
+
+def _load_sidecar(snapshot_dir: str) -> dict[int, int] | None:
+    p = os.path.join(snapshot_dir, _SIDECAR)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return {int(k): int(v) for k, v in json.load(fh).items()}
+
+
+def _write_sidecar(snapshot_dir: str, bounds: dict[int, int]) -> None:
+    """Atomic (temp+rename) sidecar write. Values are UPPER BOUNDS on
+    per-bucket tombstone counts: raises happen before a swap, exact
+    lowerings after — a crash anywhere leaves a valid bound, so the
+    sidecar can prune ``expire_tombstones``'s scan but never hide a
+    tombstone-bearing bucket from it."""
+    p = os.path.join(snapshot_dir, _SIDECAR)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({str(k): v for k, v in sorted(bounds.items()) if v > 0},
+                  fh)
+    os.replace(tmp, p)
+
+
+def _staged_tombstone_counts(spark: SparkSession, staging: str,
+                             op_col: str, delete_op: str) -> dict[int, int]:
+    """Exact per-bucket delete-row counts of a staged write (reads
+    back only the freshly staged buckets — merge-sized, not
+    table-sized). A staging dir with no bucket partitions (everything
+    compacted away) has no readable schema — that's zero counts."""
+    if not any(d.startswith(f"{BUCKET_COL}=") for d in os.listdir(staging)):
+        return {}
+    rows = (spark.read.parquet(staging)
+            .filter(F.col(op_col).eqNullSafe(delete_op))
+            .groupBy(BUCKET_COL).count().collect())
+    return {int(r[0]): int(r[1]) for r in rows}
+
+
 def bucketed_merge(
     batch: DataFrame,
     *,
@@ -85,6 +201,8 @@ def bucketed_merge(
     order_by: Sequence[Column],
     n_buckets: int = 64,
     tiebreak: Sequence[Column] = (),
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> list[int]:
     """Apply one change batch to the bucketed snapshot. Returns the
     sorted list of bucket ids this merge rewrote (≤ n_buckets ints).
@@ -92,11 +210,14 @@ def bucketed_merge(
     ``order_by``/``tiebreak`` follow dedupe_keep_latest's contract
     (pass desc() columns for newest-wins). ``n_buckets`` is part of
     the table layout — it must match across merges into the same
-    snapshot (changing it means re-bucketing, a compaction job).
+    snapshot (``rebucket`` migrates a table to a new B). Pass
+    ``op_col`` to maintain the tombstone-count sidecar that lets
+    ``expire_tombstones`` prune its scan.
     """
     spark = batch.sparkSession
     live = _live_dir(snapshot_dir)
     os.makedirs(snapshot_dir, exist_ok=True)
+    _recover_asides(snapshot_dir)
 
     b = batch.withColumn(BUCKET_COL, bucket_of(primary_keys, n_buckets))
     touched = sorted(
@@ -118,20 +239,39 @@ def bucketed_merge(
     (merged.write.mode("overwrite").partitionBy(BUCKET_COL)
            .parquet(staging))
 
-    os.makedirs(live, exist_ok=True)
-    for k in touched:
-        part = f"{BUCKET_COL}={k}"
-        src = os.path.join(staging, part)
-        if not os.path.isdir(src):     # defensive: bucket merged empty
-            continue
-        dst = os.path.join(live, part)
-        aside = dst + "__old"
-        shutil.rmtree(aside, ignore_errors=True)
-        if os.path.isdir(dst):
-            shutil.move(dst, aside)    # old bucket stays live at aside
-        shutil.move(src, dst)          # new bucket takes the live path
-        shutil.rmtree(aside, ignore_errors=True)
+    # The batch was evaluated twice (touched-bucket collect, staging
+    # write): a nondeterministic batch can stage buckets whose prev
+    # rows were never merged. Fail loudly instead of dropping them.
+    staged = {int(d.split("=", 1)[1]) for d in os.listdir(staging)
+              if d.startswith(f"{BUCKET_COL}=")}
+    extra = staged - set(touched)
+    if extra:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"batch is nondeterministic: staging wrote buckets {sorted(extra)}"
+            f" outside the touched set {touched} — its prev rows were never"
+            " merged. Make the batch deterministic (no bare limit/rand) or"
+            " persist it before merging.")
+
+    if op_col is not None:
+        # pre-swap RAISE of the sidecar bounds (crash-safe direction):
+        # new exact counts may be lower than the old bound (a newer
+        # upsert can displace a stored tombstone), so lower only after
+        # every swap landed.
+        exact = _staged_tombstone_counts(spark, staging, op_col, delete_op)
+        bounds = _load_sidecar(snapshot_dir) or {}
+        raised = dict(bounds)
+        for k in touched:
+            raised[k] = max(bounds.get(k, 0), exact.get(k, 0))
+        _write_sidecar(snapshot_dir, raised)
+
+    _swap_in(snapshot_dir, staging, touched)
     shutil.rmtree(staging, ignore_errors=True)
+
+    if op_col is not None:
+        for k in touched:
+            raised[k] = exact.get(k, 0)
+        _write_sidecar(snapshot_dir, raised)
 
     from ..sources.readers import invalidate_schema_cache
     invalidate_schema_cache(live)
@@ -148,13 +288,15 @@ def read_bucketed_snapshot(
     """Current state of the bucketed snapshot (None before the first
     merge). With ``op_col`` set, keys whose newest change is the
     delete op are filtered out (their tombstone rows stay on disk —
-    see module docstring)."""
+    see module docstring); rows with a NULL op are upserts and are
+    kept (null-safe predicate)."""
+    _recover_asides(snapshot_dir)
     live = _live_dir(snapshot_dir)
     if not os.path.isdir(live):
         return None
     df = spark.read.parquet(live).drop(BUCKET_COL)
     if op_col is not None:
-        df = df.filter(F.col(op_col) != delete_op)
+        df = df.filter(~F.col(op_col).eqNullSafe(delete_op))
     return df
 
 
@@ -173,40 +315,125 @@ def expire_tombstones(
     Choose the horizon STRICTLY older than the change feed's maximum
     replay/late-arrival lateness: once a tombstone is gone, an even
     older update for that key would win keep-latest again (the
-    resurrection the retained tombstone exists to prevent). This is a
-    maintenance job — it scans the table once to find expirable rows
-    (no partition pruning is possible without reading), then rewrites
-    only the buckets that contain any, through the same staging+swap
-    protocol as the merge."""
+    resurrection the retained tombstone exists to prevent).
+
+    Scan pruning: when merges maintained the tombstone-count sidecar
+    (``bucketed_merge(op_col=...)``), only buckets whose bound is
+    positive are READ — a PartitionFilters-pruned scan, same shape as
+    the merge's (pinned by pytest). Without a sidecar the first run
+    scans the whole table once and bootstraps exact counts for every
+    bucket, so the NEXT expiry prunes. Null-op rows are upserts: they
+    are never expirable and never dropped by the rewrite (null-safe
+    predicates throughout)."""
+    _recover_asides(snapshot_dir)
     live = _live_dir(snapshot_dir)
     if not os.path.isdir(live):
         return []
+    bounds = _load_sidecar(snapshot_dir)
     cur = spark.read.parquet(live)
-    expirable = (F.col(op_col) == delete_op) & expire_if
+    bootstrap: dict[int, int] | None = None
+    if bounds is not None:
+        candidates = sorted(k for k, v in bounds.items() if v > 0)
+        if not candidates:
+            return []
+        cur = cur.filter(F.col(BUCKET_COL).isin(candidates))
+    else:
+        # full scan (documented fallback); piggyback exact per-bucket
+        # tombstone counts so this is the LAST unpruned expiry
+        bootstrap = {
+            int(r[0]): int(r[1])
+            for r in cur.filter(F.col(op_col).eqNullSafe(delete_op))
+                        .groupBy(BUCKET_COL).count().collect()}
+    expirable = F.col(op_col).eqNullSafe(delete_op) & \
+        F.coalesce(expire_if, F.lit(False))
     touched = sorted(r[0] for r in cur.filter(expirable)
                      .select(BUCKET_COL).distinct().collect())
     if not touched:
+        if bootstrap is not None:
+            _write_sidecar(snapshot_dir, bootstrap)
         return []
     kept = (cur.filter(F.col(BUCKET_COL).isin(touched))
-               .filter(~expirable)
+               .filter(~F.coalesce(expirable, F.lit(False)))
                .withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int")))
     staging = os.path.join(snapshot_dir, ".staging")
     shutil.rmtree(staging, ignore_errors=True)
     kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-    for k in touched:
-        part = f"{BUCKET_COL}={k}"
-        src, dst = os.path.join(staging, part), os.path.join(live, part)
-        aside = dst + "__old"
-        shutil.rmtree(aside, ignore_errors=True)
-        if os.path.isdir(dst):
-            shutil.move(dst, aside)
-        if os.path.isdir(src):
-            shutil.move(src, dst)      # bucket may compact to empty:
-        shutil.rmtree(aside, ignore_errors=True)
+    exact = _staged_tombstone_counts(spark, staging, op_col, delete_op)
+    _swap_in(snapshot_dir, staging, touched)
     shutil.rmtree(staging, ignore_errors=True)
+    # post-swap exact LOWERING (crash before this keeps the old bound
+    # — still a valid upper bound)
+    new_bounds = bootstrap if bootstrap is not None else dict(bounds)
+    for k in touched:
+        new_bounds[k] = exact.get(k, 0)
+    _write_sidecar(snapshot_dir, new_bounds)
     from ..sources.readers import invalidate_schema_cache
     invalidate_schema_cache(live)
     return touched
+
+
+def rebucket(
+    spark: SparkSession,
+    snapshot_dir: str,
+    *,
+    primary_keys: Sequence[str],
+    new_n_buckets: int,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> int:
+    """Migrate the snapshot to a new bucket count — the compaction job
+    that keeps merge pruning effective as the table grows (SCALE_r09:
+    touched-bucket pruning holds only if B grows with the snapshot; a
+    table seeded at B=64 that reached 100 TB needs this, not a frozen
+    B). One full rewrite: read every row (tombstones INCLUDED — they
+    carry their replay-protection across the migration), recompute the
+    bucket id under the new B, stage the whole table, then swap the
+    entire ``data`` directory through the aside protocol (crash
+    between the two renames heals via ``_recover_asides``: the old
+    table returns, the rebucket is simply re-run). Subsequent merges
+    into the snapshot must pass ``n_buckets=new_n_buckets``.
+
+    The tombstone sidecar is DELETED before the swap and rebuilt with
+    exact counts after it (old bucket ids are meaningless under the
+    new B; a crash in between leaves no sidecar, which
+    ``expire_tombstones`` treats as a full-scan bootstrap — safe).
+    Returns the number of rows migrated."""
+    _recover_asides(snapshot_dir)
+    live = _live_dir(snapshot_dir)
+    if not os.path.isdir(live):
+        raise FileNotFoundError(f"no snapshot at {snapshot_dir}")
+    cur = (spark.read.parquet(live)
+           .drop(BUCKET_COL)
+           .withColumn(BUCKET_COL, bucket_of(primary_keys, new_n_buckets)))
+    staging = os.path.join(snapshot_dir, ".staging_rebucket")
+    shutil.rmtree(staging, ignore_errors=True)
+    from ..functions.observe import observed
+
+    cur, obs = observed(cur, "rebucket", n=F.count(F.lit(1)))
+    cur.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    n_rows = int(obs.get["n"])
+
+    sidecar = os.path.join(snapshot_dir, _SIDECAR)
+    if os.path.isfile(sidecar):
+        os.remove(sidecar)
+    aside_root = _aside_dir(snapshot_dir)
+    os.makedirs(aside_root, exist_ok=True)
+    aside = os.path.join(aside_root, "__data__")
+    shutil.rmtree(aside, ignore_errors=True)
+    shutil.move(live, aside)
+    shutil.move(staging, live)
+    shutil.rmtree(aside, ignore_errors=True)
+
+    if op_col is not None:
+        exact = {
+            int(r[0]): int(r[1])
+            for r in spark.read.parquet(live)
+                          .filter(F.col(op_col).eqNullSafe(delete_op))
+                          .groupBy(BUCKET_COL).count().collect()}
+        _write_sidecar(snapshot_dir, exact)
+    from ..sources.readers import invalidate_schema_cache
+    invalidate_schema_cache(live)
+    return n_rows
 
 
 def foreach_batch_bucketed_upsert(
@@ -218,6 +445,8 @@ def foreach_batch_bucketed_upsert(
     checkpoint_path: str,
     n_buckets: int = 64,
     tiebreak: Sequence[Column] = (),
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> None:
     """Streaming twin of upsert.foreach_batch_upsert with the
     bucket-pruned merge as the sink: drain ``source`` AvailableNow,
@@ -229,7 +458,8 @@ def foreach_batch_bucketed_upsert(
     def merge(batch: DataFrame, batch_id: int) -> None:
         bucketed_merge(batch, snapshot_dir=snapshot_dir,
                        primary_keys=primary_keys, order_by=order_by,
-                       n_buckets=n_buckets, tiebreak=tiebreak)
+                       n_buckets=n_buckets, tiebreak=tiebreak,
+                       op_col=op_col, delete_op=delete_op)
 
     q = (source.writeStream
                .foreachBatch(merge)

@@ -183,3 +183,184 @@ def test_streaming_wrapper_matches_full_rewrite(spark, tmp_path):
     full = {tuple(r) for r in read_snapshot(
         spark, str(tmp_path / "fsnap")).select("k", "event_id", "v").collect()}
     assert bucketed == full == {(1, 3, "a2"), (2, 2, "b"), (3, 6, "c2")}
+
+
+def test_crash_recovery_restores_aside_bucket(spark, tmp_path):
+    # Simulate a crash between the two swap renames: the only copy of
+    # a bucket sits at .aside/_bucket=K and the live dir is missing.
+    # The next entry to the table must move it back (ADVICE r9: the
+    # old in-live aside location silently lost the bucket instead).
+    import shutil
+
+    snap = str(tmp_path / "snap")
+    rows = [(k, 1, f"v{k}", "U") for k in range(1, 17)]
+    bucketed_merge(spark.createDataFrame(rows, SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=4)
+    before = _state(spark, snap)
+    live = os.path.join(snap, "data")
+    victim = sorted(d for d in os.listdir(live)
+                    if d.startswith(f"{BUCKET_COL}="))[0]
+    aside_root = os.path.join(snap, ".aside")
+    os.makedirs(aside_root, exist_ok=True)
+    shutil.move(os.path.join(live, victim),
+                os.path.join(aside_root, victim))
+    # a plain read heals the straggler and sees every row
+    assert _state(spark, snap) == before
+    assert os.path.isdir(os.path.join(live, victim))
+    assert not os.path.isdir(os.path.join(aside_root, victim))
+
+    # superseded aside (live twin exists): dropped, state unchanged
+    shutil.copytree(os.path.join(live, victim),
+                    os.path.join(aside_root, victim))
+    assert _state(spark, snap) == before
+    assert not os.path.isdir(os.path.join(aside_root, victim))
+
+
+def test_nondeterministic_batch_fails_loudly(spark, tmp_path):
+    # A batch whose rows change between evaluations can stage buckets
+    # outside the touched set; the merge must raise, not drop rows
+    # (ADVICE r9).
+    import pytest
+    from pyspark.sql.functions import udf
+
+    def _wallclock_key(i):
+        import time
+        return time.time_ns() + i
+
+    _wallclock_udf = udf(_wallclock_key, "long").asNondeterministic()
+    snap = str(tmp_path / "snap")
+    batch = (spark.range(3)
+             .withColumn("k", _wallclock_udf("id"))
+             .selectExpr("k", "id as seq", "'x' as v", "'U' as op"))
+    with pytest.raises(ValueError, match="nondeterministic"):
+        bucketed_merge(batch, snapshot_dir=snap, primary_keys=["k"],
+                       order_by=[F.col("seq").desc()], n_buckets=65536)
+    # and the failed merge left no live table behind
+    assert read_bucketed_snapshot(spark, snap) is None
+
+
+def test_null_op_rows_are_upserts(spark, tmp_path):
+    # NULL op = ordinary upsert: visible in reads, never expired
+    # (ADVICE r9: non-null-safe predicates silently destroyed them).
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+        expire_tombstones)
+
+    snap = str(tmp_path / "snap")
+    rows = [(1, 1, "a", None), (2, 2, None, "D"), (3, 3, "c", "U")]
+    bucketed_merge(spark.createDataFrame(rows, SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=4,
+                   op_col="op")
+    assert _state(spark, snap) == {1: (1, "a"), 3: (3, "c")}
+    expire_tombstones(spark, snap, op_col="op",
+                      expire_if=F.col("seq") < 10)
+    assert _state(spark, snap) == {1: (1, "a"), 3: (3, "c")}
+    raw = read_bucketed_snapshot(spark, snap)
+    assert raw.filter(F.col("k") == 2).count() == 0      # expired
+    assert raw.filter(F.col("k") == 1).count() == 1      # null-op kept
+
+
+def test_rebucket_preserves_state_and_restores_pruning(spark, tmp_path):
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import rebucket
+
+    snap = str(tmp_path / "snap")
+    feed = [(k, s, f"v{k}.{s}", "D" if (k, s) == (7, 3) else "U")
+            for k in range(1, 41) for s in (1, 2, 3)]
+    df = spark.createDataFrame(feed, SCHEMA)
+    # merge first two thirds at B=8, REBUCKET to 32 mid-feed, then the
+    # final third at B=32: final state must equal a single-window
+    # replay (rebucket is state-transparent)
+    bucketed_merge(df.filter(F.col("seq") <= 2), snapshot_dir=snap,
+                   primary_keys=["k"], order_by=[F.col("seq").desc()],
+                   n_buckets=8, op_col="op")
+    n = rebucket(spark, snap, primary_keys=["k"], new_n_buckets=32,
+                 op_col="op")
+    assert n == 40                        # one keep-latest winner per key
+    touched = bucketed_merge(df.filter(F.col("seq") == 3),
+                             snapshot_dir=snap, primary_keys=["k"],
+                             order_by=[F.col("seq").desc()],
+                             n_buckets=32, op_col="op")
+    # the new layout really is 32-way: bucket ids beyond the old B=8
+    # range appear, and the merge pruned to the batch's buckets
+    live = os.path.join(snap, "data")
+    dirs = {int(d.split("=")[1]) for d in os.listdir(live)
+            if d.startswith(f"{BUCKET_COL}=")}
+    assert max(dirs) >= 8 and set(touched) <= dirs
+
+    expect = {k: (3, f"v{k}.3") for k in range(1, 41) if k != 7}
+    assert _state(spark, snap) == expect
+    # the tombstone row survived the migration (k=7 deleted at seq 3;
+    # wait — (7,3) is the delete, so k=7 absent from reads but present
+    # raw)
+    raw = read_bucketed_snapshot(spark, snap)
+    assert raw.filter((F.col("k") == 7) & (F.col("op") == "D")).count() == 1
+    # late OLDER update for the deleted key still loses post-rebucket
+    bucketed_merge(spark.createDataFrame([(7, 0, "zombie", "U")], SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=32,
+                   op_col="op")
+    assert 7 not in _state(spark, snap)
+
+
+def test_expire_prunes_scan_via_sidecar(spark, tmp_path):
+    # With the tombstone-bounds sidecar, expiry must never OPEN a
+    # bucket whose bound is zero. Pin it physically: corrupt a
+    # no-tombstone bucket's parquet file — a pruned scan succeeds, an
+    # unpruned one would fail to read the garbage.
+    import json
+
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+        _SIDECAR, expire_tombstones)
+
+    snap = str(tmp_path / "snap")
+    rows = [(k, k, f"v{k}", "U") for k in range(1, 33)]
+    rows.append((100, 1, None, "D"))
+    bucketed_merge(spark.createDataFrame(rows, SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=8,
+                   op_col="op")
+    bounds = json.load(open(os.path.join(snap, _SIDECAR)))
+    tomb_bucket = [int(k) for k, v in bounds.items() if v > 0]
+    assert len(tomb_bucket) == 1
+    live = os.path.join(snap, "data")
+    for d in os.listdir(live):
+        if not d.startswith(f"{BUCKET_COL}="):
+            continue
+        if int(d.split("=")[1]) in tomb_bucket:
+            continue
+        for f in os.listdir(os.path.join(live, d)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(live, d, f), "wb") as fh:
+                    fh.write(b"not parquet")
+    touched = expire_tombstones(spark, snap, op_col="op",
+                                expire_if=F.col("seq") < 10)
+    assert touched == tomb_bucket
+    # exact post-swap lowering: no positive bounds remain → the next
+    # expiry is a no-op without reading anything at all
+    bounds2 = json.load(open(os.path.join(snap, _SIDECAR)))
+    assert all(v == 0 for v in bounds2.values()) or bounds2 == {}
+    assert expire_tombstones(spark, snap, op_col="op",
+                             expire_if=F.lit(True)) == []
+
+
+def test_expire_bootstraps_sidecar_on_first_full_scan(spark, tmp_path):
+    import json
+
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+        _SIDECAR, expire_tombstones)
+
+    snap = str(tmp_path / "snap")
+    rows = [(1, 1, "a", "U"), (2, 2, None, "D"), (3, 30, None, "D")]
+    # merged WITHOUT op_col: no sidecar maintained
+    bucketed_merge(spark.createDataFrame(rows, SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=4)
+    assert not os.path.isfile(os.path.join(snap, _SIDECAR))
+    expire_tombstones(spark, snap, op_col="op",
+                      expire_if=F.col("seq") < 10)
+    # the full-scan run bootstrapped exact counts: k=3's tombstone
+    # bucket has bound 1, everything else is pruned away next time
+    bounds = {int(k): v for k, v in
+              json.load(open(os.path.join(snap, _SIDECAR))).items()}
+    assert sum(bounds.values()) == 1
