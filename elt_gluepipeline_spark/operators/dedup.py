@@ -279,10 +279,23 @@ class LshDedupIndex:
     This mirrors the ANN family's fit/save/load/serve artifact shape
     (q141): fit once at ingest setup, append per admitted batch,
     serve every batch against the stored tables.
+
+    - ``tombstones`` (doc_id) — removal side-table (takedown / GDPR /
+      dedup-supersede), the q202 pattern applied to the dedup index:
+      index files are append-only, so a delete is an APPEND of the
+      doc id here; the serve path anti-joins candidates against it
+      (broadcast — the tombstone set is delete-sized) before the
+      verify, so deleted docs never match incoming batches.
+      ``compact_lsh_dedup_index`` physically drops tombstoned docs
+      from all three tables and clears this one. A tombstoned doc_id
+      stays dead until compaction — re-admitting the same id without
+      compacting first is not supported (the tombstone would keep
+      suppressing it).
     """
     entries: DataFrame
     sizes: DataFrame
     postings: DataFrame | None = None
+    tombstones: DataFrame | None = None
 
 
 def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
@@ -333,14 +346,87 @@ def append_lsh_dedup_index(delta: LshDedupIndex, path: str) -> None:
 
 def load_lsh_dedup_index(spark, path: str) -> LshDedupIndex:
     """Open a stored index (lazy parquet scans, nothing collected).
-    ``postings`` is None when the index was fit without them."""
-    try:
-        postings = spark.read.parquet(f"{path}/postings")
-    except Exception:
-        postings = None
+    ``postings`` is None when the index was fit without them;
+    ``tombstones`` is None until the first delete."""
+    _recover_index_swaps(path)
+
+    def _opt(sub: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(f"{path}/{sub}")
+        except Exception:
+            return None
     return LshDedupIndex(entries=spark.read.parquet(f"{path}/entries"),
                          sizes=spark.read.parquet(f"{path}/sizes"),
-                         postings=postings)
+                         postings=_opt("postings"),
+                         tombstones=_opt("tombstones"))
+
+
+def delete_from_lsh_dedup_index(ids: DataFrame, path: str) -> None:
+    """Remove documents from a stored index WITHOUT rewriting it: an
+    append of (doc_id) rows to the tombstone side-table — the same
+    immutable-files + delete-log shape as the ANN index's q202
+    maintenance. Serving consults the tombstones (broadcast
+    anti-join on the candidate set, so cost is O(candidates), never
+    O(index)); ``compact_lsh_dedup_index`` reclaims the space."""
+    cols = ids.columns
+    if cols != ["doc_id"]:
+        ids = ids.select(F.col(cols[0]).alias("doc_id"))
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _recover_index_swaps(path: str) -> None:
+    """Straggler recovery for compaction's per-table directory swap:
+    a table whose live dir is missing while its ``.old_`` aside exists
+    crashed between the two renames — restore the aside (tombstones
+    are still intact, so the restored table serves correctly and the
+    compaction simply re-runs); an aside with a live twin was already
+    superseded — drop it."""
+    import os
+    import shutil
+
+    for sub in ("entries", "sizes", "postings"):
+        src, aside = f"{path}/{sub}", f"{path}/.old_{sub}"
+        if not os.path.isdir(aside):
+            continue
+        if os.path.isdir(src):
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            shutil.move(aside, src)
+
+
+def compact_lsh_dedup_index(spark, path: str) -> None:
+    """Physically drop tombstoned docs from entries/sizes/postings and
+    clear the tombstone table — after this, the stored index equals a
+    fresh fit over the surviving corpus (pinned by pytest). Each table
+    is rewritten through a staging dir + two-rename swap (recovered by
+    ``_recover_index_swaps`` at every load/compact entry); a partial
+    compaction is still a CORRECT index because tombstones are cleared
+    LAST — an uncompacted table's dead rows stay suppressed by the
+    serve-time anti-join, and re-running the compaction is a no-op on
+    already-compacted tables."""
+    import os
+    import shutil
+
+    _recover_index_swaps(path)
+    tomb_dir = f"{path}/tombstones"
+    if not os.path.isdir(tomb_dir):
+        return
+    tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+    for sub in ("entries", "sizes", "postings"):
+        src = f"{path}/{sub}"
+        if not os.path.isdir(src):
+            continue
+        staging = f"{path}/.compact_{sub}"
+        shutil.rmtree(staging, ignore_errors=True)
+        (spark.read.parquet(src)
+              .join(F.broadcast(tombs), "doc_id", "left_anti")
+              .write.mode("overwrite").parquet(staging))
+        aside = f"{path}/.old_{sub}"
+        shutil.rmtree(aside, ignore_errors=True)
+        shutil.move(src, aside)
+        shutil.move(staging, src)
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(tomb_dir, ignore_errors=True)
 
 
 def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
@@ -400,7 +486,7 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
     # Candidate pairs are consumed twice (the verify join AND the
     # candidate-id restriction below) — persist so the probe join runs
     # once; bench/gate harnesses drain via release_operator_caches().
-    cand = register_cache(
+    cand_raw = (
         probe.select("band_id", "band_hash",
                      F.col("doc_id").alias("id_new"))
              .join(index.entries.select("band_id", "band_hash",
@@ -408,6 +494,18 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
                    ["band_id", "band_hash"])
              .filter(F.col("id_new") != F.col("id_existing"))
              .select("id_new", "id_existing").distinct())
+    if index.tombstones is not None:
+        # Deleted docs' band entries are still in the index files
+        # (append-only; see delete_from_lsh_dedup_index) — suppress
+        # them at the CANDIDATE stage, before any verify work, with an
+        # explicit broadcast: the tombstone set is delete-sized while
+        # the candidate set scales with the batch.
+        cand_raw = cand_raw.join(
+            F.broadcast(index.tombstones
+                        .select(F.col("doc_id").alias("id_existing"))
+                        .distinct()),
+            "id_existing", "left_anti")
+    cand = register_cache(cand_raw)
     cand_ids = cand.select(F.col("id_existing").alias("doc_id")).distinct()
 
     def _shingled(df: DataFrame, out_id: str):

@@ -44,6 +44,8 @@ class QuerySpec:
 # CORRECTNESS_r09 and moves to the tail). Tail entries still run
 # everywhere else (pytest, bench, tools/check_correctness).
 _DEPRIORITIZED = (
+    # --- new in round 10 (no driver record yet; next rotation) ---
+    "q203_lsh_index_delete",
     # --- latest driver record: round 5 (2 queries; the 2 alphabetically-last of the r5 block — the rest of the block is in the r10 head) ---
     "q94_priority_argmax",
     "q96_bitmap_distinct",

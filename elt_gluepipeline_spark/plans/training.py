@@ -1699,6 +1699,64 @@ def q200_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q203 — LshDedupIndex DELETE maintenance (operators/dedup.
+# delete_from_lsh_dedup_index): q200's persisted index with a third of
+# the corpus tombstoned after the fit — index files are append-only,
+# so the removal is an append to the tombstone side-table and the
+# serve path anti-joins candidates against it (broadcast — the
+# tombstone set is delete-sized) before any verify work. The oracle is
+# q199's full replay restricted to the SURVIVING corpus, so a hash
+# match certifies delete ≡ refit: tombstoned docs never match incoming
+# batches, remaining matches byte-identical. (compact_lsh_dedup_index,
+# which physically reclaims the rows, is pinned ≡ rebuild by pytest —
+# same answer by construction, so no second query needed.)
+# --------------------------------------------------------------------------
+
+def q203_lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..operators.dedup import (delete_from_lsh_dedup_index,
+                                   fit_lsh_dedup_index,
+                                   incremental_lsh_dedup,
+                                   load_lsh_dedup_index,
+                                   save_lsh_dedup_index)
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    dkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_").lower()
+    path = f"spark-warehouse/sg_lsh203_{dkey}_{app}"
+    if not os.path.isdir(path):
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus, "doc_id", "text",
+                                k=3, n_hashes=32, bands=8,
+                                pair_family=_Q41_FAMILY,
+                                band_hash=portable_band_hash), path)
+        delete_from_lsh_dedup_index(
+            corpus.filter(F.col("doc_id") % 3 == 1).select("doc_id"),
+            path)
+        import atexit
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = load_lsh_dedup_index(spark, path)
+    return incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                 k=3, n_hashes=32, bands=8,
+                                 threshold=0.3,
+                                 pair_family=_Q41_FAMILY,
+                                 band_hash=portable_band_hash,
+                                 index=index)
+
+
+Q203_SQL = Q199_SQL.replace(
+    "WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0",
+    "WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0"
+    " AND a.doc_id % 3 <> 1")
+if Q203_SQL == Q199_SQL:  # the anchor line moved: fail at import, loudly
+    raise AssertionError("Q203_SQL tombstone filter did not apply")
+
+
+# --------------------------------------------------------------------------
 # Q201 — bucket-pruned CDC MERGE: a change feed (upserts + delete
 # tombstones) applied batch-by-batch to a hash-bucketed keyed snapshot;
 # each merge rewrites only the buckets the batch touches
@@ -7959,6 +8017,11 @@ SPECS = [
               "ANN index delete-maintenance: tombstone side-table "
               "append + anti-join at serve; oracle replays ADC on the "
               "surviving corpus — delete ≡ rebuild certified"),
+    QuerySpec("q203_lsh_index_delete", q203_lsh_index_delete, Q203_SQL,
+              "LSH dedup index delete-maintenance: tombstone append + "
+              "broadcast anti-join on candidates at serve; oracle "
+              "replays q199 on the surviving corpus — delete ≡ refit "
+              "certified"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

@@ -59,6 +59,7 @@ EAGER_QUERIES = frozenset({
     "q200_lsh_index_serve",                    # index write at build
     "q201_bucketed_upsert",                    # snapshot merges at build
     "q202_index_delete",                       # index + tombstone writes
+    "q203_lsh_index_delete",                   # index + tombstone writes
 })
 
 

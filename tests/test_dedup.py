@@ -477,3 +477,112 @@ def test_incremental_lsh_verify_touches_only_candidate_docs(spark):
         assert any("Relation" in line and "parquet" in line
                    for line in semi), \
             f"LeftSemi does not restrict the postings scan:\n{splan}"
+
+
+def test_lsh_index_delete_suppresses_and_is_broadcast(spark):
+    """delete_from_lsh_dedup_index: tombstoned corpus docs must never
+    appear as id_existing, everything else byte-identical — and the
+    suppression must be a BROADCAST anti-join on the candidate set
+    (delete-sized build side), pinned in the executed plan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, delete_from_lsh_dedup_index,
+        fit_lsh_dedup_index, incremental_lsh_dedup, load_lsh_dedup_index,
+        portable_band_hash, save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    kw = dict(k=3, n_hashes=32, bands=8, threshold=0.3,
+              pair_family=fam, band_hash=portable_band_hash)
+
+    def rows(out):
+        return {(r.id_new, r.id_existing, round(r.jaccard, 9))
+                for r in out.collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus, "doc_id", "text", k=3, n_hashes=32,
+                                bands=8, pair_family=fam,
+                                band_hash=portable_band_hash), f"{d}/lsh")
+        base = rows(incremental_lsh_dedup(
+            None, batch, "doc_id", "text",
+            index=load_lsh_dedup_index(spark, f"{d}/lsh"), **kw))
+        assert any(ex == 7 for _, ex, _j in base)   # clone target matched
+
+        # tombstone doc 7 (the clone's corpus twin): its pairs vanish,
+        # every other pair is untouched
+        delete_from_lsh_dedup_index(
+            spark.createDataFrame([(7,)], ["doc_id"]), f"{d}/lsh")
+        idx = load_lsh_dedup_index(spark, f"{d}/lsh")
+        assert idx.tombstones is not None
+        out = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                    index=idx, **kw)
+        assert rows(out) == {p for p in base if p[1] != 7}
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, \
+            f"tombstone suppression is not a broadcast anti-join:\n{plan}"
+
+
+def test_lsh_index_compact_equals_rebuild_and_recovers(spark):
+    """compact_lsh_dedup_index must leave the stored tables identical
+    to a fresh fit over the surviving corpus, clear the tombstones,
+    and heal a crash between its two swap renames on the next load."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, compact_lsh_dedup_index,
+        delete_from_lsh_dedup_index, fit_lsh_dedup_index,
+        incremental_lsh_dedup, load_lsh_dedup_index, portable_band_hash,
+        save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    fit_kw = dict(k=3, n_hashes=32, bands=8, pair_family=fam,
+                  band_hash=portable_band_hash)
+    kw = dict(threshold=0.3, **fit_kw)
+
+    def rows(out):
+        return {(r.id_new, r.id_existing, round(r.jaccard, 9))
+                for r in out.collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus, "doc_id", "text", **fit_kw),
+            f"{d}/lsh")
+        dead = corpus.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+        delete_from_lsh_dedup_index(dead, f"{d}/lsh")
+        before = rows(incremental_lsh_dedup(
+            None, batch, "doc_id", "text",
+            index=load_lsh_dedup_index(spark, f"{d}/lsh"), **kw))
+
+        compact_lsh_dedup_index(spark, f"{d}/lsh")
+        assert not os.path.isdir(f"{d}/lsh/tombstones")
+        got = load_lsh_dedup_index(spark, f"{d}/lsh")
+        assert got.tombstones is None
+        survivors = corpus.join(dead, "doc_id", "left_anti")
+        want = fit_lsh_dedup_index(survivors, "doc_id", "text", **fit_kw)
+        for ta, tb in ((got.entries, want.entries), (got.sizes, want.sizes),
+                       (got.postings, want.postings)):
+            assert {tuple(r) for r in ta.collect()} == \
+                   {tuple(r) for r in tb.collect()}
+        # serve answer unchanged by the physical reclaim
+        assert rows(incremental_lsh_dedup(
+            None, batch, "doc_id", "text", index=got, **kw)) == before
+
+        # crash simulation: sizes vanished mid-swap, aside still there
+        shutil.move(f"{d}/lsh/sizes", f"{d}/lsh/.old_sizes")
+        healed = load_lsh_dedup_index(spark, f"{d}/lsh")
+        assert {tuple(r) for r in healed.sizes.collect()} == \
+               {tuple(r) for r in want.sizes.collect()}
