@@ -63,6 +63,19 @@ def main() -> None:
         .mapInPandas(lambda it: iter(it), schema="id long") \
         .write.format("noop").mode("overwrite").save()
 
+    # pre-warm the persisted artifact families (pq/km/ivfc/semk8) so
+    # the vector-serve queries (q76/q77/q81/q82/q153...) time the WARM
+    # path — a cold/LRU-evicted artifact swung q77 6x between
+    # otherwise-identical benches (VERDICT r9). The summary line
+    # records how each family resolved ("load"=disk warm, "fit"=was
+    # cold and is now warmed+persisted) plus any fit that still
+    # happened INSIDE the timed loop (dataset-keyed artifacts of other
+    # sf_dirs, or eviction mid-run — nonzero means a timing is suspect).
+    from elt_gluepipeline_spark.plans.training import (ARTIFACT_EVENTS,
+                                                       warm_artifacts)
+    prewarm = warm_artifacts(spark, sf_dir)
+    ARTIFACT_EVENTS.clear()
+
     from elt_gluepipeline_spark.operators._cache import (
         release_operator_caches)
 
@@ -114,6 +127,14 @@ def main() -> None:
                       # across host states
                       "calibration_sec": {"start": cal_start,
                                           "end": cal_end},
+                      # artifact warm/cold stamp: how each persisted
+                      # family resolved at pre-warm, and how many cold
+                      # FITS still ran inside the timed loop (>0 ⇒
+                      # the vector-family timings include fit cost)
+                      "artifacts": {"prewarm": prewarm,
+                                    "timed_fits": sum(
+                                        1 for _, how in ARTIFACT_EVENTS
+                                        if how == "fit")},
                       "sf": sf},
                      separators=(",", ":")))
 
