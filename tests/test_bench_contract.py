@@ -60,3 +60,13 @@ def test_bench_summary_line_last_and_tail_sized(spark):
     # across this VM's several-fold host-speed swings
     cal = rec["calibration_sec"]
     assert cal["start"] > 0 and cal["end"] > 0
+
+    # artifact warm/cold stamp (VERDICT r9): the four persisted
+    # families resolved at pre-warm, and zero cold fits inside the
+    # timed loop (pre-warm + dataset-keyed memo make timed refits
+    # impossible in a single-dataset bench run)
+    arts = rec["artifacts"]
+    assert set(arts["prewarm"]) == {"pq", "km", "ivfc", "semk8"}
+    assert all(how in ("load", "fit", "memo")
+               for how in arts["prewarm"].values())
+    assert arts["timed_fits"] == 0
