@@ -296,6 +296,11 @@ class LshDedupIndex:
     sizes: DataFrame
     postings: DataFrame | None = None
     tombstones: DataFrame | None = None
+    # set when the stored entries table is Hive-partitioned by
+    # pmod(xxhash64(band_id, band_hash), P) (save_lsh_dedup_index
+    # partition_entries=P): the serve path then prunes the probe
+    # join's entries scan to the batch's own partitions.
+    entries_partitions: int | None = None
 
 
 def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
@@ -326,12 +331,56 @@ def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
     return LshDedupIndex(entries=entries, sizes=sizes, postings=postings)
 
 
+ENTRIES_PBUCKET = "_pbucket"
+
+
+def _entries_pbucket(n_partitions: int) -> Column:
+    """Partition id of a band entry: pmod(xxhash64(band_id, band_hash),
+    P). Seed-stable builtin (same contract as bucketed_upsert.
+    bucket_of) — the on-disk layout must be reproducible across
+    sessions so appends land in the right directories."""
+    return F.pmod(F.xxhash64("band_id", "band_hash"),
+                  F.lit(n_partitions)).cast("int")
+
+
 def save_lsh_dedup_index(index: LshDedupIndex, path: str, *,
-                         mode: str = "overwrite") -> None:
+                         mode: str = "overwrite",
+                         partition_entries: int | None = None) -> None:
     """Write the index tables under ``path/{entries,sizes,postings}``.
     ``mode="append"`` admits a batch delta (see
-    ``append_lsh_dedup_index``)."""
-    index.entries.write.mode(mode).parquet(f"{path}/entries")
+    ``append_lsh_dedup_index``).
+
+    ``partition_entries=P`` Hive-partitions the entries table by
+    pmod(xxhash64(band_id, band_hash), P) — the 100 TB serve layout:
+    a batch probe then reads ONLY the partitions its own band hashes
+    fall in (PartitionFilters, the same pruning contract as the
+    bucketed CDC snapshot), instead of scanning the corpus-sized
+    entries table per batch. P is part of the table layout, recorded
+    in ``path/entries_meta.json``; appends reuse the stored P
+    automatically (pass None), and per-doc-projection semantics are
+    unchanged — append ≡ rebuild holds per partition."""
+    import json
+    import os
+
+    meta_path = f"{path}/entries_meta.json"
+    if partition_entries is None and mode == "append" and \
+            os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            partition_entries = json.load(fh).get("n_partitions")
+    if partition_entries:
+        (index.entries
+              .withColumn(ENTRIES_PBUCKET,
+                          _entries_pbucket(partition_entries))
+              .write.mode(mode).partitionBy(ENTRIES_PBUCKET)
+              .parquet(f"{path}/entries"))
+        if mode != "append" or not os.path.isfile(meta_path):
+            os.makedirs(path, exist_ok=True)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"n_partitions": partition_entries}, fh)
+            os.replace(tmp, meta_path)
+    else:
+        index.entries.write.mode(mode).parquet(f"{path}/entries")
     index.sizes.write.mode(mode).parquet(f"{path}/sizes")
     if index.postings is not None:
         index.postings.write.mode(mode).parquet(f"{path}/postings")
@@ -355,10 +404,18 @@ def load_lsh_dedup_index(spark, path: str) -> LshDedupIndex:
             return spark.read.parquet(f"{path}/{sub}")
         except Exception:
             return None
+    import json
+    import os
+    n_parts = None
+    meta = f"{path}/entries_meta.json"
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            n_parts = json.load(fh).get("n_partitions")
     return LshDedupIndex(entries=spark.read.parquet(f"{path}/entries"),
                          sizes=spark.read.parquet(f"{path}/sizes"),
                          postings=_opt("postings"),
-                         tombstones=_opt("tombstones"))
+                         tombstones=_opt("tombstones"),
+                         entries_partitions=n_parts)
 
 
 def delete_from_lsh_dedup_index(ids: DataFrame, path: str) -> None:
@@ -418,14 +475,20 @@ def compact_lsh_dedup_index(spark, path: str) -> None:
             continue
         staging = f"{path}/.compact_{sub}"
         shutil.rmtree(staging, ignore_errors=True)
-        (spark.read.parquet(src)
-              .join(F.broadcast(tombs), "doc_id", "left_anti")
-              .write.mode("overwrite").parquet(staging))
+        kept = (spark.read.parquet(src)
+                     .join(F.broadcast(tombs), "doc_id", "left_anti"))
+        w = kept.write.mode("overwrite")
+        if sub == "entries" and ENTRIES_PBUCKET in kept.columns:
+            w = w.partitionBy(ENTRIES_PBUCKET)  # preserve serve layout
+        w.parquet(staging)
         aside = f"{path}/.old_{sub}"
         shutil.rmtree(aside, ignore_errors=True)
         shutil.move(src, aside)
         shutil.move(staging, src)
         shutil.rmtree(aside, ignore_errors=True)
+        # the rewrite replaced files under an already-read path: drop
+        # Spark's cached file listing or the next scan reads ghosts
+        spark.catalog.refreshByPath(src)
     shutil.rmtree(tomb_dir, ignore_errors=True)
 
 
@@ -483,14 +546,28 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
         minhash_signatures(batch, id_col, text_col, k=k,
                            n_hashes=n_hashes, pair_family=pair_family),
         bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
+    entries = index.entries
+    if index.entries_partitions:
+        # Partitioned-entries layout: restrict the probe join's corpus
+        # side to the partitions the BATCH's band hashes fall in — a
+        # ≤P-value collect (same bounded-collect discipline as
+        # bucketed_merge's touched set) that Catalyst turns into
+        # PartitionFilters, so the per-batch entries read is
+        # O(touched partitions), not O(corpus). The probe is persisted
+        # because it is consumed twice (this collect + the join).
+        probe = register_cache(probe)
+        pb = sorted(r[0] for r in probe.select(
+            _entries_pbucket(index.entries_partitions).alias("pb"))
+            .distinct().collect())
+        entries = entries.filter(F.col(ENTRIES_PBUCKET).isin(pb))
     # Candidate pairs are consumed twice (the verify join AND the
     # candidate-id restriction below) — persist so the probe join runs
     # once; bench/gate harnesses drain via release_operator_caches().
     cand_raw = (
         probe.select("band_id", "band_hash",
                      F.col("doc_id").alias("id_new"))
-             .join(index.entries.select("band_id", "band_hash",
-                                        F.col("doc_id").alias("id_existing")),
+             .join(entries.select("band_id", "band_hash",
+                                  F.col("doc_id").alias("id_existing")),
                    ["band_id", "band_hash"])
              .filter(F.col("id_new") != F.col("id_existing"))
              .select("id_new", "id_existing").distinct())

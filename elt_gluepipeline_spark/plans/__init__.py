@@ -46,6 +46,7 @@ class QuerySpec:
 _DEPRIORITIZED = (
     # --- new in round 10 (no driver record yet; next rotation) ---
     "q203_lsh_index_delete",
+    "q204_lsh_pruned_serve",
     # --- latest driver record: round 5 (2 queries; the 2 alphabetically-last of the r5 block — the rest of the block is in the r10 head) ---
     "q94_priority_argmax",
     "q96_bitmap_distinct",

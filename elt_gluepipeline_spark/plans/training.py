@@ -1699,6 +1699,51 @@ def q200_lsh_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q204 — partitioned-entries LSH index serve: q200's artifact with the
+# entries table Hive-partitioned by pmod(xxhash64(band_id, band_hash),
+# P) (save_lsh_dedup_index partition_entries=16). The probe join then
+# reads ONLY the partitions the batch's own band hashes fall in
+# (PartitionFilters — pinned by pytest), killing the one O(corpus)
+# term left in the serve plan: at a 100 TB corpus the per-batch
+# entries read becomes O(touched partitions), the same pruning
+# contract as the bucketed CDC snapshot (q201). Output is identical
+# to q199/q200 by construction, so the same oracle hash-certifies the
+# layout + pruned serve end-to-end.
+# --------------------------------------------------------------------------
+
+def q204_lsh_pruned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..operators.dedup import (fit_lsh_dedup_index, incremental_lsh_dedup,
+                                   load_lsh_dedup_index,
+                                   save_lsh_dedup_index)
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    dkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_").lower()
+    path = f"spark-warehouse/sg_lsh204_{dkey}_{app}"
+    if not os.path.isdir(path):
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus, "doc_id", "text",
+                                k=3, n_hashes=32, bands=8,
+                                pair_family=_Q41_FAMILY,
+                                band_hash=portable_band_hash), path,
+            partition_entries=16)
+        import atexit
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = load_lsh_dedup_index(spark, path)
+    return incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                 k=3, n_hashes=32, bands=8,
+                                 threshold=0.3,
+                                 pair_family=_Q41_FAMILY,
+                                 band_hash=portable_band_hash,
+                                 index=index)
+
+
+# --------------------------------------------------------------------------
 # Q203 — LshDedupIndex DELETE maintenance (operators/dedup.
 # delete_from_lsh_dedup_index): q200's persisted index with a third of
 # the corpus tombstoned after the fit — index files are append-only,
@@ -8044,6 +8089,11 @@ SPECS = [
               "broadcast anti-join on candidates at serve; oracle "
               "replays q199 on the surviving corpus — delete ≡ refit "
               "certified"),
+    QuerySpec("q204_lsh_pruned_serve", q204_lsh_pruned_serve, Q199_SQL,
+              "partitioned-entries LSH index serve: probe join reads "
+              "only the batch's band-hash partitions (PartitionFilters) "
+              "— the O(corpus)-scan-free serve layout; q199's oracle "
+              "hash-certifies it"),
     QuerySpec("q28_asof_attribution", q28_asof_attribution, Q28_SQL,
               "as-of join: last-click attribution (union+window plan)"),
     QuerySpec("q30_frame_sample", q30_frame_sample, Q30_SQL,

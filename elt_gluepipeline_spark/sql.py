@@ -60,6 +60,7 @@ EAGER_QUERIES = frozenset({
     "q201_bucketed_upsert",                    # snapshot merges at build
     "q202_index_delete",                       # index + tombstone writes
     "q203_lsh_index_delete",                   # index + tombstone writes
+    "q204_lsh_pruned_serve",                   # index write at build
 })
 
 

@@ -586,3 +586,79 @@ def test_lsh_index_compact_equals_rebuild_and_recovers(spark):
         healed = load_lsh_dedup_index(spark, f"{d}/lsh")
         assert {tuple(r) for r in healed.sizes.collect()} == \
                {tuple(r) for r in want.sizes.collect()}
+
+
+def test_lsh_partitioned_entries_prunes_probe_scan(spark):
+    """save_lsh_dedup_index(partition_entries=P): serve output must be
+    identical to the unpartitioned layout, the probe join's entries
+    scan must carry PartitionFilters (the O(corpus)-scan kill), append
+    must reuse the stored P and equal a rebuild, and compaction must
+    preserve the layout."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        ENTRIES_PBUCKET, PortableMinhashFamily, append_lsh_dedup_index,
+        compact_lsh_dedup_index, delete_from_lsh_dedup_index,
+        fit_lsh_dedup_index, incremental_lsh_dedup, load_lsh_dedup_index,
+        portable_band_hash, save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    fit_kw = dict(k=3, n_hashes=32, bands=8, pair_family=fam,
+                  band_hash=portable_band_hash)
+    kw = dict(threshold=0.3, **fit_kw)
+
+    def rows(out):
+        return {(r.id_new, r.id_existing, round(r.jaccard, 9))
+                for r in out.collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        flat, part = f"{d}/flat", f"{d}/part"
+        idx = fit_lsh_dedup_index(corpus, "doc_id", "text", **fit_kw)
+        save_lsh_dedup_index(idx, flat)
+        save_lsh_dedup_index(idx, part, partition_entries=8)
+        assert json.load(open(f"{part}/entries_meta.json")) == \
+            {"n_partitions": 8}
+
+        base = rows(incremental_lsh_dedup(
+            None, batch, "doc_id", "text",
+            index=load_lsh_dedup_index(spark, flat), **kw))
+        loaded = load_lsh_dedup_index(spark, part)
+        assert loaded.entries_partitions == 8
+        served = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                       index=loaded, **kw)
+        assert rows(served) == base
+
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and ENTRIES_PBUCKET in plan, \
+            f"entries scan is not partition-pruned:\n{plan}"
+
+        # append reuses the stored P: admitted-batch index == rebuild
+        corpus2 = docs  # corpus ∪ batch
+        append_lsh_dedup_index(
+            fit_lsh_dedup_index(batch, "doc_id", "text", **fit_kw), part)
+        save_lsh_dedup_index(
+            fit_lsh_dedup_index(corpus2, "doc_id", "text", **fit_kw),
+            f"{d}/part2", partition_entries=8)
+        a = load_lsh_dedup_index(spark, part)
+        b = load_lsh_dedup_index(spark, f"{d}/part2")
+        assert {tuple(r) for r in a.entries.collect()} == \
+               {tuple(r) for r in b.entries.collect()}
+
+        # compaction keeps the partitioned layout serving + pruned
+        delete_from_lsh_dedup_index(
+            spark.createDataFrame([(7,)], ["doc_id"]), part)
+        compact_lsh_dedup_index(spark, part)
+        got = load_lsh_dedup_index(spark, part)
+        assert got.entries_partitions == 8
+        out2 = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                     index=got, **kw)
+        assert rows(out2) == {p for p in base if p[1] != 7}
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan2 and ENTRIES_PBUCKET in plan2
