@@ -84,19 +84,39 @@ def main() -> None:
         fit_sec = round(time.time() - t0, 2)
         release_operator_caches()
 
-        best, n_pairs = float("inf"), -1
-        for _ in range(runs):
-            loaded = load_lsh_dedup_index(spark, idx_path)
-            t0 = time.time()
-            out = incremental_lsh_dedup(
-                None, batch, "doc_id", "text", threshold=0.3,
-                index=loaded, **KW)
-            n_pairs = out.count()
-            best = min(best, time.time() - t0)
-            release_operator_caches()
+        def timed_serve(path):
+            best, n_pairs = float("inf"), -1
+            for _ in range(runs):
+                loaded = load_lsh_dedup_index(spark, path)
+                t0 = time.time()
+                out = incremental_lsh_dedup(
+                    None, batch, "doc_id", "text", threshold=0.3,
+                    index=loaded, **KW)
+                n_pairs = out.count()
+                best = min(best, time.time() - t0)
+                release_operator_caches()
+            return round(best, 2), n_pairs
+
+        serve_sec, n_pairs = timed_serve(idx_path)
+
+        # round-10: the partitioned-entries layout (the named fix if
+        # flat-layout serve ever drifts with corpus size) measured
+        # side-by-side — same index content, entries Hive-partitioned
+        # so the probe reads only the batch's band-hash partitions
+        part_path = idx_path + "_part"
+        shutil.rmtree(part_path, ignore_errors=True)
+        save_lsh_dedup_index(
+            load_lsh_dedup_index(spark, idx_path), part_path,
+            partition_entries=64)
+        release_operator_caches()
+        serve_part_sec, n_pairs_part = timed_serve(part_path)
+        assert n_pairs_part == n_pairs, (n_pairs_part, n_pairs)
+
         points[str(factor)] = {
             "n_corpus": n_corpus, "fit_sec": fit_sec,
-            "serve_sec": round(best, 2), "n_pairs": n_pairs,
+            "serve_sec": serve_sec,
+            "serve_partitioned_sec": serve_part_sec,
+            "n_pairs": n_pairs,
             "serve_ratio_vs_1x": None}
     base = points.get("1", {}).get("serve_sec")
     if base:
