@@ -38,18 +38,21 @@ B_OUTGROWN = 16
 B_RESIZED = 1024
 BATCH_KEYS = 50
 KEYS = ["okey", "lnum"]
-ORDER = [F.col("seq").desc()]
 
 
 def feed_of(lineitem):
-    """One seed version per (l_orderkey, l_linenumber) key; the comment
-    payload keeps the table GB-scale so the data plane dominates."""
+    """One seed version per (l_orderkey, l_linenumber) key; a 128-char
+    deterministic hex payload (md5 chain — incompressible, so parquet
+    can't shrink it away) keeps the table GB-scale so the data plane
+    dominates the merge clock."""
+    key = F.concat_ws("|", "l_orderkey", "l_linenumber")
     return lineitem.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lnum"),
         F.lit(1).cast("long").alias("seq"),
         F.col("l_extendedprice").alias("price"),
-        F.col("l_comment").alias("payload"),
+        F.concat(*[F.md5(F.concat(key, F.lit(str(i))))
+                   for i in range(4)]).alias("payload"),
         F.lit("U").alias("op"))
 
 
@@ -58,9 +61,15 @@ def batch_of(base_feed, seq: int):
     every factor), bumped to a new version."""
     n = base_feed.count()
     step = max(1, n // BATCH_KEYS)
+    # hash-sample the keys (an arithmetic (okey*10+lnum) % step can be
+    # unsatisfiable — lnum ranges 1..7 while step is a multiple of 10);
+    # orderBy before limit: a bare limit re-evaluates
+    # nondeterministically between the merge's touched-collect and
+    # staging write, which bucketed_merge rejects by design
     return (base_feed
-            .filter((F.col("okey") * 10 + F.col("lnum")) % step == 0)
-            .limit(BATCH_KEYS)
+            .filter(F.pmod(F.xxhash64("okey", "lnum", F.lit(seq)),
+                           F.lit(step)) == 0)
+            .orderBy("okey", "lnum").limit(BATCH_KEYS)
             .withColumn("seq", F.lit(seq).cast("long"))
             .withColumn("price", F.col("price") + 1.0))
 
@@ -70,7 +79,8 @@ def timed_merge(batch, snap: str, n_buckets: int, runs: int):
     for _ in range(runs):
         t0 = time.time()
         t = bucketed_merge(batch, snapshot_dir=snap, primary_keys=KEYS,
-                           order_by=ORDER, n_buckets=n_buckets)
+                           order_by=[F.col("seq").desc()],
+                           n_buckets=n_buckets)
         best = min(best, time.time() - t0)
         touched = len(t)
         release_operator_caches()
@@ -95,7 +105,7 @@ def main() -> None:
     shutil.rmtree(snap, ignore_errors=True)
     t0 = time.time()
     bucketed_merge(feed, snapshot_dir=snap, primary_keys=KEYS,
-                   order_by=ORDER, n_buckets=B_OUTGROWN)
+                   order_by=[F.col("seq").desc()], n_buckets=B_OUTGROWN)
     seed_sec = round(time.time() - t0, 2)
     release_operator_caches()
     snap_bytes = sum(os.path.getsize(os.path.join(b, f))
