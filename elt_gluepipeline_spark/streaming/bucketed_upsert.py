@@ -236,7 +236,15 @@ def bucketed_merge(
 
     staging = os.path.join(snapshot_dir, ".staging")
     shutil.rmtree(staging, ignore_errors=True)
-    (merged.write.mode("overwrite").partitionBy(BUCKET_COL)
+    # ONE file per bucket per write: without this, every shuffle task
+    # writes its own file into every bucket dir (~tasks x buckets small
+    # files), and partition DISCOVERY — which lists the whole table
+    # before pruning — comes to dominate the merge at large B
+    # (measured: a 35/1024-bucket merge spent most of its clock listing
+    # ~32k files). Hash-repartitioning on the bucket column routes each
+    # bucket to exactly one task.
+    (merged.repartition(len(touched), F.col(BUCKET_COL))
+           .write.mode("overwrite").partitionBy(BUCKET_COL)
            .parquet(staging))
 
     # The batch was evaluated twice (touched-bucket collect, staging
@@ -357,7 +365,8 @@ def expire_tombstones(
                .withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int")))
     staging = os.path.join(snapshot_dir, ".staging")
     shutil.rmtree(staging, ignore_errors=True)
-    kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    (kept.repartition(len(touched), F.col(BUCKET_COL))
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging))
     exact = _staged_tombstone_counts(spark, staging, op_col, delete_op)
     _swap_in(snapshot_dir, staging, touched)
     shutil.rmtree(staging, ignore_errors=True)
@@ -410,7 +419,13 @@ def rebucket(
     from ..functions.observe import observed
 
     cur, obs = observed(cur, "rebucket", n=F.count(F.lit(1)))
-    cur.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    # one file per bucket (see bucketed_merge): B files total instead
+    # of B x shuffle-tasks — the listing cost every later merge pays
+    n_tasks = min(int(new_n_buckets),
+                  int(spark.conf.get("spark.sql.shuffle.partitions",
+                                     "32")) * 8)
+    (cur.repartition(n_tasks, F.col(BUCKET_COL))
+        .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging))
     n_rows = int(obs.get["n"])
 
     sidecar = os.path.join(snapshot_dir, _SIDECAR)

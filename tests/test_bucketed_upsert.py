@@ -364,3 +364,23 @@ def test_expire_bootstraps_sidecar_on_first_full_scan(spark, tmp_path):
     bounds = {int(k): v for k, v in
               json.load(open(os.path.join(snap, _SIDECAR))).items()}
     assert sum(bounds.values()) == 1
+
+
+def test_one_data_file_per_bucket_per_write(spark, tmp_path):
+    # partition discovery lists the WHOLE table before pruning, so
+    # file count per bucket is a per-merge cost every later reader
+    # pays: each write must route a bucket to exactly one task
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import rebucket
+
+    snap = str(tmp_path / "snap")
+    rows = [(k, 1, f"v{k}", "U") for k in range(1, 257)]
+    bucketed_merge(spark.createDataFrame(rows, SCHEMA).repartition(8),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=8)
+    rebucket(spark, snap, primary_keys=["k"], new_n_buckets=32)
+    live = os.path.join(snap, "data")
+    for d in os.listdir(live):
+        if d.startswith(f"{BUCKET_COL}="):
+            files = [f for f in os.listdir(os.path.join(live, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
