@@ -28,7 +28,23 @@ def main() -> int:
         print(__doc__)
         return 2
     def load(path):
-        d = json.load(open(path))
+        text = open(path).read().strip()
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        if len(lines) > 1:
+            # raw bench.py stdout: chunk lines carry the COMPLETE
+            # per-query map, the last line is the summary — merge them
+            # so diffs cover every query, not just the heaviest 24
+            full: dict[str, float] = {}
+            summary = None
+            for ln in lines:
+                d = json.loads(ln)
+                if "chunk" in d:
+                    full.update(d["queries"])
+                else:
+                    summary = d
+            summary["queries"] = full
+            return summary
+        d = json.loads(text)
         # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
         return d.get("parsed", d)
 
