@@ -368,11 +368,30 @@ def save_lsh_dedup_index(index: LshDedupIndex, path: str, *,
         with open(meta_path) as fh:
             partition_entries = json.load(fh).get("n_partitions")
     if partition_entries:
+        edir = f"{path}/entries"
         (index.entries
               .withColumn(ENTRIES_PBUCKET,
                           _entries_pbucket(partition_entries))
               .write.mode(mode).partitionBy(ENTRIES_PBUCKET)
-              .parquet(f"{path}/entries"))
+              .parquet(edir))
+        # A partitioned write of an EMPTY frame emits no schema-bearing
+        # files (load would fail UNABLE_TO_INFER_SCHEMA): keep an
+        # unpartitioned empty anchor instead — ENTRIES_PBUCKET rides as
+        # a plain column, so the serve-path filter still works. The
+        # first non-empty write clears the anchor (mixed bare files +
+        # partition dirs break partition discovery).
+        has_parts = any(d.startswith(f"{ENTRIES_PBUCKET}=")
+                        for d in os.listdir(edir))
+        if not has_parts:
+            (index.entries
+                  .withColumn(ENTRIES_PBUCKET,
+                              _entries_pbucket(partition_entries))
+                  .write.mode("overwrite").parquet(edir))
+        else:
+            for f in os.listdir(edir):
+                fp = os.path.join(edir, f)
+                if os.path.isfile(fp) and f.endswith(".parquet"):
+                    os.remove(fp)
         if mode != "append" or not os.path.isfile(meta_path):
             os.makedirs(path, exist_ok=True)
             tmp = meta_path + ".tmp"
