@@ -1835,11 +1835,15 @@ def q201_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(snap, ignore_errors=True)
     atexit.register(shutil.rmtree, snap, ignore_errors=True)
     # three merge batches, deliberately NOT seq-ordered: final state
-    # must be batching-invariant (tombstones retained ⇒ newest wins)
+    # must be batching-invariant (tombstones retained ⇒ newest wins);
+    # op_col engages the production config — tombstone-count sidecar
+    # maintained per merge (metadata only: the oracle result is
+    # op-agnostic, so the hash also certifies sidecar upkeep is inert)
     for i in (2, 0, 1):
         bucketed_merge(changes.filter(F.col("seq") % 3 == i),
                        snapshot_dir=snap, primary_keys=["cust"],
-                       order_by=[F.col("seq").desc()], n_buckets=16)
+                       order_by=[F.col("seq").desc()], n_buckets=16,
+                       op_col="op")
     snapshot = read_bucketed_snapshot(spark, snap, op_col="op")
     if snapshot is None:   # empty change feed: no bucket ever written
         snapshot = changes.limit(0)
