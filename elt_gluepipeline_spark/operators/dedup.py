@@ -358,20 +358,49 @@ def save_lsh_dedup_index(index: LshDedupIndex, path: str, *,
     entries table per batch. P is part of the table layout, recorded
     in ``path/entries_meta.json``; appends reuse the stored P
     automatically (pass None), and per-doc-projection semantics are
-    unchanged — append ≡ rebuild holds per partition."""
+    unchanged — append ≡ rebuild holds per partition.
+
+    Layout contract (mirrors bucketed_merge's "n_buckets is part of
+    the table layout"): an append may not change P — passing a
+    partition_entries that differs from the stored layout raises
+    (the delta would land under the wrong directories and the stored
+    P would silently prune it out of every later probe). Growing P
+    on an existing index is ``repartition_entries``'s job. A
+    non-append save REPLACES the layout: saving unpartitioned over a
+    partitioned index also clears ``entries_meta.json``."""
     import json
     import os
 
+    _recover_index_swaps(path)
     meta_path = f"{path}/entries_meta.json"
-    if partition_entries is None and mode == "append" and \
-            os.path.isfile(meta_path):
-        with open(meta_path) as fh:
-            partition_entries = json.load(fh).get("n_partitions")
+    stored = _stored_entries_partitions(path)
+    if mode == "append":
+        if partition_entries is None:
+            partition_entries = stored
+        elif stored is not None and partition_entries != stored:
+            raise ValueError(
+                f"partition_entries={partition_entries} does not match the "
+                f"stored layout P={stored} at {path} — P is part of the "
+                "table layout; append with partition_entries=None (reuses "
+                "the stored P) or migrate via repartition_entries() first.")
+        elif stored is None and os.path.isdir(f"{path}/entries"):
+            raise ValueError(
+                f"index at {path} has an UNPARTITIONED entries table — "
+                f"appending with partition_entries={partition_entries} "
+                "would mix layouts. Append with partition_entries=None or "
+                "migrate via repartition_entries() first.")
     if partition_entries:
         edir = f"{path}/entries"
-        (index.entries
-              .withColumn(ENTRIES_PBUCKET,
-                          _entries_pbucket(partition_entries))
+        withp = index.entries.withColumn(
+            ENTRIES_PBUCKET, _entries_pbucket(partition_entries))
+        # one file per partition dir per write (bucketed_merge's
+        # listing-cost discipline: tasks x P small files otherwise
+        # dominate partition DISCOVERY at serve time); task count
+        # capped so a huge P doesn't serialize the fit write
+        n_tasks = min(int(partition_entries),
+                      int(withp.sparkSession.conf.get(
+                          "spark.sql.shuffle.partitions", "32")) * 8)
+        (withp.repartition(n_tasks, F.col(ENTRIES_PBUCKET))
               .write.mode(mode).partitionBy(ENTRIES_PBUCKET)
               .parquet(edir))
         # A partitioned write of an EMPTY frame emits no schema-bearing
@@ -400,6 +429,12 @@ def save_lsh_dedup_index(index: LshDedupIndex, path: str, *,
             os.replace(tmp, meta_path)
     else:
         index.entries.write.mode(mode).parquet(f"{path}/entries")
+        # an unpartitioned overwrite REPLACES a partitioned layout:
+        # drop the stale meta or load would filter on a _pbucket
+        # column the new table doesn't have (AnalysisException far
+        # from the cause)
+        if mode != "append" and os.path.isfile(meta_path):
+            os.remove(meta_path)
     index.sizes.write.mode(mode).parquet(f"{path}/sizes")
     if index.postings is not None:
         index.postings.write.mode(mode).parquet(f"{path}/postings")
@@ -423,13 +458,7 @@ def load_lsh_dedup_index(spark, path: str) -> LshDedupIndex:
             return spark.read.parquet(f"{path}/{sub}")
         except Exception:
             return None
-    import json
-    import os
-    n_parts = None
-    meta = f"{path}/entries_meta.json"
-    if os.path.isfile(meta):
-        with open(meta) as fh:
-            n_parts = json.load(fh).get("n_partitions")
+    n_parts = _stored_entries_partitions(path)
     return LshDedupIndex(entries=spark.read.parquet(f"{path}/entries"),
                          sizes=spark.read.parquet(f"{path}/sizes"),
                          postings=_opt("postings"),
@@ -450,13 +479,40 @@ def delete_from_lsh_dedup_index(ids: DataFrame, path: str) -> None:
     ids.write.mode("append").parquet(f"{path}/tombstones")
 
 
+def _stored_entries_partitions(path: str) -> int | None:
+    """The entries table's partition count P, or None (unpartitioned).
+    The in-directory ``entries/_pmeta.json`` (written by a staged
+    ``repartition_entries`` rewrite so P travels ATOMICALLY with the
+    directory swap; underscore prefix → invisible to Spark's file
+    listing) wins over the table-level ``entries_meta.json``;
+    ``_recover_index_swaps`` folds it back into the table-level file
+    at every entry point."""
+    import json
+    import os
+
+    for p in (f"{path}/entries/_pmeta.json", f"{path}/entries_meta.json"):
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return json.load(fh).get("n_partitions")
+    return None
+
+
 def _recover_index_swaps(path: str) -> None:
-    """Straggler recovery for compaction's per-table directory swap:
-    a table whose live dir is missing while its ``.old_`` aside exists
-    crashed between the two renames — restore the aside (tombstones
-    are still intact, so the restored table serves correctly and the
-    compaction simply re-runs); an aside with a live twin was already
-    superseded — drop it."""
+    """Straggler recovery for the per-table directory swap used by
+    compaction and ``repartition_entries``: a table whose live dir is
+    missing while its ``.old_`` aside exists crashed between the two
+    renames — restore the aside (tombstones are still intact, so the
+    restored table serves correctly and the rewrite simply re-runs);
+    an aside with a live twin was already superseded — drop it.
+
+    Also reconciles the entries-partition metadata: a
+    ``repartition_entries`` that crashed after its swap but before
+    updating ``entries_meta.json`` left the authoritative P inside
+    the swapped directory (``entries/_pmeta.json``) — fold it into
+    the table-level file (atomic replace) and drop the in-directory
+    copy, so later rewrites that regenerate the entries dir can't
+    strand a stale inner P."""
+    import json
     import os
     import shutil
 
@@ -468,6 +524,16 @@ def _recover_index_swaps(path: str) -> None:
             shutil.rmtree(aside, ignore_errors=True)
         else:
             shutil.move(aside, src)
+    inner = f"{path}/entries/_pmeta.json"
+    if os.path.isfile(inner):
+        meta_path = f"{path}/entries_meta.json"
+        tmp = meta_path + ".tmp"
+        with open(inner) as fh:
+            meta = json.load(fh)
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+        os.remove(inner)
 
 
 def compact_lsh_dedup_index(spark, path: str) -> None:
@@ -497,9 +563,20 @@ def compact_lsh_dedup_index(spark, path: str) -> None:
         kept = (spark.read.parquet(src)
                      .join(F.broadcast(tombs), "doc_id", "left_anti"))
         w = kept.write.mode("overwrite")
-        if sub == "entries" and ENTRIES_PBUCKET in kept.columns:
+        partitioned = sub == "entries" and ENTRIES_PBUCKET in kept.columns
+        if partitioned:
             w = w.partitionBy(ENTRIES_PBUCKET)  # preserve serve layout
         w.parquet(staging)
+        if partitioned and not any(
+                d.startswith(f"{ENTRIES_PBUCKET}=")
+                for d in os.listdir(staging)):
+            # compacted to zero rows: a partitioned write of an empty
+            # frame emits no schema-bearing files (next load would fail
+            # UNABLE_TO_INFER_SCHEMA) — fall back to the same empty
+            # anchor save_lsh_dedup_index uses (unpartitioned, with
+            # ENTRIES_PBUCKET riding as a plain column, so the serve
+            # path's partition filter still resolves)
+            kept.repartition(1).write.mode("overwrite").parquet(staging)
         aside = f"{path}/.old_{sub}"
         shutil.rmtree(aside, ignore_errors=True)
         shutil.move(src, aside)
@@ -509,6 +586,67 @@ def compact_lsh_dedup_index(spark, path: str) -> None:
         # Spark's cached file listing or the next scan reads ghosts
         spark.catalog.refreshByPath(src)
     shutil.rmtree(tomb_dir, ignore_errors=True)
+
+
+def repartition_entries(spark, path: str, new_n_partitions: int) -> None:
+    """Migrate a stored index's ENTRIES table to a new partition count
+    — ``rebucket``'s analog for the LSH serve layout (P is frozen at
+    save time; a corpus that grows 100× under its seed P loses the
+    pruning the layout exists to provide). Works in every direction:
+    unpartitioned→P, P1→P2. One staged rewrite of entries only (sizes/
+    postings/tombstones are untouched — P is an entries-layout fact),
+    swapped through the same two-rename protocol compaction uses, so
+    a crash heals at the next entry point via ``_recover_index_swaps``.
+
+    Metadata atomicity: the new P is written INTO the staged directory
+    as ``entries/_pmeta.json`` (hidden from Spark's listing by the
+    underscore prefix) so the directory swap carries data and P in one
+    rename — a crash between the swap and the table-level
+    ``entries_meta.json`` update cannot leave the serve path pruning a
+    new layout with the old P; recovery folds the inner file back into
+    the table-level one. Appends after migration pick up the new P
+    automatically (``save_lsh_dedup_index`` reads the stored layout).
+    """
+    import json
+    import os
+    import shutil
+
+    if new_n_partitions < 1:
+        raise ValueError(f"new_n_partitions must be >=1, got "
+                         f"{new_n_partitions}")
+    _recover_index_swaps(path)
+    src = f"{path}/entries"
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no entries table at {src}")
+    cur = spark.read.parquet(src)
+    if ENTRIES_PBUCKET in cur.columns:
+        cur = cur.drop(ENTRIES_PBUCKET)
+    cur = cur.withColumn(ENTRIES_PBUCKET, _entries_pbucket(new_n_partitions))
+    staging = f"{path}/.repart_entries"
+    shutil.rmtree(staging, ignore_errors=True)
+    # one file per partition (bucketed_merge's listing-cost discipline),
+    # task count capped so a huge P doesn't serialize the rewrite
+    n_tasks = min(int(new_n_partitions),
+                  int(spark.conf.get("spark.sql.shuffle.partitions",
+                                     "32")) * 8)
+    (cur.repartition(n_tasks, F.col(ENTRIES_PBUCKET))
+        .write.mode("overwrite").partitionBy(ENTRIES_PBUCKET)
+        .parquet(staging))
+    if not any(d.startswith(f"{ENTRIES_PBUCKET}=")
+               for d in os.listdir(staging)):
+        # empty table: unpartitioned anchor, _pbucket as a plain column
+        cur.repartition(1).write.mode("overwrite").parquet(staging)
+    with open(f"{staging}/_pmeta.json", "w") as fh:
+        json.dump({"n_partitions": new_n_partitions}, fh)
+    aside = f"{path}/.old_entries"
+    shutil.rmtree(aside, ignore_errors=True)
+    shutil.move(src, aside)
+    shutil.move(staging, src)
+    shutil.rmtree(aside, ignore_errors=True)
+    spark.catalog.refreshByPath(src)
+    # fold the in-directory P into the table-level meta (same step
+    # recovery would perform after a crash here)
+    _recover_index_swaps(path)
 
 
 def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
@@ -621,8 +759,14 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
         # pushes a runtime filter into the postings scan).
         inv_old = (index.postings.join(cand_ids, "doc_id", "left_semi")
                         .select(F.col("doc_id").alias("id_existing"), "s"))
-        n_old = index.sizes.select(F.col("doc_id").alias("id_existing"),
-                                   F.col("n_shingles").alias("n"))
+        # Same semi-join for the Jaccard denominators: sizes is one row
+        # per CORPUS doc, so an unrestricted read here was the last
+        # per-batch linear-in-corpus term in the serve plan (the verify
+        # join only needs candidate docs' sizes). Pinned by the same
+        # plan-shape test as the postings restriction.
+        n_old = (index.sizes.join(cand_ids, "doc_id", "left_semi")
+                      .select(F.col("doc_id").alias("id_existing"),
+                              F.col("n_shingles").alias("n")))
     else:
         # No postings: re-shingle ONLY candidate corpus docs. Two plan
         # hazards keep O(corpus) work out of this branch (both pinned

@@ -34,70 +34,18 @@ class QuerySpec:
 
 # The driver's correctness gate records only the FIRST 50 registry
 # entries (insertion order), so ordering is part of the contract.
-# ROUND-10 ROTATION (VERDICT_r9 item #1): the head is the 50 queries
-# with NO driver record or the stalest one — the 3 round-9 additions
-# q200-q202 (never driver-recorded), the 12 remaining round-4 records
-# (q85-q99 block), and the alphabetically-first 35 of the 37 round-5
-# records. Every tail query below has a driver row from the round
-# noted in its group header (the r9 rotation head — q192-q199 +
-# q53-q56 + the 38 round-4-era records — was certified 50/50 by
-# CORRECTNESS_r09 and moves to the tail). Tail entries still run
-# everywhere else (pytest, bench, tools/check_correctness).
+# ROUND-11 ROTATION (VERDICT_r10 item #1): the head is the 50 stalest
+# queries — the 2 round-10 additions q203/q204 (never
+# driver-recorded), the last 2 round-5 records (q94/q96), the 3
+# round-6 records (q152-q154), and the alphabetically-first 43 of the
+# 50 round-7 records (q137-q184). Every tail query below has a driver
+# row from the round noted in its group header (the r10 rotation head
+# — q200-q202 + the q85-q99 block + the round-5-era records — was
+# certified 50/50 by CORRECTNESS_r10 and moves to the tail). Tail
+# entries still run everywhere else (pytest, bench,
+# tools/check_correctness).
 _DEPRIORITIZED = (
-    # --- new in round 10 (no driver record yet; next rotation) ---
-    "q203_lsh_index_delete",
-    "q204_lsh_pruned_serve",
-    # --- latest driver record: round 5 (2 queries; the 2 alphabetically-last of the r5 block — the rest of the block is in the r10 head) ---
-    "q94_priority_argmax",
-    "q96_bitmap_distinct",
-    # --- latest driver record: round 6 (3 queries) ---
-    "q152_repeated_spans",
-    "q153_semdedup",
-    "q154_rawfile_ingest",
-    # --- latest driver record: round 7 (50 queries) ---
-    "q137_jpeg_probe",
-    "q140_sketch_overlap",
-    "q141_index_append",
-    "q142_gif_probe",
-    "q143_compressed_text",
-    "q144_shard_writer",
-    "q145_copurchase_pagerank",
-    "q146_html_extract",
-    "q147_domain_cap",
-    "q148_gopher_rules",
-    "q149_component_split",
-    "q150_variant_shred",
-    "q151_xml_roundtrip",
-    "q155_ridge_fit",
-    "q156_unicode_nfc",
-    "q157_triangles",
-    "q158_pmi_cooc",
-    "q159_inverted_index",
-    "q160_zipf_fit",
-    "q161_warc_roundtrip",
-    "q162_tfidf_cosine",
-    "q163_bm25",
-    "q164_distinct_n",
-    "q165_stream_enrich",
-    "q166_kmv_distinct",
-    "q167_kmv_jaccard",
-    "q168_audio_stats",
-    "q169_image_pool",
-    "q170_prefix_join",
-    "q171_lsh_recall",
-    "q172_keep_best",
-    "q173_crossdoc_dedup",
-    "q174_pii_redact",
-    "q175_logistic_fit",
-    "q176_embed_standardize",
-    "q177_winnowing",
-    "q178_dsir_weights",
-    "q179_js_drift",
-    "q180_quantile_sketch",
-    "q181_quality_filter",
-    "q182_stream_quantiles",
-    "q183_stream_decontaminate",
-    "q184_hard_negatives",
+    # --- latest driver record: round 7 (7 queries; the alphabetically-last 7 of the r7 block — the first 43 are in the r11 head) ---
     "q185_curation_funnel",
     "q186_vocab_coverage",
     "q187_interpolate",
@@ -207,6 +155,57 @@ _DEPRIORITIZED = (
     "q82_rerank",
     "q83_salted_enrich",
     "q84_anomaly_days",
+    # --- latest driver record: round 10 (50 queries, the r10 rotation head: q200-q202 + q85-q99 block + round-5-era records) ---
+    "q07_loyalty_impact",
+    "q08_top_locations",
+    "q09_discount_effect",
+    "q10_quality_gate",
+    "q11_transform_clean",
+    "q102_price_histogram",
+    "q105_transition_matrix",
+    "q118_linear_attribution",
+    "q119_budget_curation",
+    "q120_histogram_quantiles",
+    "q121_unpivot",
+    "q122_percentile_rank",
+    "q123_basket_affinity",
+    "q124_cohort_ltv",
+    "q125_share_shift",
+    "q126_passage_dedupe",
+    "q127_bloom_prefilter",
+    "q128_countmin",
+    "q129_table_digest",
+    "q130_generated_rollup",
+    "q131_hll_portable",
+    "q132_png_probe",
+    "q133_bpe_encode",
+    "q134_json_roundtrip",
+    "q135_orc_roundtrip",
+    "q136_stream_hll",
+    "q138_sequence_pack",
+    "q139_greedy_pack",
+    "q200_lsh_index_serve",
+    "q201_bucketed_upsert",
+    "q202_index_delete",
+    "q57_portable_split",
+    "q59_dedupe_corpus",
+    "q63_repetition",
+    "q73_incremental_agg",
+    "q76_product_quantize",
+    "q77_pq_adc",
+    "q85_funnel",
+    "q86_retention",
+    "q87_top_paths",
+    "q88_session_window",
+    "q89_median_udaf",
+    "q90_fk_audit",
+    "q91_gap_fill",
+    "q92_measure_profile",
+    "q93_peak_open_orders",
+    "q95_rolling_active_users",
+    "q97_table_profile",
+    "q98_heavy_hitters",
+    "q99_spend_percentiles",
 )
 
 

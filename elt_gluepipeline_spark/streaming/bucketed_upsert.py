@@ -64,12 +64,15 @@ Idempotence: keep-latest is a join-semilattice fold (max by
 reproduces the same winners — a replayed micro-batch after a crash
 rewrites the same bucket contents. This REQUIRES a deterministic
 total order: pass unique tiebreakers when the ordering columns can
-collide. The batch itself must also be deterministic across
-re-evaluation (it is evaluated once for the touched-bucket set and
-once for the staging write): the merge verifies the staged partition
-set is a subset of the touched set and fails loudly otherwise, so a
-nondeterministic batch (limit without order, rand()) cannot silently
-drop rows.
+collide. The merge consumes the batch twice (touched-bucket collect,
+staging write); by default it localCheckpoints the batch first
+(``persist_batch=True``) so the plan is EVALUATED ONCE — expensive
+upstream plans aren't recomputed and even a nondeterministic batch
+(limit without order, rand()) merges the rows it materialized. With
+``persist_batch=False`` the two consumers re-evaluate the plan, and
+the merge verifies the staged partition set is a subset of the
+touched set, failing loudly rather than silently dropping rows if
+the batch changed between evaluations.
 """
 
 from __future__ import annotations
@@ -130,11 +133,12 @@ def _swap_in(snapshot_dir: str, staging: str, bucket_ids: Sequence[int],
              ) -> None:
     """Two-rename swap of each staged ``_bucket=K`` into the live
     table, aside dirs outside the read path (crash-recoverable via
-    ``_recover_asides``). Buckets that staged empty (no directory)
-    leave the live directory as-is if present — callers that need a
-    bucket EMPTIED must stage at least a marker row or delete live
-    themselves; the merge never empties a bucket (keep-latest retains
-    a winner per key)."""
+    ``_recover_asides``). A bucket in ``bucket_ids`` that staged
+    EMPTY (no directory) EMPTIES the live table: its live directory
+    is moved aside and deleted — ``expire_tombstones`` relies on this
+    to drop a bucket whose every row expired. ``bucketed_merge``
+    never stages empty for a bucket holding live data (keep-latest
+    retains a winner per key), so the merge path never hits it."""
     live = _live_dir(snapshot_dir)
     aside_root = _aside_dir(snapshot_dir)
     os.makedirs(live, exist_ok=True)
@@ -157,15 +161,26 @@ def _swap_in(snapshot_dir: str, staging: str, bucket_ids: Sequence[int],
         shutil.rmtree(aside, ignore_errors=True)
 
 
-def _load_sidecar(snapshot_dir: str) -> dict[int, int] | None:
+def _load_sidecar(snapshot_dir: str
+                  ) -> tuple[dict[int, int], str | None, str] | None:
+    """-> (bounds, op_col, delete_op), or None if no sidecar. The op
+    column is recorded IN the sidecar (since round 11) so that every
+    later merge can keep the bounds current whether or not the caller
+    re-passes ``op_col``; a legacy flat-format sidecar loads with
+    op_col=None."""
     p = os.path.join(snapshot_dir, _SIDECAR)
     if not os.path.isfile(p):
         return None
     with open(p) as fh:
-        return {int(k): int(v) for k, v in json.load(fh).items()}
+        raw = json.load(fh)
+    if isinstance(raw.get("bounds"), dict):
+        return ({int(k): int(v) for k, v in raw["bounds"].items()},
+                raw.get("op_col"), raw.get("delete_op", "D"))
+    return ({int(k): int(v) for k, v in raw.items()}, None, "D")
 
 
-def _write_sidecar(snapshot_dir: str, bounds: dict[int, int]) -> None:
+def _write_sidecar(snapshot_dir: str, bounds: dict[int, int],
+                   op_col: str, delete_op: str) -> None:
     """Atomic (temp+rename) sidecar write. Values are UPPER BOUNDS on
     per-bucket tombstone counts: raises happen before a swap, exact
     lowerings after — a crash anywhere leaves a valid bound, so the
@@ -174,9 +189,42 @@ def _write_sidecar(snapshot_dir: str, bounds: dict[int, int]) -> None:
     p = os.path.join(snapshot_dir, _SIDECAR)
     tmp = p + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({str(k): v for k, v in sorted(bounds.items()) if v > 0},
+        json.dump({"op_col": op_col, "delete_op": delete_op,
+                   "bounds": {str(k): v for k, v in sorted(bounds.items())
+                              if v > 0}},
                   fh)
     os.replace(tmp, p)
+
+
+def _resolve_op_col(snapshot_dir: str, op_col: str | None, delete_op: str,
+                    ) -> tuple[str | None, str]:
+    """Reconcile the caller's ``op_col`` with the sidecar's recorded
+    one (the mixed-usage hole: a merge WITHOUT op_col into a snapshot
+    WITH a sidecar used to leave new tombstones uncounted, so a pruned
+    expiry silently never rewrote their bucket). Once a snapshot has a
+    sidecar, its recorded op column is adopted automatically; a
+    CONFLICTING op_col raises rather than maintaining bounds for the
+    wrong column."""
+    sc = _load_sidecar(snapshot_dir)
+    if sc is None:
+        return op_col, delete_op
+    _, sc_op, sc_del = sc
+    if sc_op is None:
+        if op_col is None:
+            raise ValueError(
+                f"snapshot {snapshot_dir} has a legacy tombstone-count "
+                "sidecar with no recorded op column — pass op_col= so its "
+                "bounds stay current (this call upgrades the sidecar).")
+        return op_col, delete_op
+    if op_col is None:
+        return sc_op, sc_del
+    if (op_col, delete_op) != (sc_op, sc_del):
+        raise ValueError(
+            f"mixed op_col usage on {snapshot_dir}: the sidecar records "
+            f"(op_col={sc_op!r}, delete_op={sc_del!r}) but this call "
+            f"passed (op_col={op_col!r}, delete_op={delete_op!r}) — the "
+            "op column is part of the table contract.")
+    return op_col, delete_op
 
 
 def _staged_tombstone_counts(spark: SparkSession, staging: str,
@@ -184,10 +232,14 @@ def _staged_tombstone_counts(spark: SparkSession, staging: str,
     """Exact per-bucket delete-row counts of a staged write (reads
     back only the freshly staged buckets — merge-sized, not
     table-sized). A staging dir with no bucket partitions (everything
-    compacted away) has no readable schema — that's zero counts."""
+    compacted away) has no readable schema — that's zero counts; so is
+    a staged batch that doesn't carry the op column at all."""
     if not any(d.startswith(f"{BUCKET_COL}=") for d in os.listdir(staging)):
         return {}
-    rows = (spark.read.parquet(staging)
+    staged = spark.read.parquet(staging)
+    if op_col not in staged.columns:
+        return {}
+    rows = (staged
             .filter(F.col(op_col).eqNullSafe(delete_op))
             .groupBy(BUCKET_COL).count().collect())
     return {int(r[0]): int(r[1]) for r in rows}
@@ -203,6 +255,7 @@ def bucketed_merge(
     tiebreak: Sequence[Column] = (),
     op_col: str | None = None,
     delete_op: str = "D",
+    persist_batch: bool = True,
 ) -> list[int]:
     """Apply one change batch to the bucketed snapshot. Returns the
     sorted list of bucket ids this merge rewrote (≤ n_buckets ints).
@@ -212,14 +265,30 @@ def bucketed_merge(
     the table layout — it must match across merges into the same
     snapshot (``rebucket`` migrates a table to a new B). Pass
     ``op_col`` to maintain the tombstone-count sidecar that lets
-    ``expire_tombstones`` prune its scan.
-    """
+    ``expire_tombstones`` prune its scan; once the snapshot has a
+    sidecar, later merges maintain it automatically (the op column is
+    recorded in it) and a conflicting ``op_col`` raises.
+
+    ``persist_batch`` (default True) localCheckpoints the batch so it
+    is EVALUATED ONCE: the merge consumes it twice (touched-bucket
+    collect + staging write), which for an expensive upstream plan
+    would double real work and for a nondeterministic one (rand(),
+    bare limit) would change rows between the two passes. The
+    checkpoint makes both consumers read the same materialized rows
+    (a lost block fails the job rather than silently recomputing).
+    Set False only for a cheap deterministic scan where the extra
+    materialization pass costs more than re-reading the source; the
+    staged-⊆-touched guard below still fails loudly if such a batch
+    turns out nondeterministic."""
     spark = batch.sparkSession
     live = _live_dir(snapshot_dir)
     os.makedirs(snapshot_dir, exist_ok=True)
     _recover_asides(snapshot_dir)
+    op_col, delete_op = _resolve_op_col(snapshot_dir, op_col, delete_op)
 
     b = batch.withColumn(BUCKET_COL, bucket_of(primary_keys, n_buckets))
+    if persist_batch:
+        b = b.localCheckpoint(eager=True)
     touched = sorted(
         r[0] for r in b.select(BUCKET_COL).distinct().collect())
     if not touched:
@@ -247,9 +316,12 @@ def bucketed_merge(
            .write.mode("overwrite").partitionBy(BUCKET_COL)
            .parquet(staging))
 
-    # The batch was evaluated twice (touched-bucket collect, staging
-    # write): a nondeterministic batch can stage buckets whose prev
-    # rows were never merged. Fail loudly instead of dropping them.
+    # With persist_batch=False the batch plan was evaluated twice
+    # (touched-bucket collect, staging write): a nondeterministic batch
+    # can stage buckets whose prev rows were never merged. Fail loudly
+    # instead of dropping them. (Under the default localCheckpoint this
+    # is a no-cost invariant check — both consumers read the same
+    # materialized rows.)
     staged = {int(d.split("=", 1)[1]) for d in os.listdir(staging)
               if d.startswith(f"{BUCKET_COL}=")}
     extra = staged - set(touched)
@@ -267,11 +339,12 @@ def bucketed_merge(
         # upsert can displace a stored tombstone), so lower only after
         # every swap landed.
         exact = _staged_tombstone_counts(spark, staging, op_col, delete_op)
-        bounds = _load_sidecar(snapshot_dir) or {}
+        sc = _load_sidecar(snapshot_dir)
+        bounds = sc[0] if sc is not None else {}
         raised = dict(bounds)
         for k in touched:
             raised[k] = max(bounds.get(k, 0), exact.get(k, 0))
-        _write_sidecar(snapshot_dir, raised)
+        _write_sidecar(snapshot_dir, raised, op_col, delete_op)
 
     _swap_in(snapshot_dir, staging, touched)
     shutil.rmtree(staging, ignore_errors=True)
@@ -279,7 +352,7 @@ def bucketed_merge(
     if op_col is not None:
         for k in touched:
             raised[k] = exact.get(k, 0)
-        _write_sidecar(snapshot_dir, raised)
+        _write_sidecar(snapshot_dir, raised, op_col, delete_op)
 
     from ..sources.readers import invalidate_schema_cache
     invalidate_schema_cache(live)
@@ -337,7 +410,9 @@ def expire_tombstones(
     live = _live_dir(snapshot_dir)
     if not os.path.isdir(live):
         return []
-    bounds = _load_sidecar(snapshot_dir)
+    op_col, delete_op = _resolve_op_col(snapshot_dir, op_col, delete_op)
+    sc = _load_sidecar(snapshot_dir)
+    bounds = sc[0] if sc is not None else None
     cur = spark.read.parquet(live)
     bootstrap: dict[int, int] | None = None
     if bounds is not None:
@@ -358,7 +433,7 @@ def expire_tombstones(
                      .select(BUCKET_COL).distinct().collect())
     if not touched:
         if bootstrap is not None:
-            _write_sidecar(snapshot_dir, bootstrap)
+            _write_sidecar(snapshot_dir, bootstrap, op_col, delete_op)
         return []
     kept = (cur.filter(F.col(BUCKET_COL).isin(touched))
                .filter(~F.coalesce(expirable, F.lit(False)))
@@ -375,7 +450,7 @@ def expire_tombstones(
     new_bounds = bootstrap if bootstrap is not None else dict(bounds)
     for k in touched:
         new_bounds[k] = exact.get(k, 0)
-    _write_sidecar(snapshot_dir, new_bounds)
+    _write_sidecar(snapshot_dir, new_bounds, op_col, delete_op)
     from ..sources.readers import invalidate_schema_cache
     invalidate_schema_cache(live)
     return touched
@@ -411,6 +486,7 @@ def rebucket(
     live = _live_dir(snapshot_dir)
     if not os.path.isdir(live):
         raise FileNotFoundError(f"no snapshot at {snapshot_dir}")
+    op_col, delete_op = _resolve_op_col(snapshot_dir, op_col, delete_op)
     cur = (spark.read.parquet(live)
            .drop(BUCKET_COL)
            .withColumn(BUCKET_COL, bucket_of(primary_keys, new_n_buckets)))
@@ -445,7 +521,7 @@ def rebucket(
             for r in spark.read.parquet(live)
                           .filter(F.col(op_col).eqNullSafe(delete_op))
                           .groupBy(BUCKET_COL).count().collect()}
-        _write_sidecar(snapshot_dir, exact)
+        _write_sidecar(snapshot_dir, exact, op_col, delete_op)
     from ..sources.readers import invalidate_schema_cache
     invalidate_schema_cache(live)
     return n_rows

@@ -217,11 +217,8 @@ def test_crash_recovery_restores_aside_bucket(spark, tmp_path):
     assert not os.path.isdir(os.path.join(aside_root, victim))
 
 
-def test_nondeterministic_batch_fails_loudly(spark, tmp_path):
-    # A batch whose rows change between evaluations can stage buckets
-    # outside the touched set; the merge must raise, not drop rows
-    # (ADVICE r9).
-    import pytest
+def _wallclock_batch(spark):
+    """3 rows whose keys change on every plan evaluation."""
     from pyspark.sql.functions import udf
 
     def _wallclock_key(i):
@@ -229,15 +226,61 @@ def test_nondeterministic_batch_fails_loudly(spark, tmp_path):
         return time.time_ns() + i
 
     _wallclock_udf = udf(_wallclock_key, "long").asNondeterministic()
+    return (spark.range(3)
+            .withColumn("k", _wallclock_udf("id"))
+            .selectExpr("k", "id as seq", "'x' as v", "'U' as op"))
+
+
+def test_nondeterministic_batch_fails_loudly_unpersisted(spark, tmp_path):
+    # With persist_batch=False the plan is evaluated twice; a batch
+    # whose rows change between evaluations can stage buckets outside
+    # the touched set — the merge must raise, not drop rows (ADVICE
+    # r9).
+    import pytest
+
     snap = str(tmp_path / "snap")
-    batch = (spark.range(3)
-             .withColumn("k", _wallclock_udf("id"))
-             .selectExpr("k", "id as seq", "'x' as v", "'U' as op"))
     with pytest.raises(ValueError, match="nondeterministic"):
-        bucketed_merge(batch, snapshot_dir=snap, primary_keys=["k"],
-                       order_by=[F.col("seq").desc()], n_buckets=65536)
+        bucketed_merge(_wallclock_batch(spark), snapshot_dir=snap,
+                       primary_keys=["k"], order_by=[F.col("seq").desc()],
+                       n_buckets=65536, persist_batch=False)
     # and the failed merge left no live table behind
     assert read_bucketed_snapshot(spark, snap) is None
+
+
+def test_nondeterministic_batch_succeeds_by_default(spark, tmp_path):
+    # Default persist_batch=True localCheckpoints the batch, so both
+    # consumers read the SAME materialized rows: the formerly
+    # operational error is now a successful merge of exactly the rows
+    # the batch produced (VERDICT r10 #6).
+    snap = str(tmp_path / "snap")
+    touched = bucketed_merge(_wallclock_batch(spark), snapshot_dir=snap,
+                             primary_keys=["k"],
+                             order_by=[F.col("seq").desc()],
+                             n_buckets=65536)
+    assert touched
+    assert read_bucketed_snapshot(spark, snap).count() == 3
+
+
+def test_persist_batch_evaluates_plan_once(spark, tmp_path):
+    # Side-effect instrumentation: an accumulator-bumping UDF in the
+    # batch plan must fire once per row under the default
+    # localCheckpoint (it fired 2x per row when the merge's two
+    # consumers each re-evaluated the plan).
+    from pyspark.sql.functions import udf
+
+    snap = str(tmp_path / "snap")
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(i):
+        acc.add(1)
+        return int(i)
+
+    rows = spark.range(7).selectExpr("id as k", "id as seq")
+    batch = (rows.withColumn("k", udf(bump, "long")("k"))
+                 .selectExpr("k", "seq", "'x' as v", "'U' as op"))
+    bucketed_merge(batch, snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=4)
+    assert acc.value == 7, f"batch plan evaluated {acc.value / 7:.1f}x"
 
 
 def test_null_op_rows_are_upserts(spark, tmp_path):
@@ -320,7 +363,7 @@ def test_expire_prunes_scan_via_sidecar(spark, tmp_path):
                    snapshot_dir=snap, primary_keys=["k"],
                    order_by=[F.col("seq").desc()], n_buckets=8,
                    op_col="op")
-    bounds = json.load(open(os.path.join(snap, _SIDECAR)))
+    bounds = json.load(open(os.path.join(snap, _SIDECAR)))["bounds"]
     tomb_bucket = [int(k) for k, v in bounds.items() if v > 0]
     assert len(tomb_bucket) == 1
     live = os.path.join(snap, "data")
@@ -338,7 +381,7 @@ def test_expire_prunes_scan_via_sidecar(spark, tmp_path):
     assert touched == tomb_bucket
     # exact post-swap lowering: no positive bounds remain → the next
     # expiry is a no-op without reading anything at all
-    bounds2 = json.load(open(os.path.join(snap, _SIDECAR)))
+    bounds2 = json.load(open(os.path.join(snap, _SIDECAR)))["bounds"]
     assert all(v == 0 for v in bounds2.values()) or bounds2 == {}
     assert expire_tombstones(spark, snap, op_col="op",
                              expire_if=F.lit(True)) == []
@@ -361,9 +404,53 @@ def test_expire_bootstraps_sidecar_on_first_full_scan(spark, tmp_path):
                       expire_if=F.col("seq") < 10)
     # the full-scan run bootstrapped exact counts: k=3's tombstone
     # bucket has bound 1, everything else is pruned away next time
-    bounds = {int(k): v for k, v in
-              json.load(open(os.path.join(snap, _SIDECAR))).items()}
+    raw = json.load(open(os.path.join(snap, _SIDECAR)))
+    bounds = {int(k): v for k, v in raw["bounds"].items()}
     assert sum(bounds.values()) == 1
+    # the bootstrap records its op column, so later merges WITHOUT
+    # op_col keep the bounds current (mixed-usage hole, VERDICT r10 #5)
+    assert raw["op_col"] == "op" and raw["delete_op"] == "D"
+
+
+def test_sidecar_maintained_without_op_col_after_adoption(spark, tmp_path):
+    # VERDICT r10 "what's wrong #2": a merge WITHOUT op_col into a
+    # sidecar-bearing snapshot used to leave new tombstones uncounted
+    # (bound stays 0 -> a pruned expiry silently never expires them).
+    # Now the sidecar records its op column and every merge maintains
+    # it; a CONFLICTING op_col raises.
+    import json
+
+    import pytest
+
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+        _SIDECAR, expire_tombstones)
+
+    snap = str(tmp_path / "snap")
+    bucketed_merge(spark.createDataFrame([(1, 1, "a", "U")], SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=4,
+                   op_col="op")          # creates the sidecar
+    # tombstone merged WITHOUT op_col: the bound must still rise
+    bucketed_merge(spark.createDataFrame([(2, 2, None, "D")], SCHEMA),
+                   snapshot_dir=snap, primary_keys=["k"],
+                   order_by=[F.col("seq").desc()], n_buckets=4)
+    bounds = {int(k): v for k, v in json.load(
+        open(os.path.join(snap, _SIDECAR)))["bounds"].items()}
+    assert sum(bounds.values()) == 1
+    # and a pruned expiry (no full scan) still finds and expires it
+    touched = expire_tombstones(spark, snap, op_col="op",
+                                expire_if=F.col("seq") < 10)
+    assert len(touched) == 1
+    assert read_bucketed_snapshot(spark, snap).filter(
+        F.col("k") == 2).count() == 0
+
+    # conflicting op column is a contract violation, not a silent
+    # second sidecar
+    with pytest.raises(ValueError, match="mixed op_col"):
+        bucketed_merge(spark.createDataFrame([(3, 3, "c", "U")], SCHEMA),
+                       snapshot_dir=snap, primary_keys=["k"],
+                       order_by=[F.col("seq").desc()], n_buckets=4,
+                       op_col="v")
 
 
 def test_one_data_file_per_bucket_per_write(spark, tmp_path):

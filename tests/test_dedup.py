@@ -460,8 +460,10 @@ def test_incremental_lsh_verify_touches_only_candidate_docs(spark):
     assert any("LeftSemi" in line for line in sub), \
         f"corpus shingle explode is not candidate-restricted:\n{plan}"
 
-    # mode 2: stored artifact -> verify reads postings, semi-joined to
-    # candidate ids; corpus text appears nowhere in the plan.
+    # mode 2: stored artifact -> verify reads postings AND sizes, each
+    # semi-joined to candidate ids; corpus text appears nowhere in the
+    # plan. (sizes is one row per CORPUS doc: before round 11 it was
+    # scanned unrestricted — the last per-batch linear-in-corpus term.)
     import tempfile
     with tempfile.TemporaryDirectory() as d:
         save_lsh_dedup_index(
@@ -472,11 +474,16 @@ def test_incremental_lsh_verify_touches_only_candidate_docs(spark):
         served = incremental_lsh_dedup(None, batch, "doc_id", "text",
                                        index=loaded, **kw)
         splan = served._jdf.queryExecution().optimizedPlan().toString()
-        semi = _plan_subtree(splan, "LeftSemi")
-        assert semi, f"postings verify has no LeftSemi:\n{splan}"
-        assert any("Relation" in line and "parquet" in line
-                   for line in semi), \
+        lines = splan.splitlines()
+        semis = [_plan_subtree("\n".join(lines[i:]), "LeftSemi")
+                 for i, line in enumerate(lines) if "LeftSemi" in line]
+        assert semis, f"postings verify has no LeftSemi:\n{splan}"
+        assert any(any("Relation" in ln and "parquet" in ln and ",s" in ln
+                       for ln in sub) for sub in semis), \
             f"LeftSemi does not restrict the postings scan:\n{splan}"
+        assert any(any("n_shingles" in ln and "parquet" in ln
+                       for ln in sub) for sub in semis), \
+            f"sizes scan is not candidate-restricted (LeftSemi):\n{splan}"
 
 
 def test_lsh_index_delete_suppresses_and_is_broadcast(spark):
@@ -662,3 +669,176 @@ def test_lsh_partitioned_entries_prunes_probe_scan(spark):
         assert rows(out2) == {p for p in base if p[1] != 7}
         plan2 = out2._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan2 and ENTRIES_PBUCKET in plan2
+
+
+def test_repartition_entries_migrates_layout(spark, tmp_path):
+    """repartition_entries: rebucket's analog for the LSH serve layout
+    (VERDICT r10 #3). Pins: (a) unpartitioned->P and P->P' migrations
+    serve the SAME pairs as a flat fit, partition-pruned; (b) appends
+    after migration land under the NEW P (≡ a fresh partitioned
+    rebuild); (c) a crash between the directory swap and the meta
+    update heals at the next entry point (the staged dir carries its
+    own _pmeta.json)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        ENTRIES_PBUCKET, PortableMinhashFamily, append_lsh_dedup_index,
+        fit_lsh_dedup_index, incremental_lsh_dedup, load_lsh_dedup_index,
+        portable_band_hash, repartition_entries, save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    fit_kw = dict(k=3, n_hashes=32, bands=8, pair_family=fam,
+                  band_hash=portable_band_hash)
+    kw = dict(threshold=0.3, **fit_kw)
+
+    def rows(out):
+        return {(r.id_new, r.id_existing, round(r.jaccard, 9))
+                for r in out.collect()}
+
+    d = str(tmp_path)
+    idx = fit_lsh_dedup_index(corpus, "doc_id", "text", **fit_kw)
+    save_lsh_dedup_index(idx, f"{d}/lsh")            # UNPARTITIONED seed
+    base = rows(incremental_lsh_dedup(
+        None, batch, "doc_id", "text",
+        index=load_lsh_dedup_index(spark, f"{d}/lsh"), **kw))
+
+    # (a) flat -> P=4: same pairs, pruned probe scan
+    repartition_entries(spark, f"{d}/lsh", 4)
+    assert json.load(open(f"{d}/lsh/entries_meta.json")) == \
+        {"n_partitions": 4}
+    assert not os.path.isfile(f"{d}/lsh/entries/_pmeta.json")  # folded
+    m1 = load_lsh_dedup_index(spark, f"{d}/lsh")
+    assert m1.entries_partitions == 4
+    out1 = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                 index=m1, **kw)
+    assert rows(out1) == base
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and ENTRIES_PBUCKET in plan
+
+    # P=4 -> P=16 must also hold (the grown-corpus migration)
+    repartition_entries(spark, f"{d}/lsh", 16)
+    m2 = load_lsh_dedup_index(spark, f"{d}/lsh")
+    assert m2.entries_partitions == 16
+    assert rows(incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                      index=m2, **kw)) == base
+
+    # (b) an append AFTER migration uses the new P: stored entries ==
+    # a fresh P=16 rebuild over corpus ∪ batch, directory-for-directory
+    append_lsh_dedup_index(
+        fit_lsh_dedup_index(batch, "doc_id", "text", **fit_kw), f"{d}/lsh")
+    save_lsh_dedup_index(
+        fit_lsh_dedup_index(docs, "doc_id", "text", **fit_kw),
+        f"{d}/fresh", partition_entries=16)
+    got = load_lsh_dedup_index(spark, f"{d}/lsh")
+    want = load_lsh_dedup_index(spark, f"{d}/fresh")
+    assert {tuple(r) for r in got.entries.collect()} == \
+           {tuple(r) for r in want.entries.collect()}
+    parts = {p for p in os.listdir(f"{d}/lsh/entries")
+             if p.startswith(f"{ENTRIES_PBUCKET}=")}
+    assert parts == {p for p in os.listdir(f"{d}/fresh/entries")
+                     if p.startswith(f"{ENTRIES_PBUCKET}=")}
+
+    # (c) crash between swap and meta fold: stale OUTER meta must not
+    # win over the swapped directory's inner _pmeta.json
+    with open(f"{d}/lsh/entries/_pmeta.json", "w") as fh:
+        json.dump({"n_partitions": 16}, fh)
+    with open(f"{d}/lsh/entries_meta.json", "w") as fh:
+        json.dump({"n_partitions": 4}, fh)      # stale pre-crash value
+    healed = load_lsh_dedup_index(spark, f"{d}/lsh")
+    assert healed.entries_partitions == 16
+    assert json.load(open(f"{d}/lsh/entries_meta.json")) == \
+        {"n_partitions": 16}
+    assert not os.path.isfile(f"{d}/lsh/entries/_pmeta.json")
+    assert rows(incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                      index=healed, **kw)) == base
+
+
+def test_lsh_save_layout_contract_guards(spark, tmp_path):
+    """ADVICE r10: (a) append with a partition_entries that differs
+    from the stored P raises (the delta would land under directories
+    the stored P never probes — silent missed duplicates); (b) append
+    with partition_entries onto an UNPARTITIONED table raises (mixed
+    layout); (c) an unpartitioned overwrite of a partitioned index
+    clears entries_meta.json (stale meta made load filter on a missing
+    _pbucket column)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, fit_lsh_dedup_index, incremental_lsh_dedup,
+        load_lsh_dedup_index, portable_band_hash, save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    fit_kw = dict(k=3, n_hashes=32, bands=8, pair_family=fam,
+                  band_hash=portable_band_hash)
+
+    d = str(tmp_path)
+    idx = fit_lsh_dedup_index(corpus, "doc_id", "text", **fit_kw)
+    delta = fit_lsh_dedup_index(batch, "doc_id", "text", **fit_kw)
+
+    save_lsh_dedup_index(idx, f"{d}/part", partition_entries=8)
+    with pytest.raises(ValueError, match="stored layout"):
+        save_lsh_dedup_index(delta, f"{d}/part", mode="append",
+                             partition_entries=4)
+
+    save_lsh_dedup_index(idx, f"{d}/flat")
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        save_lsh_dedup_index(delta, f"{d}/flat", mode="append",
+                             partition_entries=8)
+
+    # (c) unpartitioned overwrite replaces the layout AND the meta
+    save_lsh_dedup_index(idx, f"{d}/part")          # default: flat
+    assert not os.path.isfile(f"{d}/part/entries_meta.json")
+    loaded = load_lsh_dedup_index(spark, f"{d}/part")
+    assert loaded.entries_partitions is None
+    # and the index still serves (no _pbucket filter on a missing col)
+    out = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                index=loaded, threshold=0.3, **fit_kw)
+    assert out.count() >= 0
+
+
+def test_lsh_compact_to_empty_partitioned_index(spark, tmp_path):
+    """ADVICE r10: compacting a PARTITIONED index in which every doc is
+    tombstoned used to write a partitioned empty frame (no
+    schema-bearing files -> next load dies UNABLE_TO_INFER_SCHEMA);
+    the empty-anchor fallback must keep the table loadable and
+    serving (zero matches)."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, compact_lsh_dedup_index,
+        delete_from_lsh_dedup_index, fit_lsh_dedup_index,
+        incremental_lsh_dedup, load_lsh_dedup_index, portable_band_hash,
+        save_lsh_dedup_index)
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    fit_kw = dict(k=3, n_hashes=32, bands=8, pair_family=fam,
+                  band_hash=portable_band_hash)
+
+    d = str(tmp_path)
+    save_lsh_dedup_index(
+        fit_lsh_dedup_index(corpus, "doc_id", "text", **fit_kw),
+        f"{d}/lsh", partition_entries=8)
+    delete_from_lsh_dedup_index(corpus.select("doc_id"), f"{d}/lsh")
+    compact_lsh_dedup_index(spark, f"{d}/lsh")
+
+    got = load_lsh_dedup_index(spark, f"{d}/lsh")   # must not raise
+    assert got.entries.count() == 0
+    assert got.entries_partitions == 8
+    out = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                index=got, threshold=0.3, **fit_kw)
+    assert out.count() == 0

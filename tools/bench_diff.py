@@ -42,6 +42,10 @@ def main() -> int:
                     full.update(d["queries"])
                 else:
                     summary = d
+            if summary is None:
+                raise SystemExit(
+                    f"{path}: no summary line (only chunk lines) — "
+                    "truncated bench output?")
             summary["queries"] = full
             return summary
         d = json.loads(text)

@@ -143,9 +143,50 @@ def main() -> int:
         spread[name] = samples
         release_operator_caches()
 
-    # ---- stream family: RocksDB + append-mode watermarked drain ----
     import shutil
     import tempfile
+
+    # ---- bucketed CDC merge + rebucket family (r11, VERDICT_r10 #7:
+    # add the merge family to the batch trend line). Seed the snapshot
+    # once with the full corpus at B=64 (reported separately), then
+    # best-of-N an idempotent 10%-batch re-merge — identical work per
+    # pass because keep-latest reproduces the same winners — and
+    # best-of-N full rebucket rewrites alternating 64<->128 so every
+    # pass migrates the same 10M rows.
+    merge_tmp = tempfile.mkdtemp(prefix="stress_merge_")
+    try:
+        from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+            bucketed_merge, rebucket)
+        snap = f"{merge_tmp}/snap"
+        base = gen().select("id", "user_id", "ts", "value")
+        mkw = dict(snapshot_dir=snap, primary_keys=["id"],
+                   order_by=[F.col("ts").desc()],
+                   tiebreak=[F.col("id").desc()])
+        t0 = time.time()
+        bucketed_merge(base, n_buckets=64, **mkw)
+        extra["bmerge_seed_sec"] = round(time.time() - t0, 2)
+        batch = base.filter(F.pmod("id", F.lit(10)) == 0)
+        samples = []
+        for _ in range(n_runs):
+            release_operator_caches()
+            t0 = time.time()
+            bucketed_merge(batch, n_buckets=64, **mkw)
+            samples.append(round(time.time() - t0, 2))
+        timings["bmerge"] = min(samples)
+        spread["bmerge"] = samples
+        samples = []
+        for i in range(n_runs):
+            release_operator_caches()
+            t0 = time.time()
+            rebucket(spark, snap, primary_keys=["id"],
+                     new_n_buckets=128 if i % 2 == 0 else 64)
+            samples.append(round(time.time() - t0, 2))
+        timings["rebucket"] = min(samples)
+        spread["rebucket"] = samples
+    finally:
+        shutil.rmtree(merge_tmp, ignore_errors=True)
+
+    # ---- stream family: RocksDB + append-mode watermarked drain ----
 
     stream_rows = (int(sys.argv[3]) if len(sys.argv) > 3
                    else min(rows, 10_000_000))
