@@ -146,6 +146,8 @@ def main() -> int:
     import shutil
     import tempfile
 
+    extra: dict[str, float] = {}
+
     # ---- bucketed CDC merge + rebucket family (r11, VERDICT_r10 #7:
     # add the merge family to the batch trend line). Seed the snapshot
     # once with the full corpus at B=64 (reported separately), then
@@ -191,7 +193,6 @@ def main() -> int:
     stream_rows = (int(sys.argv[3]) if len(sys.argv) > 3
                    else min(rows, 10_000_000))
     tmp = tempfile.mkdtemp(prefix="stress_stream_")
-    extra: dict[str, float] = {}
     try:
         src_dir = f"{tmp}/in"
         t0 = time.time()
