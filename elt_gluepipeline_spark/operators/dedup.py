@@ -333,6 +333,30 @@ def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
 
 ENTRIES_PBUCKET = "_pbucket"
 
+# Measured crossover (SCALE_r11, tools/lsh_serve_crossover.py): the flat
+# entries scan already loses to the partitioned probe at 2e7 entries
+# rows (6.4 s vs 2.9 s per trickle batch) and by 14.6x at 4e8; below
+# the crossover the layout's fixed overhead (~0.8 s at toy scale,
+# SCALE_r10) is all cost. The auto threshold sits at the low side of
+# the measured band.
+AUTO_PARTITION_MIN_ENTRIES = 10_000_000
+AUTO_PARTITION_TARGET_ROWS = 100_000  # aim ~this many rows/partition
+AUTO_PARTITION_MAX = 16_384
+
+
+def auto_entries_partitions(n_entries: int) -> int | None:
+    """Layout advice from the SCALE_r11 crossover measurements: None
+    (stay flat — the partition overhead is all cost) below the measured
+    crossover, else a power-of-two P targeting
+    ~``AUTO_PARTITION_TARGET_ROWS`` rows per partition dir (yields the
+    measured P=4096 at the 4e8-row campaign point), capped so partition
+    DISCOVERY (an O(P) listing) never itself becomes the scan."""
+    if n_entries < AUTO_PARTITION_MIN_ENTRIES:
+        return None
+    p = 1 << max(1, (n_entries // AUTO_PARTITION_TARGET_ROWS) - 1
+                 ).bit_length()
+    return max(256, min(AUTO_PARTITION_MAX, p))
+
 
 def _entries_pbucket(n_partitions: int) -> Column:
     """Partition id of a band entry: pmod(xxhash64(band_id, band_hash),
@@ -345,7 +369,7 @@ def _entries_pbucket(n_partitions: int) -> Column:
 
 def save_lsh_dedup_index(index: LshDedupIndex, path: str, *,
                          mode: str = "overwrite",
-                         partition_entries: int | None = None) -> None:
+                         partition_entries: int | str | None = None) -> None:
     """Write the index tables under ``path/{entries,sizes,postings}``.
     ``mode="append"`` admits a batch delta (see
     ``append_lsh_dedup_index``).
@@ -367,10 +391,31 @@ def save_lsh_dedup_index(index: LshDedupIndex, path: str, *,
     P would silently prune it out of every later probe). Growing P
     on an existing index is ``repartition_entries``'s job. A
     non-append save REPLACES the layout: saving unpartitioned over a
-    partitioned index also clears ``entries_meta.json``."""
+    partitioned index also clears ``entries_meta.json``.
+
+    ``partition_entries="auto"`` picks the layout from the DATA: the
+    index is written flat first, the written entries table's row count
+    is read back (parquet metadata only — the fit plan is NOT
+    re-evaluated), and if it sits past the measured SCALE_r11 crossover
+    the table is migrated in place via ``repartition_entries`` with
+    ``auto_entries_partitions``'s P. Auto is a fit/overwrite decision;
+    appends always reuse the stored layout."""
     import json
     import os
 
+    if partition_entries == "auto":
+        if mode == "append":
+            raise ValueError(
+                "partition_entries='auto' decides a NEW table's layout; "
+                "appends reuse the stored layout (pass None) and growing "
+                "P on an existing index is repartition_entries()'s job.")
+        save_lsh_dedup_index(index, path, mode=mode, partition_entries=None)
+        spark = index.entries.sparkSession
+        n = spark.read.parquet(f"{path}/entries").count()
+        p_auto = auto_entries_partitions(n)
+        if p_auto:
+            repartition_entries(spark, path, p_auto)
+        return
     _recover_index_swaps(path)
     meta_path = f"{path}/entries_meta.json"
     stored = _stored_entries_partitions(path)

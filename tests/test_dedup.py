@@ -842,3 +842,69 @@ def test_lsh_compact_to_empty_partitioned_index(spark, tmp_path):
     out = incremental_lsh_dedup(None, batch, "doc_id", "text",
                                 index=got, threshold=0.3, **fit_kw)
     assert out.count() == 0
+
+
+def test_lsh_auto_layout_selection(spark, tmp_path, monkeypatch):
+    """partition_entries="auto" picks the layout from the written data
+    per the SCALE_r11 crossover: small tables stay FLAT (the partition
+    overhead is all cost below the measured crossover), large ones are
+    migrated in place to auto_entries_partitions()'s P through
+    repartition_entries — and later appends reuse that stored P.
+    The formula itself is pinned at the measured campaign points."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import elt_gluepipeline_spark.operators.dedup as dd
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, auto_entries_partitions, fit_lsh_dedup_index,
+        incremental_lsh_dedup, load_lsh_dedup_index, portable_band_hash,
+        save_lsh_dedup_index)
+
+    # formula: below crossover -> flat; measured points land on the
+    # campaign's P; discovery cap holds
+    assert auto_entries_partitions(1_000_000) is None
+    assert auto_entries_partitions(20_000_000) == 256
+    assert auto_entries_partitions(400_000_000) == 4096
+    assert auto_entries_partitions(10**12) == dd.AUTO_PARTITION_MAX
+
+    docs = _inc_docs(spark)
+    fam = PortableMinhashFamily(32, seed=1)
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    fit_kw = dict(k=3, n_hashes=32, bands=8, pair_family=fam,
+                  band_hash=portable_band_hash)
+    idx = fit_lsh_dedup_index(corpus, "doc_id", "text", **fit_kw)
+    d = str(tmp_path)
+
+    def pairs(index):
+        out = incremental_lsh_dedup(None, batch, "doc_id", "text",
+                                    index=index, threshold=0.3, **fit_kw)
+        return sorted((r["id_new"], r["id_existing"])
+                      for r in out.collect())
+
+    # below the threshold: auto == flat (no layout meta written)
+    save_lsh_dedup_index(idx, f"{d}/small", partition_entries="auto")
+    assert not os.path.isfile(f"{d}/small/entries_meta.json")
+    small = load_lsh_dedup_index(spark, f"{d}/small")
+    assert small.entries_partitions is None
+    want = pairs(small)
+    assert want  # the clone + near-dup must be found
+
+    # above the (patched) threshold: auto partitions, appends reuse P
+    monkeypatch.setattr(dd, "AUTO_PARTITION_MIN_ENTRIES", 1)
+    save_lsh_dedup_index(idx, f"{d}/big", partition_entries="auto")
+    big = load_lsh_dedup_index(spark, f"{d}/big")
+    n_entries = big.entries.count()
+    assert big.entries_partitions == auto_entries_partitions(n_entries)
+    assert pairs(big) == want
+    delta = fit_lsh_dedup_index(batch, "doc_id", "text", **fit_kw)
+    save_lsh_dedup_index(delta, f"{d}/big", mode="append")
+    assert (load_lsh_dedup_index(spark, f"{d}/big").entries_partitions
+            == big.entries_partitions)
+
+    # auto is a fit/overwrite decision, never an append one
+    with pytest.raises(ValueError, match="auto"):
+        save_lsh_dedup_index(delta, f"{d}/big", mode="append",
+                             partition_entries="auto")
