@@ -527,6 +527,66 @@ def rebucket(
     return n_rows
 
 
+def auto_n_buckets(snapshot_bytes: int, *,
+                   target_mb_per_bucket: float = 1024) -> int:
+    """Bucket count advice from the measured merge economics: a
+    power-of-two B targeting ``target_mb_per_bucket`` per bucket dir,
+    clamped to [16, 65536]. SCALE_r09/r10 are the evidence base: at a
+    4.1 GB snapshot, 257 MB/bucket (outgrown B=16) cost 65 s/merge
+    while ~4 MB/bucket (B=1024) cost 4.5 s reading 3.4% of the table —
+    pruning wins scale with B — but every bucket is a directory the
+    merge's partition discovery must list (one file each, the pinned
+    write discipline), so B is capped and the default keeps buckets at
+    ~1 GB: small enough that a trickle merge rewrites gigabytes at
+    100 TB, large enough that listing stays trivial."""
+    target_bytes = max(1, int(target_mb_per_bucket * 1024 * 1024))
+    want = 1 << max(0, snapshot_bytes // target_bytes - 1).bit_length()
+    return max(16, min(65536, want))
+
+
+def maintain_bucket_layout(
+    spark: SparkSession,
+    snapshot_dir: str,
+    *,
+    primary_keys: Sequence[str],
+    current_n_buckets: int,
+    target_mb_per_bucket: float = 1024,
+    drift_factor: int = 4,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> int | None:
+    """Keep the snapshot's bucket count matched to its SIZE — the
+    maintenance policy around ``rebucket``, mirroring the LSH index's
+    ``maintain_entries_layout``: measure the on-disk bytes (a pure
+    file listing, no Spark job), compute what ``auto_n_buckets`` would
+    pick today, and migrate only when the layout is off by at least
+    ``drift_factor`` in either direction. Hysteresis matters doubly
+    here: a rebucket is a FULL table rewrite (SCALE_r10: it pays for
+    itself within one outgrown merge, but only once actually
+    outgrown), and the caller must start passing the returned B to
+    every later merge — so routine growth should not churn the
+    contract. ``current_n_buckets`` is explicit because B is part of
+    the merge call contract, not stored state.
+
+    Returns the new B when a migration ran (callers MUST use it as
+    ``n_buckets`` from then on), else None."""
+    _recover_asides(snapshot_dir)
+    live = _live_dir(snapshot_dir)
+    if not os.path.isdir(live):
+        raise FileNotFoundError(f"no snapshot at {snapshot_dir}")
+    total = 0
+    for root, _dirs, files in os.walk(live):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    want = auto_n_buckets(total, target_mb_per_bucket=target_mb_per_bucket)
+    cur = int(current_n_buckets)
+    if cur * drift_factor > want and want * drift_factor > cur:
+        return None
+    rebucket(spark, snapshot_dir, primary_keys=primary_keys,
+             new_n_buckets=want, op_col=op_col, delete_op=delete_op)
+    return want
+
+
 def foreach_batch_bucketed_upsert(
     source: DataFrame,
     *,
