@@ -158,12 +158,83 @@ def _table_schema(spark: SparkSession, path: str, name: str | None = None):
     return _SCHEMA_CACHE[key]
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem')."""
+def _table_bytes(path: str) -> int:
+    if not os.path.isdir(path):
+        return os.stat(path).st_size
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.stat(os.path.join(root, f)).st_size
+            except OSError:
+                continue
+    return total
+
+
+def _size_to_bytes(s: str) -> int:
+    s = s.strip().lower()
+    for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[:-1])) * mult
+    return int(s)
+
+
+def spread_if_narrow(spark: SparkSession, df: DataFrame,
+                     path: str) -> DataFrame:
+    """Fan a NARROW scan out to the cluster's cores (guide §2.5 "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read").
+
+    The driver testdata ships each table as ONE single-row-group
+    parquet file, so every scan is exactly one task and the whole
+    first stage of a query — shingling HOFs, per-row Python synthesis,
+    partial aggregation — runs single-threaded while the other cores
+    idle. The condition is derived from INPUT SIZE, not tuned to the
+    local core count: estimated scan tasks = on-disk bytes /
+    spark.sql.files.maxPartitionBytes; only when that is below
+    defaultParallelism does a round-robin repartition fire. On a real
+    100 TB table the estimate is thousands of tasks, so this is
+    provably a no-op at scale — it exists for the long tail of small
+    inputs (dimension feeds, single-file drops) that otherwise
+    serialize their first stage. Filters/projections still reach the
+    scan: Catalyst pushes both through a Repartition node, so
+    PushedFilters/ReadSchema are unchanged (plan-checked in
+    tests/test_readers_spread.py).
+    """
+    try:
+        nbytes = _table_bytes(path)
+    except OSError:
+        return df
+    try:
+        maxpb = _size_to_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    except Exception:
+        maxpb = 128 << 20
+    est_tasks = max(1, -(-nbytes // max(1, maxpb)))
+    cores = spark.sparkContext.defaultParallelism
+    if est_tasks < cores:
+        return df.repartition(cores)
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str, *,
+               spread: bool = False) -> DataFrame:
+    """Read one testdata table, e.g. read_table(spark, '/root/testdata/sf0.01', 'lineitem').
+
+    ``spread=True`` applies :func:`spread_if_narrow` — callers whose
+    first stage does real per-row work (shingling, Python synthesis,
+    wide partial aggregation) opt in so a single-file input doesn't
+    serialize that stage; trivially-cheap scan→agg paths leave it off
+    and keep their single-stage plan.
+    """
     _set_ts_read_confs(spark, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.schema(_table_schema(spark, path, name)).parquet(path)
-    return _normalize_nanos(df, name)
+    df = _normalize_nanos(df, name)
+    if spread:
+        df = spread_if_narrow(spark, df, path)
+    return df
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
