@@ -63,6 +63,26 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(raw), build), 1)
 
 
+def has_min_tokens(text: Column, k: int) -> Column:
+    """Cheap precondition equivalent to ``size(word_shingles(text, k))
+    > 0``: the shingle array is non-empty iff the whitespace token
+    count reaches k (grams of a >=k-token doc are non-empty strings,
+    so array_distinct keeps at least one; null text stays null and is
+    dropped by a filter either way).
+
+    Round-11 optimization (guide §7.2 "duplicated UDF evaluation"):
+    filtering on ``size(shingles) > 0`` AFTER projecting the shingle
+    column makes Catalyst push the predicate below the Project by
+    substituting the full interpreted shingling HOF into the Filter —
+    the dominant per-row expression of the text-dedup family then
+    evaluates TWICE per row (measured in the committed before-plans:
+    Filter(n) and Project(n+1) both carry the whole
+    transform/array_distinct tree). Filtering on the token count
+    BEFORE the projection keeps the plan at one regex split in the
+    filter + one full shingling in the project."""
+    return F.size(F.split(F.trim(text), r"\s+")) >= k
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two DISTINCT-element arrays (set semantics);
     integer set sizes → deterministic double."""
@@ -83,11 +103,11 @@ def shingle_base(df: DataFrame, id_col: str, text_col: str,
     scale it is the write-once artifact the production loop persists.
     """
     df = ensure_min_partitions(df)
-    return df.select(
+    return df.filter(has_min_tokens(F.col(text_col), k)).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
         *[c.alias(f"_b{i}") for i, c in enumerate(block_cols)],
-    ).filter(F.size("shingles") > 0)
+    )
 
 
 def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -124,7 +144,13 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         base = shingle_base(df, id_col, text_col, block_cols, k=k)
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
-    inv = base.select(*bkeys, "doc_id", F.explode("shingles").alias("s"))
+    # explode_outer: base is pre-filtered to non-empty shingles, so the
+    # outer variant emits identical rows — but (unlike plain explode over
+    # an attribute) InferFiltersFromGenerate infers no size>0 predicate,
+    # which pushdown would otherwise expand into a SECOND per-row
+    # evaluation of the shingling HOF below the projection (round-11).
+    inv = base.select(*bkeys, "doc_id",
+                      F.explode_outer("shingles").alias("s"))
     a = inv.select(*bkeys, F.col("doc_id").alias("id_a"), "s")
     b = inv.select(*bkeys, F.col("doc_id").alias("id_b"), "s")
     common = (a.join(b, [*bkeys, "s"])
@@ -204,11 +230,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     ``PortableMinhashFamily`` for engine-reproducible signatures (one
     md5 per shingle, n derived universal hashes).
     """
-    base = ensure_min_partitions(df).select(
+    # no size(shingles)>0 filter, and the shingling HOF is inlined
+    # INTO the explode: the only consumer is this explode, which
+    # emits nothing for an empty/null array, so the old filter was
+    # semantically inert — but it (and, for an exploded ATTRIBUTE,
+    # InferFiltersFromGenerate's size>0 clone of it) made Catalyst
+    # push the full interpreted shingling tree into a predicate below
+    # the projection, evaluating it TWICE per row (round-11
+    # before-plans). A generator over a non-trivial expression infers
+    # no filter, so this shape is the single-evaluation one.
+    exploded = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), k).alias("shingles"))
-    base = base.filter(F.size("shingles") > 0)
-    exploded = base.select("doc_id", F.explode("shingles").alias("s"))
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"))
     if pair_family is not None:
         assert pair_family.n == n_hashes
         prep = exploded.select("doc_id", *pair_family.prepare(F.col("s")))
@@ -321,12 +354,15 @@ def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
         minhash_signatures(corpus, id_col, text_col, k=k,
                            n_hashes=n_hashes, pair_family=pair_family),
         bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
-    base = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), k).alias("shingles"))
-    base = base.filter(F.size("shingles") > 0)
+    base = ensure_min_partitions(corpus) \
+        .filter(has_min_tokens(F.col(text_col), k)) \
+        .select(F.col(id_col).alias("doc_id"),
+                word_shingles(F.col(text_col), k).alias("shingles"))
     sizes = base.select("doc_id", F.size("shingles").alias("n_shingles"))
-    postings = (base.select("doc_id", F.explode("shingles").alias("s"))
+    # explode_outer: see blocked_jaccard_pairs — same single-evaluation
+    # idiom over the pre-filtered base
+    postings = (base.select("doc_id",
+                            F.explode_outer("shingles").alias("s"))
                 if with_postings else None)
     return LshDedupIndex(entries=entries, sizes=sizes, postings=postings)
 
@@ -829,11 +865,14 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
     cand_ids = cand.select(F.col("id_existing").alias("doc_id")).distinct()
 
     def _shingled(df: DataFrame, out_id: str):
-        base = ensure_min_partitions(df).select(
-            F.col(id_col).alias(out_id),
-            word_shingles(F.col(text_col), k).alias("shingles"))
-        base = base.filter(F.size("shingles") > 0)
-        return (base.select(out_id, F.explode("shingles").alias("s")),
+        base = ensure_min_partitions(df) \
+            .filter(has_min_tokens(F.col(text_col), k)) \
+            .select(F.col(id_col).alias(out_id),
+                    word_shingles(F.col(text_col), k).alias("shingles"))
+        # explode_outer over the pre-filtered base: single-evaluation
+        # idiom (see blocked_jaccard_pairs)
+        return (base.select(out_id,
+                            F.explode_outer("shingles").alias("s")),
                 base.select(out_id, F.size("shingles").alias("n")))
 
     inv_new, n_new = _shingled(batch, "id_new")
@@ -958,12 +997,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     # exact-Jaccard verify, restricted to candidate pairs: expand each
     # candidate by id_a's shingles, keep only the ones id_b shares →
     # count = intersection size (shingles are distinct per doc)
-    base = ensure_min_partitions(df).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), k).alias("shingles"))
-    base = base.filter(F.size("shingles") > 0)
+    base = ensure_min_partitions(df) \
+        .filter(has_min_tokens(F.col(text_col), k)) \
+        .select(F.col(id_col).alias("doc_id"),
+                word_shingles(F.col(text_col), k).alias("shingles"))
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
-    inv = base.select("doc_id", F.explode("shingles").alias("s"))
+    # explode_outer over the pre-filtered base: single-evaluation idiom
+    inv = base.select("doc_id", F.explode_outer("shingles").alias("s"))
     a_side = inv.select(F.col("doc_id").alias("id_a"), "s")
     b_side = inv.select(F.col("doc_id").alias("id_b"), "s")
     common = (cand.join(a_side, "id_a")
@@ -1240,23 +1280,29 @@ def cross_corpus_containment(corpus: DataFrame, bench: DataFrame, *,
     it caps the join fan-out of a pathological hot shingle. None = exact.
     """
     assert threshold > 0.0, "inverted-index plan requires threshold > 0"
+    # no size(sh)>0 filters: the corpus side's only consumer explodes
+    # (empty arrays vanish), and the bench side's n_b=0 rows can never
+    # match `shared` in the inner join below — the filters were
+    # semantically inert and doubled the shingling HOF per row via
+    # predicate pushdown (has_min_tokens docstring)
     c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("corpus_id"),
         word_shingles(F.col(corpus_text), k).alias("sh"))
-    c = c.filter(F.size("sh") > 0)
     b = ensure_min_partitions(bench).select(
         F.col(bench_id).alias("bench_id"),
         word_shingles(F.col(bench_text), k).alias("sh"))
-    b = b.filter(F.size("sh") > 0)
 
-    c_inv = c.select("corpus_id", F.explode("sh").alias("s"))
+    # explode_outer: empty/null-shingle docs emit one null-s row that no
+    # equi-join on "s" can match (the documented serve-path idiom) — and
+    # no size>0 filter is inferred, keeping the shingling single-eval
+    c_inv = c.select("corpus_id", F.explode_outer("sh").alias("s"))
     if max_shingle_df is not None:
         hot = (c_inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
                     .filter(F.col("_df") > max_shingle_df)
                     .select("s"))
         c_inv = c_inv.join(F.broadcast(hot), "s", "left_anti")
     b_sizes = b.select("bench_id", F.size("sh").alias("n_b"))
-    b_inv = b.select("bench_id", F.explode("sh").alias("s"))
+    b_inv = b.select("bench_id", F.explode_outer("sh").alias("s"))
 
     shared = (c_inv.join(b_inv, "s")
                    .groupBy("corpus_id", "bench_id")
@@ -1482,14 +1528,14 @@ def incremental_jaccard_dedupe(
                             for i, c in enumerate(block_cols)],
                           F.lit(False).alias("_new"))))
         base = (ensure_min_partitions(tagged)
+                .filter(has_min_tokens(F.col("_t"), k))
                 .select("doc_id", "_new",
                         *[f"_b{i}" for i in range(len(block_cols))],
-                        word_shingles(F.col("_t"), k).alias("shingles"))
-                .filter(F.size("shingles") > 0))
+                        word_shingles(F.col("_t"), k).alias("shingles")))
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     inv = base.select(*bkeys, "doc_id", "_new",
-                      F.explode("shingles").alias("s"))
+                      F.explode_outer("shingles").alias("s"))
     # probe side: NEW docs only — the corpus never self-joins
     a = (inv.filter("_new")
             .select(*bkeys, F.col("doc_id").alias("id_a"), "s"))
@@ -1705,7 +1751,12 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str, *,
                   lambda i: F.concat_ws(
                       " ", F.slice("w", (i + 1).cast("int"), k)))))
     sh = base.select("_id", F.explode(grams).alias("s"))
-    tf = sh.groupBy("_id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    # tf ultimately feeds FOUR consumer paths (dfc, norms, both dot
+    # sides): without a persist each re-runs the gram explode and the
+    # (doc, gram) count shuffle — the expensive stages of this plan
+    # (registry-tracked; harnesses release between queries)
+    tf = register_cache(
+        sh.groupBy("_id", "s").agg(F.count(F.lit(1)).alias("tf")))
     dfc = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
              .filter(F.col("_df").between(df_min, df_max)))
     nd = base.filter(n >= k).agg(F.count(F.lit(1)).alias("N"))
@@ -1766,12 +1817,16 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # both verify sides); persist evaluates the interpreted shingling
     # HOF once — lazy, so building the plan stays job-free. Handle is
     # tracked in the operator-cache registry (harnesses release it
-    # between queries; ADVICE r5 leak fix).
+    # between queries; ADVICE r5 leak fix). The size>0 filter sits
+    # ABOVE the persist: inside the cached plan Catalyst pushed it
+    # below the Project and the cache build evaluated the shingling
+    # HOF twice per row (round-11 before-plan); on top of the
+    # InMemoryRelation it is one comparison on the cached array.
     base = register_cache(
         df.select(F.col(id_col).alias("doc_id"),
                   word_shingles(F.col(text_col), k=k).alias("shingles"))
-          .filter(F.size("shingles") > 0))
-    inv = base.select("doc_id", F.explode("shingles").alias("s"))
+    ).filter(F.size("shingles") > 0)
+    inv = base.select("doc_id", F.explode_outer("shingles").alias("s"))
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("_df", "s")

@@ -171,7 +171,18 @@ def triangle_counts(edges: DataFrame, *, src: str = "s",
                     .unionAll(tris.select(F.col("y").alias("node")))
                     .groupBy("node")
                     .agg(F.count(F.lit(1)).alias("n_triangles")))
-    return (deg.join(per_node, "node", "left")
-               .select("node", "degree",
-                       F.coalesce("n_triangles", F.lit(0)).cast("long")
-                        .alias("n_triangles")))
+    # The output's node/degree table is re-derived from the CACHED
+    # oriented edges, not from `deg`: every edge appears in oriented
+    # exactly once as (u, v) with {u, v} = {a, b}, so counting
+    # endpoint appearances over oriented equals the original degree
+    # count — while referencing `deg` here would re-run the whole
+    # upstream edge construction (an expensive distinct self-join in
+    # the co-purchase graph) a second time outside the cache.
+    deg_out = (oriented.select(F.col("u").alias("node"))
+                       .unionAll(oriented.select(F.col("v").alias("node")))
+                       .groupBy("node")
+                       .agg(F.count(F.lit(1)).alias("degree")))
+    return (deg_out.join(per_node, "node", "left")
+                   .select("node", "degree",
+                           F.coalesce("n_triangles", F.lit(0)).cast("long")
+                            .alias("n_triangles")))

@@ -64,7 +64,7 @@ def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated expressions, so nothing re-tokenizes). Same doubles as
     composing textstats.* directly — those remain the per-column API.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     base = docs.select(
         "doc_id",
@@ -434,7 +434,7 @@ WHERE rn <= 3
 # --------------------------------------------------------------------------
 
 def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return simhash_table(docs, "doc_id", "text")
 
 
@@ -647,7 +647,7 @@ def q137_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every 3rd doc (did ≡ 1 mod 3): coprime to every synthesis cycle
     # below, so all gray/color × size × restart combinations appear at
     # a third of the per-row encode/decode cost
-    docs = (read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (read_table(spark, sf_dir, "documents", spread=True).select("doc_id")
             .filter(F.col("doc_id") % 3 == 1))
 
     def _synth(batches):
@@ -717,7 +717,7 @@ def q193_jpeg_subsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (ASSET_SCHEMA, encode_jpeg,
                                         media_probe)
 
-    docs = (read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (read_table(spark, sf_dir, "documents", spread=True).select("doc_id")
             .filter(F.col("doc_id") % 3 == 0))
 
     def _synth(batches):
@@ -786,7 +786,7 @@ def q198_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         encode_jpeg_progressive,
                                         media_probe)
 
-    docs = (read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (read_table(spark, sf_dir, "documents", spread=True).select("doc_id")
             .filter(F.col("doc_id") % 3 == 1))
 
     def _synth(batches):
@@ -1246,11 +1246,17 @@ FROM enc GROUP BY doc_id
 
 
 def _stage_roundtrip(spark: SparkSession, sf_dir: str, fmt: str,
-                     options: dict[str, str] | None = None):
+                     options: dict[str, str] | None = None,
+                     spread: bool = False):
     import hashlib
     import tempfile
 
-    base = (read_table(spark, sf_dir, "lineitem")
+    # spread=True only for serde-heavy formats (XML): per-row text
+    # serialization on the scan's single partition dominated q151
+    # (A/B: 8.1s -> 1.8s); for cheap row formats (json/orc) the extra
+    # exchange + 32 small staged files measured slower, so they stay
+    # single-stage.
+    base = (read_table(spark, sf_dir, "lineitem", spread=spread)
             .select("l_orderkey", "l_linenumber", "l_quantity",
                     "l_extendedprice", "l_discount", "l_returnflag",
                     F.col("l_shipdate").cast("date").alias("ship_date")))
@@ -2043,7 +2049,7 @@ SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 
 def q59_dedupe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, keep_canonical
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = q18_ngram_jaccard(spark, sf_dir)
     comps = connected_components(pairs)
     return (keep_canonical(docs, comps, "doc_id")
@@ -2162,7 +2168,7 @@ _PASSAGE_SIZE = 8
 
 def q126_passage_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import passage_dedupe
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return passage_dedupe(docs, "doc_id", "text", size=_PASSAGE_SIZE)
 
 
@@ -2804,7 +2810,7 @@ FROM common WHERE cnt / nb >= 0.5
 
 def q63_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import repetition_stats_linear
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return repetition_stats_linear(docs, "doc_id", "text")
 
 
@@ -2852,7 +2858,7 @@ FROM big
 
 def q116_repetition_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import bigrams, singleton_count, top_count
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     base = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
     b = base.select("doc_id", "_tok", bigrams(F.col("_tok")).alias("_big"))
     n, nb = F.size("_tok"), F.size("_big")
@@ -3622,7 +3628,7 @@ if Q202_SQL == Q77_SQL:  # the anchor line moved: fail at import, loudly
 
 def q78_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import bigram_perplexity
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return bigram_perplexity(docs, "doc_id", "text")
 
 
@@ -4357,7 +4363,7 @@ SELECT doc_id, domain, n_domain_docs, rk FROM r WHERE rk <= 20
 def q148_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.webtext import gopher_flags
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return (gopher_flags(docs, "text")
             .select("doc_id", "n_words", "mean_word_len", "stop_hits",
                     "uniq_ratio", "rule_mask", "keep"))
@@ -4465,7 +4471,7 @@ FROM tagged
 # --------------------------------------------------------------------------
 
 def q150_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
+    orders = read_table(spark, sf_dir, "orders", spread=True)
     j = orders.select(F.to_json(F.struct(
         F.col("o_orderkey").alias("key"),
         F.struct(F.col("o_custkey").alias("cust"),
@@ -4504,7 +4510,7 @@ FROM orders GROUP BY status, priority
 
 def q151_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = _stage_roundtrip(spark, sf_dir, "xml",
-                            options={"rowTag": "row"})
+                            options={"rowTag": "row"}, spread=True)
     return (back.groupBy("l_returnflag", "l_linenumber")
                 .agg(F.count(F.lit(1)).alias("n"),
                      dsum("l_quantity").alias("sum_qty"),
@@ -4535,7 +4541,7 @@ FROM lineitem GROUP BY l_returnflag, l_linenumber
 def q152_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import repeated_ngram_spans
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return repeated_ngram_spans(docs, "doc_id", "text", k=5, min_count=2)
 
 
@@ -4661,7 +4667,7 @@ def q153_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (dot, kmeans_assign_serve,
                                         l2_norm, signature_col)
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     art = _semdedup_artifact(spark, sf_dir)
     if art is None:
         return (emb.limit(0)
@@ -5146,7 +5152,7 @@ FROM deg d LEFT JOIN pn ON d.node = pn.node
 # --------------------------------------------------------------------------
 
 def q158_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     w_arr = (F.when(F.length(F.trim(F.col("text"))) == 0,
                     F.array().cast("array<string>"))
               .otherwise(F.split(F.trim(F.lower("text")), r"\s+")))
@@ -5845,7 +5851,7 @@ def q169_image_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import encode_bmp, raster_block_sums
 
     W, H = 16, 8
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def _synth(batches):
         for pdf in batches:
@@ -6216,7 +6222,7 @@ def q191_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming_banded_pairs
     from ..operators.multimodal import dhash_images, encode_bmp
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def _synth(batches):
         r = np.arange(8, dtype=np.int64)[:, None]
@@ -6380,7 +6386,7 @@ FROM tagged
 def q173_crossdoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import crossdoc_span_dedup
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return crossdoc_span_dedup(docs, "doc_id", "text", k=5)
 
 
@@ -6459,7 +6465,7 @@ _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 
 def q174_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     did = F.col("doc_id")
     email = F.concat(F.lit("user"), did.cast("string"),
                      F.lit("@example.com"))
@@ -6774,7 +6780,7 @@ WHERE e.vec_id < 50
 def q177_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnowing_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return winnowing_pairs(docs, "doc_id", "text", k=4, w=5,
                            min_shared=2, max_fp_df=100)
 

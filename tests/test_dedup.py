@@ -448,17 +448,33 @@ def test_incremental_lsh_verify_touches_only_candidate_docs(spark):
               pair_family=fam, band_hash=portable_band_hash)
 
     # mode 1: no postings -> verify re-shingles candidate docs only.
-    # The verify-side explode is the plan's only explode_outer; its
-    # subtree must contain the candidate-id LeftSemi join.
+    # Since round 11 the BATCH side is also an explode_outer (the
+    # single-evaluation shingling idiom), so the plan has several
+    # outer=true Generates: the batch one has no join below it at all,
+    # while the corpus verify one must sit above the candidate-id
+    # LeftSemi. Pin: at least one outer-generate subtree carries the
+    # LeftSemi (before the round-9 fix there was NO LeftSemi anywhere
+    # — the full corpus's shingles were exploded into the verify join),
+    # and any outer generate WITHOUT one must be join-free (batch side)
+    # rather than an unrestricted corpus explode.
     out = incremental_lsh_dedup(corpus, batch, "doc_id", "text", **kw)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # the outer generate prints as "Generate explode(...), <qualifier>,
-    # true, [s...]" — the only outer=true Generate in the plan
-    sub = _plan_subtree(
-        plan, lambda l: "Generate explode" in l and "], true, [" in l)
-    assert sub, f"verify explode(outer) missing from plan:\n{plan}"
-    assert any("LeftSemi" in line for line in sub), \
+    # an outer generate prints as "Generate explode(...), <qualifier>,
+    # true, [s...]"
+    lines = plan.splitlines()
+    subs = [_plan_subtree("\n".join(lines[i:]),
+                          lambda l: "Generate explode" in l
+                          and "], true, [" in l)
+            for i, l in enumerate(lines)
+            if "Generate explode" in l and "], true, [" in l]
+    assert subs, f"verify explode(outer) missing from plan:\n{plan}"
+    assert any(any("LeftSemi" in ln for ln in sub) for sub in subs), \
         f"corpus shingle explode is not candidate-restricted:\n{plan}"
+    for sub in subs:
+        if not any("LeftSemi" in ln for ln in sub):
+            assert not any(" Join " in ln or "Join " in ln.lstrip(" :+-")
+                           for ln in sub), \
+                f"unrestricted shingle explode feeds a join:\n{plan}"
 
     # mode 2: stored artifact -> verify reads postings AND sizes, each
     # semi-joined to candidate ids; corpus text appears nowhere in the
