@@ -213,9 +213,35 @@ def portable_band_hash(*cols: Column) -> Column:
     return portable_hash60(F.concat_ws("#", *[c.cast("string") for c in cols]))
 
 
+def shingle_base_cached(df: DataFrame, id_col: str, text_col: str, *,
+                        k: int = 3) -> DataFrame:
+    """PERSISTED (doc_id, shingles) projection of a corpus, pre-filtered
+    to docs with at least one shingle — the shared input of the
+    MinHash/prefix-filter family. The interpreted shingling HOF is the
+    dominant per-row expression of every Jaccard operator; a plan that
+    references the projection N times evaluates it N times unless the
+    subtree is persisted (minhash_lsh_pairs referenced it FIVE times:
+    signatures + both verify-side postings + both size lookups —
+    round-11 profile). The ``has_min_tokens`` precondition sits BELOW
+    the projection, on the raw text column, so Catalyst cannot clone
+    the shingle expression into a pushed predicate (single-evaluation
+    idiom, see :func:`has_min_tokens`).
+
+    Registered with the operator-cache registry — harnesses release it
+    between queries; at production scale this is the write-once shingle
+    artifact a dedup loop would persist explicitly.
+    """
+    return register_cache(
+        ensure_min_partitions(df)
+        .filter(has_min_tokens(F.col(text_col), k))
+        .select(F.col(id_col).alias("doc_id"),
+                word_shingles(F.col(text_col), k).alias("shingles")))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
                        k: int = 3, n_hashes: int = 32,
-                       pair_family: PortableMinhashFamily | None = None
+                       pair_family: PortableMinhashFamily | None = None,
+                       shingle_base: DataFrame | None = None
                        ) -> DataFrame:
     """MinHash signatures as wide columns (_h0.._hN): explode distinct
     shingles, hash each with n seeds in one codegen'd projection, then
@@ -239,9 +265,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     # the projection, evaluating it TWICE per row (round-11
     # before-plans). A generator over a non-trivial expression infers
     # no filter, so this shape is the single-evaluation one.
-    exploded = ensure_min_partitions(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("s"))
+    #
+    # ``shingle_base``: a persisted (doc_id, shingles) frame from
+    # :func:`shingle_base_cached` — callers that ALSO need the arrays
+    # for an exact verify (minhash_lsh_pairs) pass it so the corpus is
+    # shingled once, not once per consumer. Exploding the CACHED array
+    # column emits exactly the rows the inline expression would (the
+    # base is pre-filtered to non-empty; the inferred size>0 predicate
+    # is one comparison on the cached array, not a re-shingle).
+    if shingle_base is not None:
+        exploded = shingle_base.select("doc_id",
+                                       F.explode("shingles").alias("s"))
+    else:
+        exploded = ensure_min_partitions(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("s"))
     if pair_family is not None:
         assert pair_family.n == n_hashes
         prep = exploded.select("doc_id", *pair_family.prepare(F.col("s")))
@@ -939,7 +977,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
                       threshold: float = 0.5,
                       pair_family: PortableMinhashFamily | None = None,
                       band_hash=None,
-                      anchor_ids: DataFrame | None = None) -> DataFrame:
+                      anchor_ids: DataFrame | None = None,
+                      base: DataFrame | None = None) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
     bands×rows = n_hashes; a pair becomes a candidate iff it collides
@@ -961,14 +1000,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
     anchors' band entries against the corpus, so the work is bounded by
     anchor degree, never corpus². This is the recall-certification
     probe shape (q189).
+
+    ``base``: a pre-built :func:`shingle_base_cached` frame for this
+    corpus — callers that run SEVERAL shingle consumers over the same
+    documents (q171/q189 pair the LSH side with an exact truth side)
+    pass one shared base so the corpus is shingled once per query, not
+    once per operator. None → the operator builds (and registers) its
+    own.
     """
     rows_per_band = n_hashes // bands
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
     if band_hash is None:
         band_hash = F.xxhash64
+    if base is None:
+        base = shingle_base_cached(df, id_col, text_col, k=k)
 
     sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes,
-                             pair_family=pair_family)
+                             pair_family=pair_family, shingle_base=base)
     band_entries = lsh_band_entries(sig, bands=bands,
                                     rows_per_band=rows_per_band,
                                     band_hash=band_hash)
@@ -996,11 +1044,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
     # exact-Jaccard verify, restricted to candidate pairs: expand each
     # candidate by id_a's shingles, keep only the ones id_b shares →
-    # count = intersection size (shingles are distinct per doc)
-    base = ensure_min_partitions(df) \
-        .filter(has_min_tokens(F.col(text_col), k)) \
-        .select(F.col(id_col).alias("doc_id"),
-                word_shingles(F.col(text_col), k).alias("shingles"))
+    # count = intersection size (shingles are distinct per doc). All
+    # four consumers below (both postings sides, both size lookups)
+    # read the PERSISTED base — unpersisted, each re-ran the
+    # interpreted shingling HOF over the whole corpus (5 evaluations
+    # per query counting the signature side; round-11 profile).
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     # explode_outer over the pre-filtered base: single-evaluation idiom
     inv = base.select("doc_id", F.explode_outer("shingles").alias("s"))
@@ -1789,7 +1837,8 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str, *,
 def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                 *, k: int = 3,
                                 threshold: float = 0.3,
-                                anchor_ids: DataFrame | None = None
+                                anchor_ids: DataFrame | None = None,
+                                base: DataFrame | None = None
                                 ) -> DataFrame:
     """COMPLETE exact Jaccard similarity join via PREFIX FILTERING
     (the AllPairs/PPJoin candidate rule): unlike hard blocking
@@ -1807,25 +1856,26 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Output: (id_a, id_b, jaccard) — same contract as
     blocked_jaccard_pairs, but with a completeness guarantee.
+
+    ``base``: a pre-built :func:`shingle_base_cached` frame for this
+    corpus, shared with other shingle consumers in the same query
+    (q171/q189 pair this truth side with the LSH side). None → build
+    (and register) one here.
     """
     from pyspark.sql import Window
-
-    from ._cache import register_cache
 
     assert 0.0 < threshold < 1.0
     # base feeds three consumers (postings for the candidate stage and
     # both verify sides); persist evaluates the interpreted shingling
     # HOF once — lazy, so building the plan stays job-free. Handle is
     # tracked in the operator-cache registry (harnesses release it
-    # between queries; ADVICE r5 leak fix). The size>0 filter sits
-    # ABOVE the persist: inside the cached plan Catalyst pushed it
-    # below the Project and the cache build evaluated the shingling
-    # HOF twice per row (round-11 before-plan); on top of the
-    # InMemoryRelation it is one comparison on the cached array.
-    base = register_cache(
-        df.select(F.col(id_col).alias("doc_id"),
-                  word_shingles(F.col(text_col), k=k).alias("shingles"))
-    ).filter(F.size("shingles") > 0)
+    # between queries; ADVICE r5 leak fix). The has_min_tokens
+    # precondition inside shingle_base_cached sits BELOW the
+    # projection, on raw text, so no pushdown can clone the shingling
+    # HOF into a predicate (the round-11 double-evaluation hazard) —
+    # and it keeps empty-shingle rows out of the cache itself.
+    if base is None:
+        base = shingle_base_cached(df, id_col, text_col, k=k)
     inv = base.select("doc_id", F.explode_outer("shingles").alias("s"))
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     sizes = base.select("doc_id", F.size("shingles").alias("n"))

@@ -5975,13 +5975,26 @@ FROM ver WHERE jaccard >= 0.3
 
 
 def q171_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import prefix_filter_jaccard_pairs
+    from ..operators.dedup import (prefix_filter_jaccard_pairs,
+                                   shingle_base_cached)
 
     docs = read_table(spark, sf_dir, "documents")
+    # ONE persisted shingle pass feeds both sides: the exact truth join
+    # and the LSH candidate/verify pipeline consume identical k=3
+    # shingle sets, and unshared they each re-ran the interpreted
+    # shingling HOF over the whole corpus (round-11 optimization;
+    # `found` is q41's minhash_lsh_pairs call with the same family /
+    # band hash / threshold, so rows are unchanged — q171's oracle
+    # certifies it)
+    base = shingle_base_cached(docs, "doc_id", "text", k=3)
     truth = prefix_filter_jaccard_pairs(docs, "doc_id", "text",
-                                        k=3, threshold=0.3) \
+                                        k=3, threshold=0.3, base=base) \
         .select("id_a", "id_b")
-    found = q41_minhash_portable(spark, sf_dir).select("id_a", "id_b")
+    found = minhash_lsh_pairs(docs, "doc_id", "text",
+                              k=3, n_hashes=32, bands=8, threshold=0.3,
+                              pair_family=_Q41_FAMILY,
+                              band_hash=portable_band_hash,
+                              base=base).select("id_a", "id_b")
     hit = found.join(truth, ["id_a", "id_b"], "left_semi")
     stats = (truth.agg(F.count(F.lit(1)).alias("n_true"))
              .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
@@ -6043,21 +6056,26 @@ _Q189_SAMPLE_N = 400
 
 def q189_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators._cache import register_cache
-    from ..operators.dedup import prefix_filter_jaccard_pairs
+    from ..operators.dedup import (prefix_filter_jaccard_pairs,
+                                   shingle_base_cached)
 
     docs = read_table(spark, sf_dir, "documents")
     anchors = register_cache(
         docs.select("doc_id")
             .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
             .limit(_Q189_SAMPLE_N))
+    # shared shingle pass across the truth and LSH sides (the q171
+    # optimization; anchor restriction composes unchanged — it semi-
+    # joins candidate/prefix sides, never the base)
+    base = shingle_base_cached(docs, "doc_id", "text", k=3)
     truth = prefix_filter_jaccard_pairs(docs, "doc_id", "text",
                                         k=3, threshold=0.3,
-                                        anchor_ids=anchors)
+                                        anchor_ids=anchors, base=base)
     found = minhash_lsh_pairs(docs, "doc_id", "text",
                               k=3, n_hashes=32, bands=8, threshold=0.3,
                               pair_family=_Q41_FAMILY,
                               band_hash=portable_band_hash,
-                              anchor_ids=anchors) \
+                              anchor_ids=anchors, base=base) \
         .select("id_a", "id_b", F.lit(1).alias("_hit"))
     band = (F.when(F.col("jaccard") < 0.4, "[0.30,0.40)")
              .when(F.col("jaccard") < 0.5, "[0.40,0.50)")

@@ -984,3 +984,47 @@ def test_maintain_entries_layout(spark, tmp_path, monkeypatch):
     # drifted >= drift_factor: 16 vs 256 migrates (and serves the same)
     assert maintain_entries_layout(spark, f"{d}/part16") == 256
     assert pairs(f"{d}/part16") == want
+
+
+def test_shared_shingle_base_matches_independent(spark):
+    """Round-11 optimization pin: one shingle_base_cached frame shared
+    across the prefix-filter truth side and the minhash LSH side (the
+    q171/q189 shape) yields pair sets identical to each operator
+    building its own base — and the base is actually persisted, so the
+    shingling HOF evaluates once, not once per consumer."""
+    from elt_gluepipeline_spark.operators.dedup import (
+        PortableMinhashFamily, minhash_lsh_pairs, portable_band_hash,
+        prefix_filter_jaccard_pairs, shingle_base_cached)
+    from elt_gluepipeline_spark.operators._cache import (
+        release_operator_caches)
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 4} alpha beta gamma delta tok{i % 3} "
+              f"epsilon zeta eta theta iota word{i}")
+         for i in range(40)] + [(100, "a b")],  # <3 shingles edge case
+        "doc_id long, text string")
+    fam = PortableMinhashFamily(32, seed=1)
+
+    def pairset(df):
+        return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+    indep_truth = pairset(prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3))
+    indep_found = pairset(minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=32, bands=8, threshold=0.3,
+        pair_family=fam, band_hash=portable_band_hash))
+    release_operator_caches()
+
+    base = shingle_base_cached(docs, "doc_id", "text", k=3)
+    # the shared frame is persisted (the whole point: one evaluation)
+    assert base.storageLevel.useMemory or base.storageLevel.useDisk
+    shared_truth = pairset(prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, base=base))
+    shared_found = pairset(minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=32, bands=8, threshold=0.3,
+        pair_family=fam, band_hash=portable_band_hash, base=base))
+    release_operator_caches()
+
+    assert shared_truth == indep_truth
+    assert shared_found == indep_found
+    assert indep_truth  # non-degenerate fixture: some true pairs exist
