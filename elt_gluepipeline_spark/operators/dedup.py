@@ -388,14 +388,17 @@ def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
     if band_hash is None:
         band_hash = F.xxhash64
+    # ONE persisted shingle pass feeds all three index tables (the
+    # fit's signature explode, sizes, and postings each referenced the
+    # shingling projection — three corpus-wide HOF evaluations per fit;
+    # round-11). The registry-tracked cache also means a caller that
+    # fits and immediately saves/serves pays the pass once.
+    base = shingle_base_cached(corpus, id_col, text_col, k=k)
     entries = lsh_band_entries(
         minhash_signatures(corpus, id_col, text_col, k=k,
-                           n_hashes=n_hashes, pair_family=pair_family),
+                           n_hashes=n_hashes, pair_family=pair_family,
+                           shingle_base=base),
         bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
-    base = ensure_min_partitions(corpus) \
-        .filter(has_min_tokens(F.col(text_col), k)) \
-        .select(F.col(id_col).alias("doc_id"),
-                word_shingles(F.col(text_col), k).alias("shingles"))
     sizes = base.select("doc_id", F.size("shingles").alias("n_shingles"))
     # explode_outer: see blocked_jaccard_pairs — same single-evaluation
     # idiom over the pre-filtered base
@@ -859,9 +862,16 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
             corpus, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands,
             pair_family=pair_family, band_hash=band_hash,
             with_postings=False)
+    # one persisted shingle pass over the BATCH feeds the probe
+    # signatures AND both verify-side consumers (inv_new / n_new) —
+    # unshared, the batch text was shingled three times per serve call
+    # (round-11; the batch is what scales per call, so this is the
+    # serve path's per-batch constant)
+    batch_base = shingle_base_cached(batch, id_col, text_col, k=k)
     probe = lsh_band_entries(
         minhash_signatures(batch, id_col, text_col, k=k,
-                           n_hashes=n_hashes, pair_family=pair_family),
+                           n_hashes=n_hashes, pair_family=pair_family,
+                           shingle_base=batch_base),
         bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
     entries = index.entries
     if index.entries_partitions:
@@ -902,18 +912,12 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
     cand = register_cache(cand_raw)
     cand_ids = cand.select(F.col("id_existing").alias("doc_id")).distinct()
 
-    def _shingled(df: DataFrame, out_id: str):
-        base = ensure_min_partitions(df) \
-            .filter(has_min_tokens(F.col(text_col), k)) \
-            .select(F.col(id_col).alias(out_id),
-                    word_shingles(F.col(text_col), k).alias("shingles"))
-        # explode_outer over the pre-filtered base: single-evaluation
-        # idiom (see blocked_jaccard_pairs)
-        return (base.select(out_id,
-                            F.explode_outer("shingles").alias("s")),
-                base.select(out_id, F.size("shingles").alias("n")))
-
-    inv_new, n_new = _shingled(batch, "id_new")
+    # verify-side batch consumers read the SAME persisted base as the
+    # probe signatures (explode_outer over the pre-filtered cached
+    # array: single-evaluation idiom, see blocked_jaccard_pairs)
+    bb = batch_base.withColumnRenamed("doc_id", "id_new")
+    inv_new = bb.select("id_new", F.explode_outer("shingles").alias("s"))
+    n_new = bb.select("id_new", F.size("shingles").alias("n"))
     if index.postings is not None:
         # Verify straight from the stored inverted index — corpus text
         # untouched. Semi-join postings down to candidate ids FIRST so
@@ -1808,10 +1812,15 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str, *,
     dfc = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
              .filter(F.col("_df").between(df_min, df_max)))
     nd = base.filter(n >= k).agg(F.count(F.lit(1)).alias("N"))
-    kept = (tf.join(dfc, "s").crossJoin(F.broadcast(nd))
-              .select("_id", "s",
-                      (F.col("tf") * F.log(F.col("N") / F.col("_df")))
-                      .alias("wgt")))
+    # kept itself feeds THREE consumers (norms + both dot sides): each
+    # would re-run the tf⋈dfc join and dfc's aggregation over the
+    # cached tf — persist the weighted postings too, so the join/agg
+    # pipeline above runs once (round-11)
+    kept = register_cache(
+        tf.join(dfc, "s").crossJoin(F.broadcast(nd))
+          .select("_id", "s",
+                  (F.col("tf") * F.log(F.col("N") / F.col("_df")))
+                  .alias("wgt")))
     norms = (kept.groupBy("_id")
                  .agg(F.sqrt(F.sum((F.col("wgt") * F.col("wgt"))
                                    .cast(DEC)).cast("double"))
