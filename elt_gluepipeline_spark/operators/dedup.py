@@ -141,7 +141,13 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     assert threshold > 0.0, "inverted-index plan requires threshold > 0"
     if base is None:
-        base = shingle_base(df, id_col, text_col, block_cols, k=k)
+        # base feeds FOUR consumers below (both inverted-index sides +
+        # both size lookups) — persist the internally-built one so the
+        # shingling HOF evaluates once per row, not four times
+        # (round-11; callers passing their own base manage its
+        # materialization themselves, e.g. q100's localCheckpoint).
+        base = register_cache(
+            shingle_base(df, id_col, text_col, block_cols, k=k))
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     # explode_outer: base is pre-filtered to non-empty shingles, so the
@@ -1021,9 +1027,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
 
     sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes,
                              pair_family=pair_family, shingle_base=base)
-    band_entries = lsh_band_entries(sig, bands=bands,
-                                    rows_per_band=rows_per_band,
-                                    band_hash=band_hash)
+    # both sides of the band self-join reference this subtree — persist
+    # it or the signature pipeline (shingle explode + n_hashes-wide
+    # min-agg, the plan's biggest aggregate) runs twice per query
+    # (round-11). Tiny frame: bands rows of (doc_id, band_id, hash).
+    band_entries = register_cache(
+        lsh_band_entries(sig, bands=bands, rows_per_band=rows_per_band,
+                         band_hash=band_hash))
 
     if anchor_ids is None:
         left = band_entries.select("band_id", "band_hash",
@@ -1162,8 +1172,13 @@ def hamming_banded_pairs(df: DataFrame, id_col: str, hash_col: str, *,
     assert 0 < bits <= 63 and bits % bands == 0
     width = bits // bands
     mask = (1 << width) - 1
-    entries = df.select(F.col(id_col).alias("fp_id"),
-                        F.col(hash_col).cast("long").alias("_h"))
+    # both self-join sides reference this subtree; the caller's
+    # fingerprint build is usually an expensive aggregation (q21/q40:
+    # the 64-wide simhash vote; q191: a dHash decode) that would run
+    # twice unpersisted (round-11). Two longs per doc — tiny.
+    entries = register_cache(
+        df.select(F.col(id_col).alias("fp_id"),
+                  F.col(hash_col).cast("long").alias("_h")))
     band_rows = entries.select(
         "fp_id", "_h",
         F.explode(F.array(*[
@@ -1340,9 +1355,17 @@ def cross_corpus_containment(corpus: DataFrame, bench: DataFrame, *,
     c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("corpus_id"),
         word_shingles(F.col(corpus_text), k).alias("sh"))
-    b = ensure_min_partitions(bench).select(
-        F.col(bench_id).alias("bench_id"),
-        word_shingles(F.col(bench_text), k).alias("sh"))
+    # the bench side feeds TWO consumers (sizes + inverted index) and is
+    # small by contract — persist it so its shingling runs once
+    # (round-11). The corpus side stays unpersisted: its single
+    # full-width consumer is the c_inv explode (the optional hot-shingle
+    # df aggregation re-reads it once, but caching a corpus-wide
+    # exploded index would cost more memory than the one re-read at any
+    # scale).
+    b = register_cache(
+        ensure_min_partitions(bench).select(
+            F.col(bench_id).alias("bench_id"),
+            word_shingles(F.col(bench_text), k).alias("sh")))
 
     # explode_outer: empty/null-shingle docs emit one null-s row that no
     # equi-join on "s" can match (the documented serve-path idiom) — and
@@ -1579,11 +1602,16 @@ def incremental_jaccard_dedupe(
                           *[c.alias(f"_b{i}")
                             for i, c in enumerate(block_cols)],
                           F.lit(False).alias("_new"))))
-        base = (ensure_min_partitions(tagged)
-                .filter(has_min_tokens(F.col("_t"), k))
-                .select("doc_id", "_new",
-                        *[f"_b{i}" for i in range(len(block_cols))],
-                        word_shingles(F.col("_t"), k).alias("shingles")))
+        # four consumers below (both inverted-index sides + both size
+        # lookups) — persist so the union+shingling runs once, not four
+        # times (round-11; a caller-supplied tagged_base manages its own
+        # materialization, e.g. q100's localCheckpoint slices)
+        base = register_cache(
+            ensure_min_partitions(tagged)
+            .filter(has_min_tokens(F.col("_t"), k))
+            .select("doc_id", "_new",
+                    *[f"_b{i}" for i in range(len(block_cols))],
+                    word_shingles(F.col("_t"), k).alias("shingles")))
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     inv = base.select(*bkeys, "doc_id", "_new",
