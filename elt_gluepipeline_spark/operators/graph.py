@@ -45,16 +45,14 @@ def pagerank(edges: DataFrame, *, n_iter: int = 3, damping: float = 0.85,
     bounded (a catalog, a vocabulary); leave False for web-scale node
     sets and let the join shuffle both sides.
     """
-    from ._cache import register_cache
-
-    # The caller's edge build is often an expensive subtree (q145: a
-    # distinct self-join of the fact table). It is referenced FOUR
-    # times below — nodes' two union branches, outw, and the e-join's
-    # probe side — and nodes/e materialize as SEPARATE localCheckpoints,
-    # so without a persist the edge build executed 4x per query
-    # (round-11 profile). One persisted evaluation feeds all four;
-    # registry-tracked so harnesses release it between queries.
-    edges = register_cache(edges)
+    # NOTE (round-11): persisting `edges` here was tried and REVERTED —
+    # the caller's edge build is referenced 4x below (nodes' two union
+    # branches, outw, the e-join probe side), but an interleaved
+    # same-session A/B on q145 measured the persisted variant SLOWER
+    # every round (med 7.2 s vs 5.3 s): the cache materialization
+    # serializes work that AQE otherwise overlaps, and the persist
+    # write of the 2|pairs| weighted union costs more than the saved
+    # re-evaluations at any size where the rank vector broadcasts.
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct().localCheckpoint(eager=False))
@@ -138,16 +136,14 @@ def triangle_counts(edges: DataFrame, *, src: str = "s",
     Output: (node, degree, n_triangles) — every node of the graph,
     zero-triangle nodes included.
     """
-    from ._cache import register_cache
-
-    # The caller's edge list is often an expensive subtree (q157: a
-    # distinct self-join of the fact table). Building the oriented
-    # cache references it THREE times (deg's two union branches + the
-    # ed join's probe side) — persist it so the edge build runs once
-    # per query, not three times (round-11 profile). Registry-tracked;
-    # harnesses release between queries.
-    e = register_cache(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # NOTE (round-11): persisting `e` here was tried and REVERTED —
+    # it is referenced 3x building the oriented cache (deg's two union
+    # branches + the ed probe side), but an interleaved same-session
+    # A/B on q157 measured the persisted variant slower (med 7.9 s vs
+    # 7.2 s): the extra materialization barrier costs more than the
+    # re-evaluations, which AQE runs as overlapping subtrees inside the
+    # one oriented-cache build job.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = (e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
