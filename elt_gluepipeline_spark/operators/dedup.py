@@ -113,7 +113,8 @@ def shingle_base(df: DataFrame, id_col: str, text_col: str,
 def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           block_cols: list[Column], *, k: int = 3,
                           threshold: float = 0.4,
-                          base: DataFrame | None = None) -> DataFrame:
+                          base: DataFrame | None = None,
+                          persist_base: bool = True) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs WITHIN blocks, via an
     inverted-index similarity join (SSJoin shape).
 
@@ -146,8 +147,21 @@ def blocked_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # shingling HOF evaluates once per row, not four times
         # (round-11; callers passing their own base manage its
         # materialization themselves, e.g. q100's localCheckpoint).
-        base = register_cache(
-            shingle_base(df, id_col, text_col, block_cols, k=k))
+        #
+        # ``persist_base=False`` (round-12, VERDICT r11 item #1): a
+        # caller whose consumer is an ITERATIVE eager-checkpoint loop
+        # (connected_components over these pairs — q56/q59/q149/q172/
+        # q196) skips the persist. The disk-backed materialization
+        # feeding an eager localCheckpoint loop is doubly exposed to
+        # slow-disk host phases (the driver's q172 8.9 s event);
+        # interleaved same-session A/B (tools/r12_ab.py q172, two
+        # sessions): no-persist median 2.42/2.46 s vs MEMORY_AND_DISK
+        # 2.92/2.69 s with a 3.9-11.3 s slow tail the no-persist
+        # variant never shows. Flat consumers (q18 itself) keep the
+        # persist — its round-11 win (1.32→0.86 s) was re-verified.
+        base = shingle_base(df, id_col, text_col, block_cols, k=k)
+        if persist_base:
+            base = register_cache(base)
     bkeys = [f"_b{i}" for i in range(len(block_cols))]
     sizes = base.select("doc_id", F.size("shingles").alias("n"))
     # explode_outer: base is pre-filtered to non-empty shingles, so the
@@ -247,7 +261,7 @@ def shingle_base_cached(df: DataFrame, id_col: str, text_col: str, *,
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
                        k: int = 3, n_hashes: int = 32,
                        pair_family: PortableMinhashFamily | None = None,
-                       shingle_base: DataFrame | None = None
+                       base: DataFrame | None = None
                        ) -> DataFrame:
     """MinHash signatures as wide columns (_h0.._hN): explode distinct
     shingles, hash each with n seeds in one codegen'd projection, then
@@ -272,16 +286,23 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     # before-plans). A generator over a non-trivial expression infers
     # no filter, so this shape is the single-evaluation one.
     #
-    # ``shingle_base``: a persisted (doc_id, shingles) frame from
+    # ``base``: a persisted (doc_id, shingles) frame from
     # :func:`shingle_base_cached` — callers that ALSO need the arrays
     # for an exact verify (minhash_lsh_pairs) pass it so the corpus is
     # shingled once, not once per consumer. Exploding the CACHED array
     # column emits exactly the rows the inline expression would (the
     # base is pre-filtered to non-empty; the inferred size>0 predicate
-    # is one comparison on the cached array, not a re-shingle).
-    if shingle_base is not None:
-        exploded = shingle_base.select("doc_id",
-                                       F.explode("shingles").alias("s"))
+    # is one comparison on the cached array, not a re-shingle). When
+    # passed, ``df``/``text_col``/``k`` are IGNORED — the base must
+    # have been built from the same corpus with the same k (schema
+    # asserted; ADVICE r11 item #1 — the param also used to shadow the
+    # module-level shingle_base function, hence the rename).
+    if base is not None:
+        assert set(base.columns) == {"doc_id", "shingles"}, (
+            f"minhash_signatures base must be a (doc_id, shingles) frame "
+            f"from shingle_base_cached, got columns {base.columns}")
+        exploded = base.select("doc_id",
+                               F.explode("shingles").alias("s"))
     else:
         exploded = ensure_min_partitions(df).select(
             F.col(id_col).alias("doc_id"),
@@ -384,12 +405,20 @@ def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
                         k: int = 3, n_hashes: int = 32, bands: int = 8,
                         pair_family: PortableMinhashFamily | None = None,
                         band_hash=None,
-                        with_postings: bool = True) -> LshDedupIndex:
+                        with_postings: bool = True,
+                        base: DataFrame | None = None) -> LshDedupIndex:
     """Build the LSH dedup index tables for ``corpus`` (lazy plans —
     no jobs run until the index is written or probed). Call once over
     the initial corpus, then again over each ADMITTED batch to get the
     delta for ``append_lsh_dedup_index`` (per-doc projections make
-    append ≡ rebuild)."""
+    append ≡ rebuild).
+
+    ``base``: optionally a pre-built (doc_id, shingles) frame for this
+    corpus — a caller that manages its own shingle artifact (or that
+    must NOT pin a corpus-wide array persist for a one-shot fit at
+    scale; ADVICE r11 item #4) passes it and controls its
+    materialization; when None the fit builds and registers the
+    standard shared persisted pass."""
     rows_per_band = n_hashes // bands
     assert bands * rows_per_band == n_hashes, "bands must divide n_hashes"
     if band_hash is None:
@@ -399,11 +428,12 @@ def fit_lsh_dedup_index(corpus: DataFrame, id_col: str, text_col: str, *,
     # shingling projection — three corpus-wide HOF evaluations per fit;
     # round-11). The registry-tracked cache also means a caller that
     # fits and immediately saves/serves pays the pass once.
-    base = shingle_base_cached(corpus, id_col, text_col, k=k)
+    if base is None:
+        base = shingle_base_cached(corpus, id_col, text_col, k=k)
     entries = lsh_band_entries(
         minhash_signatures(corpus, id_col, text_col, k=k,
                            n_hashes=n_hashes, pair_family=pair_family,
-                           shingle_base=base),
+                           base=base),
         bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
     sizes = base.select("doc_id", F.size("shingles").alias("n_shingles"))
     # explode_outer: see blocked_jaccard_pairs — same single-evaluation
@@ -877,7 +907,7 @@ def incremental_lsh_dedup(corpus: DataFrame | None, batch: DataFrame,
     probe = lsh_band_entries(
         minhash_signatures(batch, id_col, text_col, k=k,
                            n_hashes=n_hashes, pair_family=pair_family,
-                           shingle_base=batch_base),
+                           base=batch_base),
         bands=bands, rows_per_band=rows_per_band, band_hash=band_hash)
     entries = index.entries
     if index.entries_partitions:
@@ -1026,7 +1056,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, *,
         base = shingle_base_cached(df, id_col, text_col, k=k)
 
     sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes,
-                             pair_family=pair_family, shingle_base=base)
+                             pair_family=pair_family, base=base)
     # both sides of the band self-join reference this subtree — persist
     # it or the signature pipeline (shingle explode + n_hashes-wide
     # min-agg, the plan's biggest aggregate) runs twice per query

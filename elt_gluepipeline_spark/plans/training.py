@@ -169,12 +169,26 @@ def q17_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q18 — exact blocked n-gram-Jaccard near-dup pairs
 # --------------------------------------------------------------------------
 
-def q18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q18_pairs(spark: SparkSession, sf_dir: str, *,
+               persist_base: bool = True) -> DataFrame:
+    """The q18 pair graph, shared by its CC-family consumers.
+
+    ``persist_base=False`` is for callers that feed the pairs into a
+    connected-components eager-checkpoint loop (q56/q59/q149/q172/
+    q196): the internal MEMORY_AND_DISK shingle-base persist measured
+    SLOWER and slow-tailed under that consumer (round-12 interleaved
+    A/B, tools/r12_ab.py q172 — VERDICT r11 item #1), while flat
+    consumers (q18 itself) keep its round-11 win."""
     docs = read_table(spark, sf_dir, "documents")
     blocks = [F.col("lang"),
               F.floor(n_tokens(F.col("text")) / 10).cast("long")]
     return blocked_jaccard_pairs(docs, "doc_id", "text", blocks,
-                                 k=3, threshold=0.2)
+                                 k=3, threshold=0.2,
+                                 persist_base=persist_base)
+
+
+def q18_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q18_pairs(spark, sf_dir)
 
 
 # Shared SCALE-CAPABLE oracle fragment for the blocked-jaccard family
@@ -1517,13 +1531,19 @@ def q38_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q41_FAMILY = PortableMinhashFamily(32, seed=1)
 
+# q41's full LSH parameter set, shared BY CONSTRUCTION with the recall
+# certifications whose "found" side claims to mirror q41 (q171/q189) —
+# a drift in q41's family/banding/threshold must move all three
+# together or the certificates silently certify a different index
+# (ADVICE r11 item #2).
+_Q41_LSH_KWARGS = dict(k=3, n_hashes=32, bands=8, threshold=0.3,
+                       pair_family=_Q41_FAMILY,
+                       band_hash=portable_band_hash)
+
 
 def q41_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text",
-                             k=3, n_hashes=32, bands=8, threshold=0.3,
-                             pair_family=_Q41_FAMILY,
-                             band_hash=portable_band_hash)
+    return minhash_lsh_pairs(docs, "doc_id", "text", **_Q41_LSH_KWARGS)
 
 
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
@@ -2018,7 +2038,7 @@ LIMIT 100
 
 def q56_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
-    pairs = q18_ngram_jaccard(spark, sf_dir)
+    pairs = _q18_pairs(spark, sf_dir, persist_base=False)
     return (connected_components(pairs)
             .select(F.col("id").alias("doc_id"), "component"))
 
@@ -2050,7 +2070,7 @@ SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 def q59_dedupe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, keep_canonical
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = q18_ngram_jaccard(spark, sf_dir)
+    pairs = _q18_pairs(spark, sf_dir, persist_base=False)
     comps = connected_components(pairs)
     return (keep_canonical(docs, comps, "doc_id")
             .select("doc_id", "lang"))
@@ -4424,7 +4444,7 @@ def q149_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import assign_split
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = q18_ngram_jaccard(spark, sf_dir)
+    pairs = _q18_pairs(spark, sf_dir, persist_base=False)
     comps = (connected_components(pairs)
              .select(F.col("id").alias("doc_id"), "component"))
     tagged = (docs.join(comps, "doc_id", "left")
@@ -5975,6 +5995,7 @@ FROM ver WHERE jaccard >= 0.3
 
 
 def q171_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._cache import register_cache
     from ..operators.dedup import (prefix_filter_jaccard_pairs,
                                    shingle_base_cached)
 
@@ -5983,18 +6004,27 @@ def q171_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the LSH candidate/verify pipeline consume identical k=3
     # shingle sets, and unshared they each re-ran the interpreted
     # shingling HOF over the whole corpus (round-11 optimization;
-    # `found` is q41's minhash_lsh_pairs call with the same family /
-    # band hash / threshold, so rows are unchanged — q171's oracle
-    # certifies it)
+    # `found` mirrors q41's minhash_lsh_pairs call by construction —
+    # shared _Q41_LSH_KWARGS — so rows are unchanged, q171's oracle
+    # certifies it).
+    #
+    # The PAIR frames themselves also persist (round-12, VERDICT r11
+    # item #5): the stats block consumes `truth` twice (count + hit
+    # semi-join) and `found` twice (count + hit), so unpersisted the
+    # before-plan carried the full prefix-filter AND LSH pipelines ~2x
+    # each (326 nodes, 132 Exchange — plans/r12/q171_*_before.txt) and
+    # AQE did NOT reuse them across branches. Interleaved A/B
+    # (tools/r12_ab.py q171): persisted median 4.94 s vs 7.83 s,
+    # won 4/5 paired rounds. Two-long-column frames, bounded by the
+    # true/candidate pair count; released by every harness.
     base = shingle_base_cached(docs, "doc_id", "text", k=3)
-    truth = prefix_filter_jaccard_pairs(docs, "doc_id", "text",
-                                        k=3, threshold=0.3, base=base) \
-        .select("id_a", "id_b")
-    found = minhash_lsh_pairs(docs, "doc_id", "text",
-                              k=3, n_hashes=32, bands=8, threshold=0.3,
-                              pair_family=_Q41_FAMILY,
-                              band_hash=portable_band_hash,
-                              base=base).select("id_a", "id_b")
+    truth = register_cache(
+        prefix_filter_jaccard_pairs(docs, "doc_id", "text",
+                                    k=3, threshold=0.3, base=base)
+        .select("id_a", "id_b"))
+    found = register_cache(
+        minhash_lsh_pairs(docs, "doc_id", "text", base=base,
+                          **_Q41_LSH_KWARGS).select("id_a", "id_b"))
     hit = found.join(truth, ["id_a", "id_b"], "left_semi")
     stats = (truth.agg(F.count(F.lit(1)).alias("n_true"))
              .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
@@ -6072,10 +6102,8 @@ def q189_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         k=3, threshold=0.3,
                                         anchor_ids=anchors, base=base)
     found = minhash_lsh_pairs(docs, "doc_id", "text",
-                              k=3, n_hashes=32, bands=8, threshold=0.3,
-                              pair_family=_Q41_FAMILY,
-                              band_hash=portable_band_hash,
-                              anchor_ids=anchors, base=base) \
+                              anchor_ids=anchors, base=base,
+                              **_Q41_LSH_KWARGS) \
         .select("id_a", "id_b", F.lit(1).alias("_hit"))
     band = (F.when(F.col("jaccard") < 0.4, "[0.30,0.40)")
              .when(F.col("jaccard") < 0.5, "[0.40,0.50)")
@@ -6347,7 +6375,7 @@ def q172_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = q18_ngram_jaccard(spark, sf_dir)
+    pairs = _q18_pairs(spark, sf_dir, persist_base=False)
     comps = (connected_components(pairs)
              .select(F.col("id").alias("doc_id"), "component"))
     n_tok = (F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
@@ -7781,7 +7809,7 @@ def q196_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components_star
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = q18_ngram_jaccard(spark, sf_dir)
+    pairs = _q18_pairs(spark, sf_dir, persist_base=False)
     comps = connected_components_star(pairs)
     lab = (docs.join(comps, docs.doc_id == comps.id, "left")
                .select(F.coalesce(comps.component, docs.doc_id)

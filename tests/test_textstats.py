@@ -194,7 +194,7 @@ def test_repetition_linear_equals_hof_on_long_docs(spark):
     rows = [(i, " ".join(rng.choice(vocab)
                          for _ in range(rng.randrange(200, 400))))
             for i in range(30)]
-    rows += [(98, ""), (99, "solo")]
+    rows += [(97, None), (98, ""), (99, "solo")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     base = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))

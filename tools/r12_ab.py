@@ -101,11 +101,23 @@ def exp_q172(spark, sf_dir: str, rounds: int) -> None:
         return out, handle
 
     variants = ("mem_disk", "none", "mem_only")
+    # one untimed warmup pass so no variant pays the first-query
+    # codegen/jit cost (it polluted the first timed round otherwise)
+    df, handle = build("none")
+    _noop(df)
+    if handle is not None:
+        handle.unpersist(blocking=False)
+    release_operator_caches()
     results: dict[str, list[float]] = {v: [] for v in variants}
     for _ in range(rounds):
         for v in variants:
+            # time build+sink together: connected_components runs its
+            # eager checkpoint loop INSIDE build(), exactly as the
+            # bench's spec.build(...).write timing sees it
+            t0 = time.time()
             df, handle = build(v)
-            results[v].append(_noop(df))
+            _noop(df)
+            results[v].append(time.time() - t0)
             if handle is not None:
                 handle.unpersist(blocking=False)
             release_operator_caches()
